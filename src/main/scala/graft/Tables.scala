@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the canonical test tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Roles (SURVEY.md §1/§2): `events` stands in for the reference's SCED
+  * telemetry stream (reference: src/main.py:59-93), `embeddings` for the
+  * pgvector `document_embeddings` table (reference:
+  * src/storage/pgvector_storage.py:89-96), `documents` for the Document
+  * model (reference: src/schema/models.py:7-12).
+  *
+  * At 100 TB these would be partitioned tables (events by date,
+  * lineitem/orders by date buckets); here they are single parquet files.
+  * All loads go through `spark.read.parquet` so Catalyst predicate
+  * pushdown + column pruning apply (SURVEY.md §4).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+      // type for; read the raw int64 and truncate to micros (the data is
+      // micro-aligned; DuckDB's reader does the same truncation). Kept
+      // timezone-naive (NTZ) to match the source's naive semantics.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+            .cast("timestamp_ntz"))
+    case _ => spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Load all tables as a name→DataFrame map. */
+  def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    names.map(n => n -> load(spark, sfDir, n)).toMap
+
+  /** Register every table as a temp view for spark.sql use. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

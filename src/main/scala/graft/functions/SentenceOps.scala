@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's "semantic sentence" renderer, re-expressed columnar.
+  *
+  * Reference: src/services/sentence_builder.py:12-100 renders one
+  * structured multi-line string per day (golden example at
+  * RELEVANT_ERCOT_APIS.md:57-69), with `None → "N/A"` metric formatting
+  * (sentence_builder.py:32-38). Here it is pure `format_string` /
+  * `concat_ws` column algebra — no UDF, so it stays inside
+  * WholeStageCodegen and runs at scan speed on any cluster size.
+  *
+  * Metric mapping onto the telemetry stand-in (FIXTURES.md §B): view →
+  * system load, signup → telemetry generation, purchase → DAM price,
+  * click/error → wind/solar, value/10 → temperature.
+  */
+object SentenceOps {
+
+  /** format with unit, null → "N/A" (reference sentence_builder.py:32-38). */
+  def fmtMetric(c: Column, fmt: String): Column =
+    when(c.isNotNull, format_string(fmt, c)).otherwise(lit("N/A"))
+
+  private def typedAvg(t: String) =
+    Exact.davg(when(col("event_type") === t, col("value")))
+
+  /** Daily metrics → one multi-line semantic sentence per day. */
+  def dailySentences(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        typedAvg("view").as("load_mw"),
+        typedAvg("signup").as("gen_mw"),
+        round(typedAvg("purchase"), 2).as("price"),
+        typedAvg("click").as("wind_mw"),
+        typedAvg("error").as("solar_mw"),
+        max(when(col("value") > 320, col("value"))).as("max_offer"),
+        (Exact.davg(col("value")) / 10).as("temp_c"))
+      .withColumn("renew_pct",
+        when(col("gen_mw") > 0,
+          (col("wind_mw") + col("solar_mw")) / col("gen_mw") * 100))
+
+    daily.select(
+      date_format(col("d"), "yyyy-MM-dd").as("date_str"),
+      concat(lit("daily_summary_"), date_format(col("d"), "yyyy-MM-dd")).as("vector_id"),
+      concat_ws("\n",
+        lit("ISO: ERCOT"),
+        concat(lit("Date_from: "), date_format(date_sub(col("d"), 1), "yyyy-MM-dd")),
+        concat(lit("Date_to: "), date_format(col("d"), "yyyy-MM-dd")),
+        concat(lit("Avg system load: "), fmtMetric(col("load_mw"), "%.1f MW")),
+        concat(lit("Telemetry generation: "), fmtMetric(col("gen_mw"), "%.1f MW")),
+        concat(lit("DAM HubAvg price: "), fmtMetric(col("price"), "%.2f USD/MWh")),
+        concat(lit("Renewables: "),
+          fmtMetric(col("wind_mw"), "wind %.1f MW"), lit(", "),
+          fmtMetric(col("solar_mw"), "solar %.1f MW"), lit(", "),
+          fmtMetric(col("renew_pct"), "%.1f%% of generation")),
+        concat(lit("ECRSS max offer: "), fmtMetric(col("max_offer"), "%.1f MW")),
+        concat(lit("Avg Texas temperature: "), fmtMetric(col("temp_c"), "%.1f C")))
+        .as("semantic_sentence"))
+      .orderBy("date_str")
+  }
+
+  /** DuckDB mirror of [[dailySentences]]. */
+  val oracleSql: String = {
+    def tAvg(t: String) =
+      ExactSql.davg(s"CASE WHEN event_type = '$t' THEN value END")
+    def fmt(c: String, f: String) =
+      s"CASE WHEN $c IS NOT NULL THEN printf('$f', $c) ELSE 'N/A' END"
+    s"""SELECT date_str, 'daily_summary_' || date_str AS vector_id,
+       |  concat_ws(chr(10),
+       |    'ISO: ERCOT',
+       |    'Date_from: ' || strftime(d - 1, '%Y-%m-%d'),
+       |    'Date_to: ' || date_str,
+       |    'Avg system load: ' || ${fmt("load_mw", "%.1f MW")},
+       |    'Telemetry generation: ' || ${fmt("gen_mw", "%.1f MW")},
+       |    'DAM HubAvg price: ' || ${fmt("price", "%.2f USD/MWh")},
+       |    'Renewables: ' || ${fmt("wind_mw", "wind %.1f MW")} || ', '
+       |      || ${fmt("solar_mw", "solar %.1f MW")} || ', '
+       |      || ${fmt("renew_pct", "%.1f%% of generation")},
+       |    'ECRSS max offer: ' || ${fmt("max_offer", "%.1f MW")},
+       |    'Avg Texas temperature: ' || ${fmt("temp_c", "%.1f C")}
+       |  ) AS semantic_sentence
+       |FROM (
+       |  SELECT *, strftime(d, '%Y-%m-%d') AS date_str,
+       |    CASE WHEN gen_mw > 0 THEN (wind_mw + solar_mw) / gen_mw * 100 END AS renew_pct
+       |  FROM (
+       |    SELECT CAST(ts AS DATE) AS d,
+       |      ${tAvg("view")} AS load_mw,
+       |      ${tAvg("signup")} AS gen_mw,
+       |      ROUND(${tAvg("purchase")}, 2) AS price,
+       |      ${tAvg("click")} AS wind_mw,
+       |      ${tAvg("error")} AS solar_mw,
+       |      MAX(CASE WHEN value > 320 THEN value END) AS max_offer,
+       |      ${ExactSql.davg("value")} / 10 AS temp_c
+       |    FROM events GROUP BY 1))
+       |ORDER BY date_str""".stripMargin
+  }
+}
