@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column algebra (SURVEY.md §2.10 X3/X4 north star).
+  *
+  * Everything is columnar (HOFs + regexp/string functions), no UDFs, so
+  * each op distributes with the scan. Hashes that must agree with the
+  * DuckDB oracle are md5-derived (md5 is identical across engines);
+  * Spark-only fast paths use xxhash64.
+  */
+object TextOps {
+
+  /** Lowercased alnum word tokens, empties dropped (order-preserving). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles (space-joined), distinct.
+    * transform over 1-based element_at, i ∈ [1, len-n+1]. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+
+  /** 60-bit positive token hash shared with DuckDB:
+    * first 15 hex chars of md5 parsed base-16. */
+  def hash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over the distinct token set: 60 bits, bit j set iff the
+    * ±1 majority vote of token-hash bit j is positive. Pure nested HOF —
+    * no explode, no shuffle. */
+  def simhash(text: Column): Column = {
+    val hs = transform(tokenSet(text), hash60)
+    hs.expr // force resolution through expr-string for shift-by-column
+    val hsCol = hs
+    aggregate(
+      transform(sequence(lit(0), lit(59)), j =>
+        when(
+          aggregate(hsCol, lit(0L),
+            (acc, h) => acc + (shiftright(h, j) bitwiseAND lit(1L)) * 2 - 1) > 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+  }
+
+  /** Rolling polynomial fingerprint of the token sequence:
+    * fold ((acc*31 + h%1e9) mod 1e9+7) — order-sensitive, exact in both
+    * engines (reference analog: document identity for dedup/upsert). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => pmod(hash60(t), lit(1000000000L))),
+      lit(0L), (acc, h) => pmod(acc * 31 + h, lit(1000000007L)))
+
+  /** Occurrences of literal `pat` via the replace trick (engine-common). */
+  def occurrences(text: Column, pat: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single symbols. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+}
