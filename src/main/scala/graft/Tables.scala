@@ -20,13 +20,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-level settings every entry point must apply once at startup
+    * (Verify/Bench mains, the flagship `entry`, test builders) — NOT per
+    * table load, so no loader mutates shared session state mid-query.
+    * nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark has
+    * no native type for; read the raw int64 and truncate to micros (the
+    * data is micro-aligned; DuckDB's reader does the same truncation). */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-      // type for; read the raw int64 and truncate to micros (the data is
-      // micro-aligned; DuckDB's reader does the same truncation). Kept
-      // timezone-naive (NTZ) to match the source's naive semantics.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Kept timezone-naive (NTZ) to match the source's naive semantics.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")

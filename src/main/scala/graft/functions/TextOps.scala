@@ -33,19 +33,26 @@ object TextOps {
   def hash60(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
-  /** SimHash over the distinct token set: 60 bits, bit j set iff the
-    * ±1 majority vote of token-hash bit j is positive. Pure nested HOF —
-    * no explode, no shuffle. */
-  def simhash(text: Column): Column = {
-    val hs = transform(tokenSet(text), hash60)
-    hs.expr // force resolution through expr-string for shift-by-column
-    val hsCol = hs
+  /** SimHash over a distinct term array (tokens or shingles): 60 bits,
+    * bit j set iff the ±1 majority vote of term-hash bit j is positive.
+    * Single pass over the term array: fold a 60-long vote vector with
+    * zip_with, then collapse votes to bits. All shift amounts are Scala
+    * literal Ints so the codegen'd shiftright/shiftleft overloads apply.
+    * Pure nested HOF — no explode, no shuffle; distributes with the scan. */
+  def simhash(terms: Column): Column = {
+    val hs = transform(terms, t => hash60(t))
+    val zeroVotes = array((0 until 60).map(_ => lit(0L)): _*)
+    val votes = aggregate(hs, zeroVotes, (acc, h) =>
+      zip_with(
+        acc,
+        array((0 until 60).map(j =>
+          shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1): _*),
+        (a, b) => a + b))
     aggregate(
-      transform(sequence(lit(0), lit(59)), j =>
-        when(
-          aggregate(hsCol, lit(0L),
-            (acc, h) => acc + (shiftright(h, j) bitwiseAND lit(1L)) * 2 - 1) > 0,
-          shiftleft(lit(1L), j)).otherwise(lit(0L))),
+      zip_with(
+        votes,
+        array((0 until 60).map(j => lit(1L << j)): _*),
+        (v, w) => when(v > 0, w).otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
   }
 

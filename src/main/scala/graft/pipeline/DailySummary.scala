@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
 object DailySummary {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.configure(spark) // entry point — session-level parquet settings
     val events = Tables.load(spark, sfDir, "events")
       .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
               col("ts") <  lit("2024-02-01").cast("timestamp"))

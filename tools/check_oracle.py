@@ -4,7 +4,7 @@ each query's parquet output against its DuckDB oracle on the same tables.
 
 Usage: python3 tools/check_oracle.py [sfdir] [--only name1,name2]
 """
-import json, os, subprocess, sys, glob
+import json, os, shutil, subprocess, sys, glob
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
@@ -22,6 +22,9 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
     "java.base/sun.nio.cs", "java.base/sun.security.action", "java.base/sun.util.calendar"]]
 
 def run_verify():
+    # Clean slate: a stale parquet dir from a previous run must never be
+    # compared as if this run produced it.
+    shutil.rmtree(OUT, ignore_errors=True)
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     cmd = ["java", *ADD_OPENS, "-Xmx8g", "-Dspark.ui.enabled=false",
@@ -41,6 +44,12 @@ def compare():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     results = {}
     names = sorted(os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p))
+    mpath = f"{OUT}/manifest.txt"
+    if os.path.exists(mpath):
+        written = set(open(mpath).read().split())
+        for name in sorted(set(names) - written):
+            results[name] = "NOT IN MANIFEST (query failed at runtime?)"
+        names = [n for n in names if n in written]
     for name in names:
         if ONLY and name not in ONLY:
             continue
