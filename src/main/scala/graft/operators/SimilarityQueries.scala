@@ -1,3 +1,154 @@
 package graft.operators
-import graft.NamedQuery
-object SimilarityQueries { val all: Seq[NamedQuery] = Seq() }
+
+import graft.{NamedQuery, Tables}
+import graft.NamedQuery.q
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity search queries (SURVEY.md §2.10 X1/X2 north star).
+  *
+  * The reference stores pgvector rows precisely so a sibling RAG service
+  * can run cosine retrieval over them (reference:
+  * src/storage/pgvector_storage.py:89-96, README.md:25-28). These queries
+  * are that retrieval surface, Spark-native:
+  *
+  *  - q26: exact brute-force top-k — the correctness baseline. Query side
+  *    is broadcast (it is always small); candidate scoring distributes
+  *    with the embeddings scan; top-k is two-phase (local rank, then a
+  *    tiny final rank) so the only per-query exchange carries Q·P·k rows,
+  *    not the full N·Q score matrix.
+  *  - q30: LSH-bucketed ANN — the 100 TB path. Sign-bit signatures over
+  *    leading dimensions form 2^b buckets; a query only scores its own
+  *    bucket, so the join is an equi-join on bucket (shuffle/broadcast by
+  *    bucket key), never an all-pairs cross product. Recall is traded via
+  *    b (more bits → fewer candidates); production would multi-probe
+  *    neighboring buckets or union several hash tables — same plan shape.
+  *  - q31: near-duplicate pair mining within buckets (a.id < b.id), the
+  *    embedding-space analog of MinHash dedup: candidate generation is
+  *    the bucket equi-join, verification is the exact cosine.
+  *
+  * All vector math is [[VectorOps]] HOFs over `ArrayType(Double)`
+  * (float→double cast is SURVEY F14) — codegen-friendly, no UDFs.
+  */
+object SimilarityQueries {
+
+  /** Embeddings with the float array cast to double (F14) once, up front. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev"))
+
+  /** Sign-bit LSH bucket: bit j set iff dimension j+1 is positive.
+    * Axis-aligned random-hyperplane LSH — deterministic and exactly
+    * mirrored in the DuckDB oracle. */
+  private def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(j => when(element_at(v, j + 1) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast("int")
+
+  private def signBucketSql(v: String, bits: Int): String =
+    (0 until bits).map(j => s"(CASE WHEN $v[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Cross-engine-stable cosine: round(dot/(|a|·|b|), 6); ties in top-k
+    * ranking are broken on vec_id so ordering is total in both engines. */
+  private val cosineSql =
+    "ROUND(list_inner_product(ev, qv) / NULLIF(sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv)), 0), 6)"
+
+  private val NQueries = 5   // q26 query-set size (first ids — deterministic)
+  private val TopK = 10
+  private val AnnQueries = 20
+  private val AnnBits = 6    // 64 buckets for the ANN probe
+  private val AnnK = 5
+  private val NdBits = 4     // 16 buckets for pair mining (wider candidates)
+  private val NdThresh = 0.3 // near-dup cosine threshold (testdata is random
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ----- X1/X2/F14: exact brute-force kNN, broadcast query side,
+    // two-phase top-k (local per-partition rank bounds the final exchange
+    // to Q·P·k rows — no single-partition-per-query bottleneck at scale).
+    q("q26_knn_topk",
+      "X1/X2/F14: brute-force cosine top-k, broadcast queries, 2-phase rank",
+      s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |            FROM embeddings WHERE vec_id < $NQueries),
+         |     es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |     scored AS (SELECT query_id, vec_id, $cosineSql AS sim FROM es, qs)
+         |SELECT query_id, vec_id, sim, rn FROM (
+         |  SELECT query_id, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir)
+      val queries = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+      val scored = base.crossJoin(broadcast(queries))
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv")))
+      // Phase 1: rank within (query, input partition) — fully parallel.
+      val w1 = Window.partitionBy(col("query_id"), col("p"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val local = scored.withColumn("p", spark_partition_id())
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= TopK)
+      // Phase 2: final rank over the surviving Q·P·k rows — tiny.
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      local.withColumn("rn", row_number().over(w2).cast("long"))
+        .filter(col("rn") <= TopK)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    },
+
+    // ----- X2 (scale path): LSH-bucketed approximate NN — candidate set
+    // is the query's sign-bucket only; the join is an equi-join on bucket.
+    q("q30_ann_lsh_bucket",
+      "X2: sign-LSH bucketed ANN top-k (equi-join on bucket, never all-pairs)",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
+         |            FROM embeddings),
+         |     qs AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM es WHERE vec_id < $AnnQueries),
+         |     scored AS (SELECT qs.query_id, es.vec_id, es.bucket, $cosineSql AS sim
+         |                FROM es JOIN qs USING (bucket))
+         |SELECT query_id, vec_id, bucket, sim, rn FROM (
+         |  SELECT query_id, vec_id, bucket, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $AnnK ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir).withColumn("bucket", signBucket(col("ev"), AnnBits))
+      val queries = base.filter(col("vec_id") < AnnQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      base.join(broadcast(queries), "bucket")
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= AnnK)
+        .select("query_id", "vec_id", "bucket", "sim", "rn")
+        .orderBy("query_id", "rn")
+    },
+
+    // ----- X3 (embedding flavor): near-duplicate pairs — candidates from
+    // the bucket equi-self-join (a < b), verified by exact cosine ≥ τ.
+    q("q31_embedding_neardup",
+      "X1/X3: bucketed near-dup pair mining, cosine threshold verify",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", NdBits)} AS bucket
+         |            FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+         |       ROUND(list_inner_product(a.ev, b.ev) /
+         |             NULLIF(sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev)), 0), 6) AS sim
+         |FROM es a JOIN es b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ROUND(list_inner_product(a.ev, b.ev) /
+         |            NULLIF(sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev)), 0), 6) >= $NdThresh
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir).withColumn("bucket", signBucket(col("ev"), NdBits))
+      val a = base.select(col("vec_id").as("id_a"), col("ev").as("av"), col("bucket"))
+      val b = base.select(col("vec_id").as("id_b"), col("ev").as("bv"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", VectorOps.cosine6(col("av"), col("bv")))
+        .filter(col("sim") >= NdThresh)
+        .select("id_a", "id_b", "bucket", "sim")
+        .orderBy("id_a", "id_b")
+    }
+  )
+}
