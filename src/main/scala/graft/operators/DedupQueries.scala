@@ -1,3 +1,195 @@
 package graft.operators
-import graft.NamedQuery
-object DedupQueries { val all: Seq[NamedQuery] = Seq() }
+
+import graft.{NamedQuery, Tables}
+import graft.NamedQuery.q
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication queries (SURVEY.md §2.10 X3 north star).
+  *
+  * The reference dedups by upsert key (`ON CONFLICT (vector_id)`,
+  * src/storage/pgvector_storage.py:102-105); an LLM training pipeline
+  * needs content-level dedup. Three tiers, all bucketed — candidate
+  * generation is always an equi-join on a hash key, NEVER an all-pairs
+  * cross product, so each scales as one shuffle of the corpus:
+  *
+  *  - q27 exact: group by md5(text), keep the lowest id (hash-groupBy —
+  *    the Spark analog of `dropDuplicates`, with provenance counts).
+  *  - q28 MinHash: word-3-shingles → k independent min-hashes → band
+  *    buckets → candidate pairs → exact Jaccard verify ≥ τ.
+  *  - q32 SimHash: 60-bit majority-vote signature over 3-gram shingle
+  *    features (shingles, not raw tokens: the corpus shares a tiny word
+  *    vocabulary, so token-level signatures cluster and band buckets go
+  *    quadratic; shingles are near-unique per doc) → 4×15-bit band
+  *    buckets → candidate pairs → Hamming-distance verify ≤ d.
+  *
+  * The synthetic corpus has no natural duplicates (500 distinct texts at
+  * sf0.01), so each query PLANTS deterministic dups: a union with copies
+  * (exact for q27; first-token-dropped for q28/q32) under shifted ids.
+  * The operator must find exactly the planted overlap — that is the
+  * correctness check, mirrored in the DuckDB oracle.
+  */
+object DedupQueries {
+
+  /** Documents ∪ deterministic planted copies: every `mod`-th doc again
+    * under id+`shift`, with `perturb` applied to the text. */
+  private def withPlanted(base: DataFrame, mod: Int, shift: Int,
+                          perturb: Column => Column): DataFrame =
+    base.unionAll(
+      base.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + shift).as("doc_id"),
+          perturb(col("text")).as("text")))
+
+  private def plantedSql(mod: Int, shift: Int, perturbSql: String): String =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + $shift, $perturbSql FROM documents WHERE doc_id % $mod = 0""".stripMargin
+
+  /** Drop the first word — a near-duplicate, not an exact one. */
+  private val dropFirstTok: Column => Column =
+    t => regexp_replace(t, "^[a-z0-9]+ ", "")
+  private val dropFirstTokSql = "regexp_replace(text, '^[a-z0-9]+ ', '')"
+
+  /** DuckDB mirror of [[TextOps.hash60]]. */
+  private def hash60Sql(tok: String): String =
+    s"CAST(CONCAT('0x', substr(md5($tok), 1, 15)) AS BIGINT)"
+
+  /** DuckDB mirror of [[TextOps.tokens]]. */
+  private def tokensSql(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB mirror of [[TextOps.shingles]] (word 3-grams, distinct). */
+  private def shinglesSql(toks: String): String =
+    s"list_distinct([list_aggregate(list_slice($toks, i, i + 2), 'string_agg', ' ') for i in range(1, len($toks) - 1)])"
+
+  /** DuckDB mirror of [[TextOps.simhash]] over a token-hash list column. */
+  private def simhashSql(hs: String): String =
+    (0 until 60).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " +\n ", ")")
+
+  private val MinhashSeeds = 6
+  private val JaccardThresh = 0.6
+  private val HammingThresh = 10
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ----- X3 exact: hash-groupBy dedup with provenance. Planted: every
+    // 7th doc duplicated verbatim under id+20000 — those groups must show
+    // n_copies=2 and keep the original (lowest) id.
+    q("q27_exact_dedup",
+      "X3: exact dedup by content hash, keep-lowest-id, copy counts",
+      s"""WITH u AS (${plantedSql(7, 20000, "text")})
+         |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+         |       COUNT(*) AS n_copies
+         |FROM u GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      withPlanted(base, 7, 20000, identity)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // ----- X3 MinHash: shingle → minhash → band-bucket join → Jaccard
+    // verify. Bands are single minhashes (b=6, r=1) for recall on a small
+    // corpus; candidates are DISTINCT (id_a, id_b) pairs sharing any
+    // band value — the shuffle key is (seed, minhash), so work scales
+    // with collisions, not with corpus².
+    q("q28_minhash_pairs",
+      "X3: MinHash band-bucket candidates + exact Jaccard verify",
+      s"""WITH u AS (${plantedSql(10, 10000, dropFirstTokSql)}),
+         |     sh AS (SELECT doc_id, ${shinglesSql(tokensSql("text"))} AS shingles
+         |            FROM (SELECT doc_id, text FROM u)),
+         |     mh AS (SELECT doc_id, s.seed,
+         |              list_min(list_transform(shingles,
+         |                t -> ${hash60Sql("CONCAT(s.seed, '|', t)")})) AS minhash
+         |            FROM sh, (SELECT unnest(range(0, $MinhashSeeds)) AS seed) s),
+         |     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |              FROM mh a JOIN mh b
+         |                ON a.seed = b.seed AND a.minhash = b.minhash
+         |                 AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b)
+         |WHERE jaccard >= $JaccardThresh
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val u = withPlanted(base, 10, 10000, dropFirstTok)
+      val sh = u.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
+      // k independent min-hashes, inline-exploded to (doc_id, seed, minhash).
+      val mh = sh.select(col("doc_id"), explode(array(
+          (0 until MinhashSeeds).map { j =>
+            struct(lit(j).as("seed"),
+              array_min(transform(col("shingles"),
+                t => TextOps.hash60(concat(lit(s"$j|"), t)))).as("minhash"))
+          }: _*)).as("sm"))
+        .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.minhash").as("minhash"))
+      val cand = mh.select(col("seed"), col("minhash"), col("doc_id").as("id_a"))
+        .join(mh.select(col("seed"), col("minhash"), col("doc_id").as("id_b")),
+          Seq("seed", "minhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+        .filter(col("jaccard") >= JaccardThresh)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+
+    // ----- X3 SimHash: 60-bit signature, 4×15-bit bands for candidate
+    // buckets, Hamming verify. Near-identical docs differ in a few bits,
+    // so at least one 15-bit band collides (pigeonhole for d<4 flips;
+    // planted single-token drops flip well under 15 bits).
+    q("q32_simhash_bands",
+      "X3: SimHash band-bucket candidates + Hamming-distance verify",
+      s"""WITH u AS (${plantedSql(9, 30000, dropFirstTokSql)}),
+         |     sg AS (SELECT doc_id, ${simhashSql(s"list_transform(${shinglesSql(tokensSql("text"))}, t -> ${hash60Sql("t")})")} AS sig
+         |            FROM u),
+         |     bands AS (SELECT doc_id, sig, b.band_id,
+         |                 (sig >> (b.band_id * 15)) & 32767 AS band_val
+         |               FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),
+         |     cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a,
+         |                              b.doc_id AS id_b, b.sig AS sig_b
+         |              FROM bands a JOIN bands b
+         |                ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                 AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming FROM cand)
+         |WHERE hamming <= $HammingThresh
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val u = withPlanted(base, 9, 30000, dropFirstTok)
+      val sg = u.select(col("doc_id"),
+        TextOps.simhash(TextOps.shingles(col("text"), 3)).as("sig"))
+      // Shift amounts must be literal Ints (the codegen'd shiftright
+      // overload), so bands unroll as a 4-element inline array.
+      val banded = sg.select(col("doc_id"), col("sig"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("band_id"),
+            shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
+        .select(col("doc_id"), col("sig"),
+          col("bv.band_id").as("band_id"), col("bv.band_val").as("band_val"))
+      val cand = banded.select(col("band_id"), col("band_val"),
+          col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        .join(banded.select(col("band_id"), col("band_val"),
+          col("doc_id").as("id_b"), col("sig").as("sig_b")),
+          Seq("band_id", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "sig_a", "id_b", "sig_b").distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        .filter(col("hamming") <= HammingThresh)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }
+  )
+}
