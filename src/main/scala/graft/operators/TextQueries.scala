@@ -1,3 +1,237 @@
 package graft.operators
-import graft.NamedQuery
-object TextQueries { val all: Seq[NamedQuery] = Seq() }
+
+import graft.{NamedQuery, Tables}
+import graft.NamedQuery.q
+import graft.functions.{Exact, ExactSql, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents` (SURVEY.md §2.10 X4 north
+  * star): the profiling pass a training-data pipeline runs before
+  * filtering/dedup. Everything is columnar string/array algebra — no
+  * UDFs — so each query is a single scan + one hash-aggregate shuffle
+  * (the explode in q35 is the standard token-level re-key; its groupBy
+  * does map-side partial aggregation).
+  */
+object TextQueries {
+  import Exact.{davg, dsum}
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** DuckDB mirror of [[TextOps.tokens]]. */
+  private def tokensSql(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared ASCII stopword profiles for the language-ID heuristic.
+    * (The corpus is synthetic English-ish word bags under synthetic lang
+    * labels, so the interesting output is the confusion matrix, which is
+    * deterministic in both engines.) */
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "men"))
+
+  private val Stopwords: Seq[String] = Profiles.toMap.apply("en")
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ----- X4: corpus stats per (lang, source-bucketed): counts, char
+    // and token sums, plus a log2-ish length histogram — the shape
+    // `width_bucket` gives you, expressed engine-portably as a CASE
+    // ladder on n_chars.
+    q("q29_text_stats",
+      "X4: per-lang corpus stats + length-bucket histogram",
+      s"""SELECT lang,
+         |  CASE WHEN n_chars < 64 THEN '0-63' WHEN n_chars < 128 THEN '64-127'
+         |       WHEN n_chars < 256 THEN '128-255' WHEN n_chars < 512 THEN '256-511'
+         |       ELSE '512+' END AS len_bucket,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sources,
+         |  ${ExactSql.dsum("n_chars")} AS sum_chars,
+         |  ${ExactSql.davg(s"len(${tokensSql("text")})")} AS avg_tokens
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val lenBucket = when(col("n_chars") < 64, "0-63")
+        .when(col("n_chars") < 128, "64-127")
+        .when(col("n_chars") < 256, "128-255")
+        .when(col("n_chars") < 512, "256-511")
+        .otherwise("512+")
+      docs(s, dir)
+        .groupBy(col("lang"), lenBucket.as("len_bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          dsum(col("n_chars")).as("sum_chars"),
+          davg(size(TextOps.tokens(col("text")))).as("avg_tokens"))
+        .orderBy("lang", "len_bucket")
+    },
+
+    // ----- X4: stopword-profile language ID → confusion matrix against
+    // the labeled lang. Scores are profile-token counts; argmax with
+    // alphabetical tiebreak via an identical CASE ladder in both engines.
+    q("q33_langid_confusion",
+      "X4: n-gram/stopword language-ID heuristic, confusion counts",
+      {
+        val scores = Profiles.map { case (l, ws) =>
+          val set = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(${tokensSql("text")}, t -> list_contains($set, t))) AS s_$l"
+        }.mkString(",\n         ")
+        val g = Profiles.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+        val ladder = Profiles.map { case (l, _) => s"WHEN s_$l = $g THEN '$l'" }
+          .mkString("CASE ", " ", "END")
+        s"""SELECT lang AS actual, $ladder AS predicted, COUNT(*) AS n
+           |FROM (SELECT lang, $scores FROM documents)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val scored = docs(s, dir).select(col("lang") +:
+        Profiles.map { case (l, ws) =>
+          size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
+        }: _*)
+      val g = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
+      val ladder = Profiles.tail.foldLeft(
+        when(col(s"s_${Profiles.head._1}") === g, Profiles.head._1)) {
+        case (acc, (l, _)) => acc.when(col(s"s_$l") === g, l)
+      }
+      scored
+        .groupBy(col("lang").as("actual"), ladder.as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    },
+
+    // ----- X4: per-document quality scoring — length, punctuation,
+    // digit, and stopword ratios folded into a bounded score, the filter
+    // signal a pretraining pipeline thresholds on. The linear combination
+    // runs in EXACT decimal arithmetic on the 6dp-rounded ratios (then one
+    // cast to double) — a double-precision combo can land on a rounding
+    // half-tie and diverge between engines (same hazard as ADVICE's
+    // format_string note).
+    q("q34_quality_score",
+      "X4: per-doc quality scoring (length/punct/stopword ratios)",
+      {
+        val toks = tokensSql("text")
+        val set = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stop_ratio,
+           |  CAST(0.4 * (CASE WHEN n_tokens >= 50 THEN CAST(1 AS DECIMAL(8,6))
+           |              ELSE CAST(n_tokens * 0.02 AS DECIMAL(8,6)) END)
+           |     + 0.3 * (CAST(1 AS DECIMAL(8,6)) - CAST(punct_ratio AS DECIMAL(18,6)))
+           |     + 0.3 * (CASE WHEN CAST(stop_ratio AS DECIMAL(18,6)) * 5 >= 1 THEN CAST(1 AS DECIMAL(18,6))
+           |              ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END) AS DOUBLE) AS quality
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    ROUND(CAST(len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |          / NULLIF(len(text), 0), 6) AS punct_ratio,
+           |    ROUND(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           |          / NULLIF(len(text), 0), 6) AS digit_ratio,
+           |    ROUND(CAST(len(list_filter($toks, t -> list_contains($set, t))) AS DOUBLE)
+           |          / NULLIF(len($toks), 0), 6) AS stop_ratio
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val ratios = docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
+          nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          nullif(length(col("text")), lit(0)), 6).as("digit_ratio"),
+        round(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+          nullif(size(toks), lit(0)), 6).as("stop_ratio"))
+      val one = expr("CAST(1 AS DECIMAL(8,6))")
+      val pd = col("punct_ratio").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      val sd = col("stop_ratio").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      val lenScore = when(col("n_tokens") >= 50, one)
+        .otherwise((col("n_tokens") * expr("CAST(0.02 AS DECIMAL(3,2))"))
+          .cast(org.apache.spark.sql.types.DecimalType(8, 6)))
+      val stopScore = when(sd * 5 >= 1, expr("CAST(1 AS DECIMAL(18,6))")).otherwise(sd * 5)
+      ratios
+        .withColumn("quality",
+          (expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
+            expr("CAST(0.3 AS DECIMAL(2,1))") * (one - pd) +
+            expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore).cast("double"))
+        .orderBy("doc_id")
+    },
+
+    // ----- X4: token counting two ways (whitespace words vs a BPE-ish
+    // regex lexer) + per-lang vocabulary via explode→distinct. The
+    // explode re-keys by (lang, token); countDistinct runs partial
+    // (map-side) before the shuffle — the scalable vocab-count plan.
+    q("q35_token_counts",
+      "X4: whitespace vs BPE-ish token counts + per-lang vocabulary",
+      {
+        val toks = tokensSql("text")
+        s"""SELECT d.lang, n_docs, sum_ws_tokens, sum_bpe_tokens, vocab
+           |FROM (
+           |  SELECT lang, COUNT(*) AS n_docs,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS sum_ws_tokens,
+           |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens
+           |  FROM documents GROUP BY lang) d
+           |JOIN (
+           |  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+           |  FROM (SELECT lang, unnest($toks) AS tok FROM documents)
+           |  GROUP BY lang) v ON d.lang = v.lang
+           |ORDER BY d.lang""".stripMargin
+      }) { (s, dir) =>
+      // Doc-level sums aggregate the pre-explode frame; only the
+      // vocabulary count pays the token-level explode+distinct shuffle.
+      val d = docs(s, dir)
+      val docAgg = d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).as("sum_ws_tokens"),
+          sum(TextOps.bpeTokenCount(col("text"))).as("sum_bpe_tokens"))
+      val vocab = d
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("vocab"))
+      docAgg.join(vocab, "lang")
+        .select("lang", "n_docs", "sum_ws_tokens", "sum_bpe_tokens", "vocab")
+        .orderBy("lang")
+    },
+
+    // ----- X4: order-sensitive rolling-hash fingerprint. Planted: every
+    // 11th doc re-appears token-REVERSED under id+40000 — same token
+    // set, different order → distinct fingerprint (n=1 groups), while
+    // every 13th doc re-appears verbatim under id+50000 → shared
+    // fingerprint (n=2 groups). Distinguishes content identity from
+    // bag-of-words identity.
+    q("q36_fingerprint_groups",
+      "X4/X3: rolling-hash fingerprint; order-sensitivity vs verbatim dups",
+      {
+        val toks = tokensSql("text")
+        s"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 40000,
+           |         list_aggregate(list_reverse($toks), 'string_agg', ' ')
+           |  FROM documents WHERE doc_id % 11 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 50000, text FROM documents WHERE doc_id % 13 = 0)
+           |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(0, list_transform($toks,
+           |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000000)),
+           |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+           |  FROM u)
+           |GROUP BY fp ORDER BY keep_id""".stripMargin
+      }) { (s, dir) =>
+      val base = docs(s, dir).select("doc_id", "text")
+      val u = base
+        .unionAll(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat_ws(" ", reverse(TextOps.tokens(col("text")))).as("text")))
+        .unionAll(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+      u.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }
+  )
+}
