@@ -20,12 +20,16 @@ object TextOps {
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Word n-gram shingles (space-joined), distinct.
-    * transform over 1-based element_at, i ∈ [1, len-n+1]. */
+    * transform over 1-based element_at, i ∈ [1, len-n+1]. Texts shorter
+    * than n tokens yield an empty array — guarded explicitly, because
+    * sequence(1, 0) is DESCENDING in Spark ([1,0]) and the resulting
+    * element_at(toks, n) would throw under ANSI mode. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+    val grams = array_distinct(transform(
+      sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** 60-bit positive token hash shared with DuckDB:
