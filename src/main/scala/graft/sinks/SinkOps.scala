@@ -1,0 +1,74 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.LongAccumulator
+
+/** Batch sink family (SURVEY.md §2.2 K2/K4/K5), modeled on durable
+  * columnar storage instead of JDBC/DynamoDB connections:
+  *
+  *  - K2 batch insert → partitioned parquet write. Partitioning by a
+  *    date-like column + DYNAMIC partition overwrite is the 100 TB
+  *    upsert story: an incremental batch rewrites only the partitions
+  *    it touches, never the whole table.
+  *  - K4 batched puts with per-item error accounting → foreachPartition
+  *    in fixed-size batches with Spark accumulators for ok/failed
+  *    counts (reference: 25-item DynamoDB batches + per-item error
+  *    list, src/storage/dynamodb.py:175-228).
+  *  - K5 DDL with column comments → StructField.withComment metadata
+  *    that survives the parquet round-trip (reference:
+  *    create_weather_table.py:51-82 COMMENT ON statements).
+  */
+object SinkOps {
+
+  /** K5: the hourly-weather sink schema, comments included (mirrors
+    * create_weather_table.py:51-63 — timestamp PK + per-city REAL
+    * columns + derived averages). */
+  def weatherSchema: StructType = StructType(Seq(
+    StructField("timestamp", org.apache.spark.sql.types.TimestampType, nullable = false)
+      .withComment("Hour-start timestamp (PK in the reference DDL)"),
+    StructField("austin_temp_c", org.apache.spark.sql.types.FloatType)
+      .withComment("Austin hourly temperature, Celsius"),
+    StructField("houston_temp_c", org.apache.spark.sql.types.FloatType)
+      .withComment("Houston hourly temperature, Celsius"),
+    StructField("dallas_temp_c", org.apache.spark.sql.types.FloatType)
+      .withComment("Dallas hourly temperature, Celsius"),
+    StructField("avg_temperature_c", org.apache.spark.sql.types.FloatType)
+      .withComment("Row mean across city columns, Celsius"),
+    StructField("avg_temperature_f", org.apache.spark.sql.types.FloatType)
+      .withComment("avg_temperature_c * 9/5 + 32")))
+
+  /** K2: write a frame as parquet partitioned by `partitionCols`, with
+    * dynamic partition overwrite — re-writing a batch replaces exactly
+    * the partitions present in `df` and leaves the rest of the table
+    * untouched (the scalable MERGE restatement). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Result of a [[putBatched]] run: rows attempted / stored / failed. */
+  final case class PutStats(attempted: Long, stored: Long, failed: Long)
+
+  /** K4: drive a row-level put sink in fixed-size batches per partition,
+    * accounting every item as stored or failed (a throwing `put` fails
+    * its whole batch, like an errored BatchWriteItem page). Distributes
+    * as one pass over the frame; the accumulators are the only
+    * driver-side state. */
+  def putBatched(df: DataFrame, batchSize: Int)(put: Seq[Row] => Unit): PutStats = {
+    val spark = df.sparkSession
+    val attempted: LongAccumulator = spark.sparkContext.longAccumulator("put_attempted")
+    val stored: LongAccumulator = spark.sparkContext.longAccumulator("put_stored")
+    val failed: LongAccumulator = spark.sparkContext.longAccumulator("put_failed")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      rows.grouped(batchSize).foreach { batch =>
+        attempted.add(batch.size)
+        try { put(batch); stored.add(batch.size) }
+        catch { case _: Exception => failed.add(batch.size) }
+      }
+    }
+    PutStats(attempted.value, stored.value, failed.value)
+  }
+}
