@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.NamedQuery.{noOracle, q}
+import graft.pipeline.MediaOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries (north-star brief: binary payloads with
+  * typed metadata, decode as a batched partition-local kernel).
+  *
+  * q39 is pure columnar binary algebra and oracle-checked (the DuckDB
+  * mirror computes on the source text, which is byte-identical to the
+  * UTF-8 payload for this ASCII corpus). q40 exercises the typed
+  * mapPartitions decode path — not SQL-expressible by design (that is
+  * the point of the kernel boundary), so it carries the rows-only check.
+  */
+object MediaQueries {
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ----- binary columns, metadata, header sniff, strided frame sample:
+    // all columnar, pushed projections, no shuffle except the final sort.
+    q("q39_media_features",
+      "multimodal: binary payload stats + header/frame-sample hex slices",
+      """SELECT media_id, kind, width, height,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  hex(encode(substring(text, 1, 8))) AS header_hex,
+        |  hex(encode(substring(text, 33, 4))) AS frame1_hex,
+        |  hex(encode(substring(text, 65, 4))) AS frame2_hex
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    64 + (doc_id % 8) * 16 AS width,
+        |    48 + (doc_id % 4) * 16 AS height,
+        |    text
+        |  FROM documents)
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = MediaOps.mediaTable(Tables.load(s, dir, "documents"))
+      media.select(
+          col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("content_hash"),
+          hex(substring(col("payload"), 1, 8)).as("header_hex"),
+          hex(substring(col("payload"), 33, 4)).as("frame1_hex"),
+          hex(substring(col("payload"), 65, 4)).as("frame2_hex"))
+        .orderBy("media_id")
+    },
+
+    // ----- the batched kernel path: typed Dataset boundary →
+    // mapPartitions decode stub → per-kind rollup. Rows-only check (the
+    // kernel is exactly the part an oracle cannot express).
+    noOracle("q40_media_decode_stub",
+      "multimodal: batched mapPartitions decode (stubbed kernel) + rollup") { (s, dir) =>
+      import s.implicits._
+      val media = MediaOps.mediaTable(Tables.load(s, dir, "documents"))
+        .as[MediaOps.MediaRow]
+      MediaOps.decodeFeatures(media)
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          avg(col("brightness")).as("avg_brightness"),
+          max(col("batch_size")).as("max_batch"))
+        .orderBy("kind")
+    }
+  )
+}
