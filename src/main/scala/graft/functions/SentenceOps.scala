@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object SentenceOps {
 
-  /** format with unit, null → "N/A" (reference sentence_builder.py:32-38). */
-  def fmtMetric(c: Column, fmt: String): Column =
-    when(c.isNotNull, format_string(fmt, c)).otherwise(lit("N/A"))
+  /** format with unit, null → "N/A" (reference sentence_builder.py:32-38).
+    * The value is ROUNDED at the format precision before formatting:
+    * Spark's format_string (Java, HALF_UP) and DuckDB's printf (C,
+    * half-even on the binary value) disagree on exact .x5 doubles
+    * (e.g. 102.25 → "102.3" vs "102.2"); rounding first (identical
+    * HALF-UP/away-from-zero in both engines) removes the tie before the
+    * formatter ever sees it. */
+  def fmtMetric(c: Column, fmt: String, precision: Int): Column =
+    when(c.isNotNull, format_string(fmt, round(c, precision))).otherwise(lit("N/A"))
 
   private def typedAvg(t: String) =
     Exact.davg(when(col("event_type") === t, col("value")))
@@ -48,15 +54,15 @@ object SentenceOps {
         lit("ISO: ERCOT"),
         concat(lit("Date_from: "), date_format(date_sub(col("d"), 1), "yyyy-MM-dd")),
         concat(lit("Date_to: "), date_format(col("d"), "yyyy-MM-dd")),
-        concat(lit("Avg system load: "), fmtMetric(col("load_mw"), "%.1f MW")),
-        concat(lit("Telemetry generation: "), fmtMetric(col("gen_mw"), "%.1f MW")),
-        concat(lit("DAM HubAvg price: "), fmtMetric(col("price"), "%.2f USD/MWh")),
+        concat(lit("Avg system load: "), fmtMetric(col("load_mw"), "%.1f MW", 1)),
+        concat(lit("Telemetry generation: "), fmtMetric(col("gen_mw"), "%.1f MW", 1)),
+        concat(lit("DAM HubAvg price: "), fmtMetric(col("price"), "%.2f USD/MWh", 2)),
         concat(lit("Renewables: "),
-          fmtMetric(col("wind_mw"), "wind %.1f MW"), lit(", "),
-          fmtMetric(col("solar_mw"), "solar %.1f MW"), lit(", "),
-          fmtMetric(col("renew_pct"), "%.1f%% of generation")),
-        concat(lit("ECRSS max offer: "), fmtMetric(col("max_offer"), "%.1f MW")),
-        concat(lit("Avg Texas temperature: "), fmtMetric(col("temp_c"), "%.1f C")))
+          fmtMetric(col("wind_mw"), "wind %.1f MW", 1), lit(", "),
+          fmtMetric(col("solar_mw"), "solar %.1f MW", 1), lit(", "),
+          fmtMetric(col("renew_pct"), "%.1f%% of generation", 1)),
+        concat(lit("ECRSS max offer: "), fmtMetric(col("max_offer"), "%.1f MW", 1)),
+        concat(lit("Avg Texas temperature: "), fmtMetric(col("temp_c"), "%.1f C", 1)))
         .as("semantic_sentence"))
       .orderBy("date_str")
   }
@@ -65,8 +71,11 @@ object SentenceOps {
   val oracleSql: String = {
     def tAvg(t: String) =
       ExactSql.davg(s"CASE WHEN event_type = '$t' THEN value END")
-    def fmt(c: String, f: String) =
-      s"CASE WHEN $c IS NOT NULL THEN printf('$f', $c) ELSE 'N/A' END"
+    // ROUND-before-printf mirrors fmtMetric (see its scaladoc).
+    def fmt(c: String, f: String) = {
+      val p = if (f.contains("%.2f")) 2 else 1
+      s"CASE WHEN $c IS NOT NULL THEN printf('$f', ROUND($c, $p)) ELSE 'N/A' END"
+    }
     s"""SELECT date_str, 'daily_summary_' || date_str AS vector_id,
        |  concat_ws(chr(10),
        |    'ISO: ERCOT',

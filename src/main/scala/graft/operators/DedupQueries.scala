@@ -69,9 +69,17 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " +\n ", ")")
 
-  private val MinhashSeeds = 6
   private val JaccardThresh = 0.6
   private val HammingThresh = 10
+
+  /** Universal-hash permutation constants for MinHash: minhash_j =
+    * (a_j·h31 + b_j) mod p over h31 = hash60(t) & (2^31−1). One md5 per
+    * shingle total (not per seed) — the k permutations are integer ops.
+    * a_j < 2^21 keeps a·h31 < 2^52, overflow-safe in both engines. */
+  private val MinhashP = 2147483647L
+  private val MinhashParams: Seq[(Long, Long)] = Seq(
+    (1000003L, 7L), (1000033L, 131071L), (1000037L, 524287L),
+    (1000039L, 998244353L), (1000081L, 104729L), (1000099L, 90001L))
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -98,35 +106,47 @@ object DedupQueries {
     // with collisions, not with corpus².
     q("q28_minhash_pairs",
       "X3: MinHash band-bucket candidates + exact Jaccard verify",
-      s"""WITH u AS (${plantedSql(10, 10000, dropFirstTokSql)}),
-         |     sh AS (SELECT doc_id, ${shinglesSql(tokensSql("text"))} AS shingles
-         |            FROM (SELECT doc_id, text FROM u)),
-         |     mh AS (SELECT doc_id, s.seed,
-         |              list_min(list_transform(shingles,
-         |                t -> ${hash60Sql("CONCAT(s.seed, '|', t)")})) AS minhash
-         |            FROM sh, (SELECT unnest(range(0, $MinhashSeeds)) AS seed) s),
-         |     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |              FROM mh a JOIN mh b
-         |                ON a.seed = b.seed AND a.minhash = b.minhash
-         |                 AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT id_a, id_b,
-         |    ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = id_a
-         |  JOIN sh sb ON sb.doc_id = id_b)
-         |WHERE jaccard >= $JaccardThresh
-         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      {
+        val perms = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"($j, ${a}::BIGINT, ${b}::BIGINT)"
+        }.mkString(", ")
+        s"""WITH u AS (${plantedSql(10, 10000, dropFirstTokSql)}),
+           |     sh AS (SELECT doc_id,
+           |              list_transform(${shinglesSql(tokensSql("text"))},
+           |                t -> ${hash60Sql("t")} & 2147483647) AS h31s
+           |            FROM u),
+           |     mh AS (SELECT doc_id, s.seed,
+           |              list_min(list_transform(h31s,
+           |                h -> (s.a * h + s.b) % $MinhashP)) AS minhash
+           |            FROM sh, (VALUES $perms) s(seed, a, b)),
+           |     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |              FROM mh a JOIN mh b
+           |                ON a.seed = b.seed AND a.minhash = b.minhash
+           |                 AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT id_a, id_b,
+           |    ROUND(CAST(len(list_intersect(sa.h31s, sb.h31s)) AS DOUBLE) /
+           |          len(list_distinct(list_concat(sa.h31s, sb.h31s))), 6) AS jaccard
+           |  FROM cand
+           |  JOIN sh sa ON sa.doc_id = id_a
+           |  JOIN sh sb ON sb.doc_id = id_b)
+           |WHERE jaccard >= $JaccardThresh
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       val u = withPlanted(base, 10, 10000, dropFirstTok)
-      val sh = u.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
-      // k independent min-hashes, inline-exploded to (doc_id, seed, minhash).
+      // Hashed-shingle space end to end: one md5 per distinct shingle;
+      // the Jaccard verify runs on the compact int arrays, not strings.
+      val sh = u.select(col("doc_id"), transform(TextOps.shingles(col("text"), 3),
+          t => TextOps.hash60(t).bitwiseAND(lit(2147483647L))).as("h31s"))
+      // k permuted min-hashes from the single base hash (one md5 per
+      // shingle TOTAL), inline-exploded to (doc_id, seed, minhash).
       val mh = sh.select(col("doc_id"), explode(array(
-          (0 until MinhashSeeds).map { j =>
-            struct(lit(j).as("seed"),
-              array_min(transform(col("shingles"),
-                t => TextOps.hash60(concat(lit(s"$j|"), t)))).as("minhash"))
+          MinhashParams.map { case (a, b) =>
+            array_min(transform(col("h31s"),
+              h => (lit(a) * h + lit(b)) % MinhashP))
+          }.zipWithIndex.map { case (c, j) =>
+            struct(lit(j).as("seed"), c.as("minhash"))
           }: _*)).as("sm"))
         .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.minhash").as("minhash"))
       val cand = mh.select(col("seed"), col("minhash"), col("doc_id").as("id_a"))
@@ -135,8 +155,8 @@ object DedupQueries {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       cand
-        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .join(sh.select(col("doc_id").as("id_a"), col("h31s").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
         .withColumn("jaccard",
           round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -168,10 +188,24 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       val u = withPlanted(base, 9, 30000, dropFirstTok)
-      val sg = u.select(col("doc_id"),
-        TextOps.simhash(TextOps.shingles(col("text"), 3)).as("sig"))
-      // Shift amounts must be literal Ints (the codegen'd shiftright
-      // overload), so bands unroll as a 4-element inline array.
+      // SimHash via explode + a 61-column codegen'd hash aggregate
+      // (partial+final combine) instead of the per-row HOF fold in
+      // [[TextOps.simhash]]: semantically identical, but the vote sums
+      // run inside WholeStageCodegen (~30× faster at sf0.1) and scale as
+      // one shuffle keyed by doc_id. Shingle-less docs fall out of the
+      // explode; the left join restores them with sig=0 (the HOF value).
+      val exploded = u.select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("t"))
+        .withColumn("h", TextOps.hash60(col("t")))
+      val bitSums = (0 until 60).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+      val votes = exploded.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("cnt"), bitSums: _*)
+      val sigExpr = (0 until 60).map(j =>
+        when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sg = u.select(col("doc_id")).join(votes, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(sigExpr, lit(0L)).as("sig"))
       val banded = sg.select(col("doc_id"), col("sig"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band_id"),
             shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))

@@ -54,7 +54,7 @@ class SentenceOpsSpec extends AnyFunSuite {
 
   test("fmtMetric formats non-null and falls back to N/A") {
     val df = Seq((Some(3.14159), 1), (None, 2)).toDF("v", "id")
-      .select(SentenceOps.fmtMetric(col("v"), "%.2f MW").as("s"), col("id"))
+      .select(SentenceOps.fmtMetric(col("v"), "%.2f MW", 2).as("s"), col("id"))
       .orderBy("id")
     assert(df.as[(String, Int)].collect().toSeq ==
       Seq(("3.14 MW", 1), ("N/A", 2)))
