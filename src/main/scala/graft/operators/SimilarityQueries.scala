@@ -66,10 +66,12 @@ object SimilarityQueries {
   val all: Seq[NamedQuery] = Seq(
 
     // ----- X1/X2/F14: exact brute-force kNN, broadcast query side,
-    // two-phase top-k (local per-partition rank bounds the final exchange
-    // to Q·P·k rows — no single-partition-per-query bottleneck at scale).
+    // top-k via the custom CollectTopK TypedImperativeAggregate: map-side
+    // partial aggregation reduces every partition to one k-heap per
+    // query BEFORE the exchange, so only Q·P·k rows shuffle — a ranking
+    // window would move the whole N·Q score matrix.
     q("q26_knn_topk",
-      "X1/X2/F14: brute-force cosine top-k, broadcast queries, 2-phase rank",
+      "X1/X2/F14: brute-force cosine top-k via CollectTopK partial agg",
       s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |            FROM embeddings WHERE vec_id < $NQueries),
          |     es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
@@ -84,17 +86,11 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("ev").as("qv"))
       val scored = base.crossJoin(broadcast(queries))
         .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv")))
-      // Phase 1: rank within (query, input partition) — fully parallel.
-      val w1 = Window.partitionBy(col("query_id"), col("p"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val local = scored.withColumn("p", spark_partition_id())
-        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= TopK)
-      // Phase 2: final rank over the surviving Q·P·k rows — tiny.
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      local.withColumn("rn", row_number().over(w2).cast("long"))
-        .filter(col("rn") <= TopK)
-        .select("query_id", "vec_id", "sim", "rn")
+      scored.groupBy(col("query_id"))
+        .agg(graft.plans.CollectTopK.topk(col("sim"), col("vec_id"), TopK).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("query_id"), col("t.vec_id").as("vec_id"),
+          col("t.sim").as("sim"), (col("pos") + 1).cast("long").as("rn"))
         .orderBy("query_id", "rn")
     },
 

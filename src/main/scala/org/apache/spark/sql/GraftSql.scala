@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column↔Expression conversions so graft
+  * can wire custom Catalyst expressions (e.g. the CollectTopK
+  * TypedImperativeAggregate) into the public Column API. Lives in the
+  * org.apache.spark.sql package solely for access; contains no logic. */
+object GraftSql {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
