@@ -122,6 +122,49 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // ----- X2 quality metric: recall@k of the LSH-bucketed ANN against
+    // the exact top-k, per query — the number that governs the
+    // bits/probes tradeoff when tuning the approximate path at scale.
+    q("q41_ann_recall",
+      "X2: recall@k of sign-LSH ANN vs exact top-k per query",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
+         |            FROM embeddings),
+         |     qs AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM es WHERE vec_id < $AnnQueries),
+         |     exact AS (SELECT query_id, vec_id FROM (
+         |       SELECT qs.query_id, es.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qs.query_id
+         |                            ORDER BY $cosineSql DESC, es.vec_id) AS rn
+         |       FROM es, qs) WHERE rn <= $AnnK),
+         |     approx AS (SELECT query_id, vec_id FROM (
+         |       SELECT qs.query_id, es.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qs.query_id
+         |                            ORDER BY $cosineSql DESC, es.vec_id) AS rn
+         |       FROM es JOIN qs USING (bucket)) WHERE rn <= $AnnK)
+         |SELECT e.query_id, COUNT(a.vec_id) AS n_hits,
+         |       CAST(COUNT(a.vec_id) AS DOUBLE) / $AnnK AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir).withColumn("bucket", signBucket(col("ev"), AnnBits))
+      val queries = base.filter(col("vec_id") < AnnQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"), col("bucket"))
+      def topkOf(scored: DataFrame): DataFrame =
+        scored.groupBy(col("query_id"))
+          .agg(graft.plans.CollectTopK.topk(col("sim"), col("vec_id"), AnnK).as("tk"))
+          .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+      val exact = topkOf(base.crossJoin(broadcast(queries.drop("bucket")))
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv"))))
+      val approx = topkOf(base.join(broadcast(queries), "bucket")
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv"))))
+      exact.join(approx.withColumn("hit", lit(1)),
+          Seq("query_id", "vec_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast("double") / AnnK).as("recall"))
+        .orderBy("query_id")
+    },
+
     // ----- X3 (embedding flavor): near-duplicate pairs — candidates from
     // the bucket equi-self-join (a < b), verified by exact cosine ≥ τ.
     q("q31_embedding_neardup",
