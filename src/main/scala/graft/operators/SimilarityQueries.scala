@@ -62,6 +62,9 @@ object SimilarityQueries {
   private val AnnK = 5
   private val NdBits = 4     // 16 buckets for pair mining (wider candidates)
   private val NdThresh = 0.3 // near-dup cosine threshold (testdata is random
+  private val IvfCells = 16  // coarse centroids (first ids, a k-means stand-in)
+  private val IvfProbes = 2  // cells probed per query
+  private val IvfK = 5
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -119,6 +122,75 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= AnnK)
         .select("query_id", "vec_id", "bucket", "sim", "rn")
+        .orderBy("query_id", "rn")
+    },
+
+    // ----- X2 (the other scale path): IVF — a coarse quantizer assigns
+    // every vector to its nearest centroid cell (here: the first
+    // IvfCells vectors stand in for trained k-means centroids —
+    // deterministic; a real build would train them offline); a query
+    // scores only its IvfProbes nearest cells. All stages are
+    // equi-joins/windows: assignment = argmin over a broadcast centroid
+    // table, probing = cell-key equi-join. At 100 TB the inverted lists
+    // are the partition layout (cluster by cell_id), so a probe touches
+    // IvfProbes partitions, not the corpus.
+    q("q42_ivf_knn",
+      "X2: IVF coarse-quantizer ANN — argmin cell assign, nprobe=2, top-k",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |     cents AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells),
+         |     assign AS (SELECT vec_id, cell_id FROM (
+         |       SELECT es.vec_id, cents.cell_id,
+         |         ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
+         |           ROUND(list_distance(ev, cv), 6) ASC, cents.cell_id) AS rn
+         |       FROM es, cents) WHERE rn = 1),
+         |     qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $AnnQueries),
+         |     probes AS (SELECT query_id, cell_id FROM (
+         |       SELECT qs.query_id, cents.cell_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+         |           ROUND(list_distance(qv, cv), 6) ASC, cents.cell_id) AS rn
+         |       FROM qs, cents) WHERE rn <= $IvfProbes),
+         |     cand AS (SELECT p.query_id, a.vec_id
+         |              FROM probes p JOIN assign a ON p.cell_id = a.cell_id)
+         |SELECT query_id, vec_id, sim, rn FROM (
+         |  SELECT c.query_id, c.vec_id,
+         |    ROUND(list_inner_product(es.ev, qs.qv) /
+         |          NULLIF(sqrt(list_inner_product(es.ev, es.ev)) * sqrt(list_inner_product(qs.qv, qs.qv)), 0), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+         |      ROUND(list_inner_product(es.ev, qs.qv) /
+         |            NULLIF(sqrt(list_inner_product(es.ev, es.ev)) * sqrt(list_inner_product(qs.qv, qs.qv)), 0), 6) DESC,
+         |      c.vec_id) AS rn
+         |  FROM cand c
+         |  JOIN es ON es.vec_id = c.vec_id
+         |  JOIN qs ON qs.query_id = c.query_id)
+         |WHERE rn <= $IvfK ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir)
+      val cents = base.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      // Assignment: argmin L2 over the broadcast centroid table — one
+      // pass over the corpus, no shuffle besides the rank's hash.
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(round(VectorOps.l2(col("ev"), col("cv")), 6).asc, col("cell_id"))
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id"))
+      val queries = base.filter(col("vec_id") < AnnQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(round(VectorOps.l2(col("qv"), col("cv")), 6).asc, col("cell_id"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= IvfProbes)
+        .select(col("query_id"), col("cell_id"))
+      val cand = broadcast(probes).join(assign, "cell_id")
+        .select("query_id", "vec_id")
+      val scored = cand
+        .join(base, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv")))
+      scored.groupBy(col("query_id"))
+        .agg(graft.plans.CollectTopK.topk(col("sim"), col("vec_id"), IvfK).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("query_id"), col("t.vec_id").as("vec_id"),
+          col("t.sim").as("sim"), (col("pos") + 1).cast("long").as("rn"))
         .orderBy("query_id", "rn")
     },
 
