@@ -17,7 +17,8 @@ object SparkEntry {
       operators.SimilarityQueries.all ++
       operators.TextQueries.all ++
       operators.PipelineQueries.all ++
-      operators.MediaQueries.all
+      operators.MediaQueries.all ++
+      operators.AdvancedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The E1 pipeline restated (SURVEY.md §3): daily windowed metrics →

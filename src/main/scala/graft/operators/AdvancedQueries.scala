@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.NamedQuery.q
+import graft.functions.{Exact, ExactSql}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique queries: session windows, salted aggregation for
+  * skew, and sketch-based distinct counting — the "free family" Spark
+  * primitives the reference never needed but a 100 TB deployment leans
+  * on daily (SURVEY.md §2.6 W2 / §2.5 A8 / §4 skew notes).
+  */
+object AdvancedQueries {
+  import Exact.dsum
+
+  private val SessionGap = "30 minutes"
+  private val SaltBuckets = 8
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ----- T6/W2: sessionization — Spark's session_window in a BATCH
+    // query (same operator Structured Streaming uses with state). The
+    // oracle restates it as the classic gaps-and-islands window chain.
+    q("q43_session_window",
+      "W2/T6: session_window sessionization (gaps-and-islands oracle)",
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+         |  FROM events),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |       COUNT(*) AS n_events, ${ExactSql.dsum("value")} AS sum_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // ----- A1 at skew: two-phase SALTED aggregation. Phase 1 fans each
+    // hot key across SaltBuckets sub-keys (deterministic salt from the
+    // row id) for parallel partial aggregation; phase 2 folds the salts
+    // away. Result must equal the direct groupBy exactly — which is what
+    // the oracle checks (it aggregates directly). The decimal-exact sums
+    // make the equality bitwise, independent of the extra combine step.
+    q("q44_salted_agg",
+      "A1/skew: two-phase salted aggregation ≡ direct groupBy",
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${ExactSql.dsum("value")} AS sum_value,
+         |  ${ExactSql.dsum("value")} / COUNT(value) AS avg_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val salted = Tables.load(s, dir, "events")
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(SaltBuckets)))
+      val phase1 = salted
+        .groupBy(col("event_type"), col("salt"))
+        .agg(
+          count(lit(1)).as("n1"),
+          sum(col("value").cast(Exact.Dec)).as("sum1"),
+          count(col("value")).as("nv1"))
+      phase1
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("n1")).as("n"),
+          sum(col("sum1")).cast("double").as("sum_value"),
+          (sum(col("sum1")).cast("double") / sum(col("nv1"))).as("avg_value"))
+        .orderBy("event_type")
+    },
+
+    // ----- A8: sketch-based distinct (HLL++) next to the exact count.
+    // The sketch value itself is engine-specific, so the contract under
+    // oracle is the exact count plus the bounded-error assertion — at
+    // rsd=0.01 on ~1k-cardinality groups the 5% bound never trips.
+    q("q45_approx_distinct",
+      "A8: approx_count_distinct within 5% of exact, per group",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |       TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx") - col("n_users")) <=
+            col("n_users").cast("double") * 0.05).as("approx_within_5pct"))
+        .orderBy("event_type")
+    }
+  )
+}
