@@ -334,6 +334,12 @@ object CoreQueries {
     },
 
     // ----- W2 (analytic): lag/lead day-over-day deltas.
+    // The unpartitioned Window.orderBy(d) is deliberate and scale-safe
+    // HERE: its input is the per-day aggregate, whose cardinality is
+    // #days (≈36.5k rows even for a century of data), not raw events —
+    // the groupBy has already collapsed the 100 TB. A single-partition
+    // sort over bounded-cardinality keys is the optimal plan; partition
+    // the window only when the frame key itself is unbounded.
     q("q16_lag_lead",
       "W2: lag/lead analytic window over daily totals",
       s"""SELECT d, sum_value,

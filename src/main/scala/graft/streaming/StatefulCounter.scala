@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Custom arbitrary-state streaming (SURVEY T6 extension; north-star
+  * brief: `KeyValueGroupedDataset.flatMapGroupsWithState` for state the
+  * built-in windows can't express).
+  *
+  * Keeps one running accumulator per user — lifetime event count, value
+  * sum, last-seen timestamp — across micro-batches AND across separate
+  * AvailableNow catch-up cycles: the state store lives in the
+  * checkpoint, so a restarted job continues counting where it stopped
+  * (the stateful analog of the reference's restartable date-bookmark
+  * loop, src/main.py:329,343-369). State is hash-partitioned by user
+  * key; at 100 TB the state store shards with the shuffle, and a real
+  * deployment would add a GroupStateTimeout eviction policy for
+  * dormant keys.
+  */
+object StatefulCounter {
+
+  final case class EventIn(ts: Timestamp, user_id: Long, value: Double)
+  final case class UserState(n: Long, sum: Double, last_ts: Timestamp)
+  final case class UserTotals(user_id: Long, n: Long, sum: Double, last_ts: Timestamp)
+
+  /** Fold a micro-batch's events for one user into its running state,
+    * emitting the updated totals. */
+  private def updateUser(
+      userId: Long,
+      events: Iterator[EventIn],
+      state: org.apache.spark.sql.streaming.GroupState[UserState]): Iterator[UserTotals] = {
+    var s = state.getOption.getOrElse(UserState(0L, 0.0, new Timestamp(0L)))
+    events.foreach { e =>
+      s = UserState(
+        n = s.n + 1,
+        sum = s.sum + e.value,
+        last_ts = if (e.ts.after(s.last_ts)) e.ts else s.last_ts)
+    }
+    state.update(s)
+    Iterator(UserTotals(userId, s.n, s.sum, s.last_ts))
+  }
+
+  /** One AvailableNow catch-up cycle: drain unprocessed files, update
+    * per-user state, upsert the emitted totals into `targetDir`. */
+  def runAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      targetDir: String,
+      checkpointDir: String): Unit = {
+    import spark.implicits._
+
+    val totals = spark.readStream.schema(schema).parquet(srcDir)
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateUser)
+
+    val query = totals.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeTotals(batch, targetDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Keyed MERGE of emitted totals: newest write per user wins. */
+  private def mergeTotals(batch: DataFrame, targetDir: String, version: Long): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.withColumn("__v", lit(version))
+    val merged =
+      if (!new java.io.File(targetDir).exists()) incoming
+      else spark.read.parquet(targetDir).withColumn("__v", lit(-1L))
+        .select(incoming.columns.map(col).toSeq: _*)
+        .unionByName(incoming)
+    val resolved = Upsert.lastWins(merged, Seq("user_id"), Seq(col("__v").desc))
+      .drop("__v")
+      .localCheckpoint(true)
+    resolved.write.mode("overwrite").parquet(targetDir)
+  }
+}

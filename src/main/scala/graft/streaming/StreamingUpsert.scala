@@ -25,16 +25,22 @@ object StreamingUpsert {
 
   /** One catch-up cycle: stream every unprocessed file under `srcDir`,
     * aggregate per (day, event_type), and upsert into `targetDir`.
-    * Returns after the AvailableNow drain terminates. */
+    * Returns after the AvailableNow drain terminates.
+    *
+    * `maxFilesPerTrigger` is the source-side throughput ceiling (the
+    * reference's rate-limit analog, SURVEY T4): AvailableNow still
+    * drains everything, but in bounded micro-batches instead of one. */
   def runAvailableNow(
       spark: SparkSession,
       srcDir: String,
       schema: StructType,
       targetDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
 
-    val stream = spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
 
     val daily = stream
