@@ -25,9 +25,14 @@ object Tables {
     * table load, so no loader mutates shared session state mid-query.
     * nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark has
     * no native type for; read the raw int64 and truncate to micros (the
-    * data is micro-aligned; DuckDB's reader does the same truncation). */
-  def configure(spark: SparkSession): Unit =
+    * data is micro-aligned; DuckDB's reader does the same truncation).
+    * Also registers graft's custom SQL functions (cosine_sim) — the
+    * FunctionRegistry path a `spark.sql.extensions=graft.plans.
+    * GraftExtensions` deployment gets automatically. */
+  def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftExtensions.install(spark)
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>

@@ -27,12 +27,16 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity; null-safe on zero vectors via nullif. */
+  /** Cosine similarity; null-safe on zero vectors via nullif.
+    * HOF reference implementation — [[cosine6]] (the hot path) goes
+    * through the codegen'd [[graft.plans.CosineSim]] expression, which
+    * computes the identical sequential fold inside WholeStageCodegen. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Cosine rounded to 6 decimals — the cross-engine-stable form. */
-  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+  def cosine6(a: Column, b: Column): Column =
+    round(graft.plans.CosineSim(a, b), 6)
 
   /** L2 (Euclidean) distance. */
   def l2(a: Column, b: Column): Column =
