@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * chains per pair. NULL when either side is null or a norm is zero
   * (zero vectors have no direction), matching `cosine`'s nullif.
   */
-case class CosineSim(left: Expression, right: Expression)
+case class CosineSim(left: Expression, right: Expression,
+    zeroMode: String = CosineSim.ZeroNull)
   extends BinaryExpression {
 
   private def isDoubleArray(t: DataType): Boolean = t match {
@@ -49,7 +50,15 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) null else dot / denom
+    // zeroMode preserves the semantics of whatever the expression
+    // replaced: the library default is SQL-ish NULL (zero vectors have
+    // no direction); FuseCosine rewrites of a raw Divide carry that
+    // divide's eval-mode behavior instead (ANSI error / legacy NaN).
+    if (denom == 0.0) zeroMode match {
+      case CosineSim.ZeroNan => dot / denom
+      case CosineSim.ZeroAnsi => throw org.apache.spark.sql.GraftSql.divideByZeroError()
+      case _ => null
+    } else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -71,8 +80,14 @@ case class CosineSim(left: Expression, right: Expression)
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $dot / $denom; }
+         |if ($denom == 0.0) {
+         |  ${zeroMode match {
+               case CosineSim.ZeroNan => s"${ev.value} = $dot / $denom;"
+               case CosineSim.ZeroAnsi =>
+                 s"throw org.apache.spark.sql.GraftSql.divideByZeroError();"
+               case _ => s"${ev.isNull} = true;"
+             }}
+         |} else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 
@@ -84,6 +99,10 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
+  val ZeroNull = "null" // zero vector → NULL (library contract)
+  val ZeroNan = "nan"   // legacy divide: 0/0 → NaN
+  val ZeroAnsi = "ansi" // ANSI divide: error on zero denominator
+
   /** Column API. */
   def apply(a: Column, b: Column): Column =
     GraftSql.column(CosineSim(GraftSql.expression(a), GraftSql.expression(b)))
@@ -93,8 +112,10 @@ object CosineSim {
   * GraftExtensions` (or `.withExtensions(new GraftExtensions)`) exposes
   * the custom expressions to plain SQL as `cosine_sim(a, b)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectOptimizerRule(_ => FuseCosine)
+  }
 }
 
 object GraftExtensions {
@@ -107,9 +128,13 @@ object GraftExtensions {
     })
 
   /** Idempotent per-session registration for sessions built without the
-    * extensions hook (the FunctionRegistry path extensions use). */
+    * extensions hook: same FunctionRegistry entry, and the FuseCosine
+    * rewrite via the public experimental-optimizations hook. */
   def install(spark: SparkSession): Unit = {
     val (ident, info, builder) = cosineSimDescriptor
     GraftSql.registerFunction(spark, ident, info, builder)
+    if (!spark.experimental.extraOptimizations.contains(FuseCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseCosine
   }
 }
