@@ -137,8 +137,13 @@ object DedupQueries {
       val u = withPlanted(base, 10, 10000, dropFirstTok)
       // Hashed-shingle space end to end: one md5 per distinct shingle;
       // the Jaccard verify runs on the compact int arrays, not strings.
+      // Lazily local-checkpointed: the signature table feeds the band
+      // self-join AND both Jaccard-verify join-backs — without the
+      // checkpoint the tokenize+shingle+md5 subtree is recomputed 4×.
+      // (In a standing pipeline this is a persisted signature stage.)
       val sh = u.select(col("doc_id"), transform(TextOps.shingles(col("text"), 3),
           t => TextOps.hash60(t).bitwiseAND(lit(2147483647L))).as("h31s"))
+        .localCheckpoint(false)
       // k permuted min-hashes from the single base hash (one md5 per
       // shingle TOTAL), inline-exploded to (doc_id, seed, minhash).
       val mh = sh.select(col("doc_id"), explode(array(
