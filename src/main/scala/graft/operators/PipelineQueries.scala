@@ -52,6 +52,37 @@ object PipelineQueries {
         .orderBy("n_name", "o_year")
     },
 
+    // ----- S1/S2 as a real connector: the custom DataSourceV2 source
+    // standing in for the paginated ERCOT REST scan — partition-per-page
+    // parallelism, pruned columns, and the settlement_point equality
+    // pushed into the reader (the "request param" analog). The oracle
+    // mirrors the deterministic feed with a range() generator.
+    q("q46_dsv2_source",
+      "S1/S2: DataSourceV2 paged scan, pushed filter, daily rollup",
+      s"""WITH feed AS (
+         |  SELECT TIMESTAMP '2024-01-01 00:00:00'
+         |           + (i // 96) * INTERVAL 1 DAY
+         |           + (i % 96) * INTERVAL 15 MINUTE AS ts,
+         |         ['HB_HUBAVG','HB_NORTH','HB_SOUTH','HB_WEST','HB_HOUSTON'][CAST(i % 5 AS INT) + 1] AS settlement_point,
+         |         (i * 31 % 1000) / 10.0 AS price,
+         |         (i * 17 % 5000) / 10.0 AS mw
+         |  FROM (SELECT unnest(range(0, 576)) AS i))
+         |SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         |  ${ExactSql.davg("price")} AS avg_price, MAX(mw) AS max_mw
+         |FROM feed WHERE settlement_point = 'HB_HUBAVG'
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      s.read.format("ercot-pages")
+        .option("pages", 6).option("pageSize", 96)
+        .option("startDate", "2024-01-01")
+        .load()
+        .filter(col("settlement_point") === "HB_HUBAVG") // pushed to the reader
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"),
+          Exact.davg(col("price")).as("avg_price"),
+          max(col("mw")).as("max_mw"))
+        .orderBy("d")
+    },
+
     // ----- F15/F16: the sink projection path — standardize column names
     // (time→timestamp, reference weather.py:128) then schema-intersect
     // against the sink's declared columns (weather.py:137-140) so extra

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 stand-in for the reference's paginated ERCOT REST scan
+  * (SURVEY.md §2.1 S1; reference: client.py:27-87 + page/size=100
+  * pagination, queries.py:41-42): `spark.read.format("ercot-pages")`.
+  *
+  * - **Partition-per-page**: each REST page becomes one InputPartition,
+  *   so a 1000-page endpoint scans with 1000-way parallelism — the scale
+  *   design the single-threaded reference loop cannot express.
+  * - **Column pruning** (SupportsPushDownRequiredColumns): only
+  *   requested fields are materialized, mirroring the reference's
+  *   name→ordinal projection (main.py:66-74).
+  * - **Filter pushdown** (SupportsPushDownFilters): an equality on
+  *   `settlement_point` is accepted and applied inside the partition
+  *   reader — the analog of the reference encoding `settlementPoint` as
+  *   a request param so filtering happens server-side (queries.py:260).
+  *
+  * Rows are a deterministic function of the global row index (no
+  * network, no randomness), so results are exactly reproducible and
+  * DuckDB can mirror the generator for the oracle: 15-minute SCED
+  * intervals, 5 hub names, integer-derived price/mw.
+  */
+class ErcotPagesSource extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "ercot-pages"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ErcotPagesSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // properties arrive with the caller's original key case
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ErcotPagesTable(
+      pages = Option(opts.get("pages")).map(_.toInt).getOrElse(10),
+      pageSize = Option(opts.get("pageSize")).map(_.toInt).getOrElse(100),
+      startDateDays = Option(opts.get("startDate"))
+        .map(java.time.LocalDate.parse(_).toEpochDay).getOrElse(19723L)) // 2024-01-01
+  }
+}
+
+object ErcotPagesSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false)
+      .withComment("SCED 15-minute interval timestamp"),
+    StructField("settlement_point", StringType, nullable = false)
+      .withComment("Hub name (5 values)"),
+    StructField("price", DoubleType, nullable = false)
+      .withComment("Deterministic USD/MWh"),
+    StructField("mw", DoubleType, nullable = false)
+      .withComment("Deterministic megawatts")))
+
+  val Hubs: IndexedSeq[String] =
+    IndexedSeq("HB_HUBAVG", "HB_NORTH", "HB_SOUTH", "HB_WEST", "HB_HOUSTON")
+
+  /** Row i of the deterministic feed (mirrored by the DuckDB oracle). */
+  def tsMicros(startDateDays: Long, i: Long): Long =
+    (startDateDays * 86400L + (i / 96) * 86400L + (i % 96) * 900L) * 1000000L
+  def hub(i: Long): String = Hubs((i % 5).toInt)
+  def price(i: Long): Double = (i * 31 % 1000) / 10.0
+  def mw(i: Long): Double = (i * 17 % 5000) / 10.0
+}
+
+class ErcotPagesTable(pages: Int, pageSize: Int, startDateDays: Long)
+  extends Table with SupportsRead {
+  override def name(): String = s"ercot_pages($pages x $pageSize)"
+  override def schema(): StructType = ErcotPagesSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ErcotPagesScanBuilder(pages, pageSize, startDateDays)
+}
+
+class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = ErcotPagesSource.Schema
+  private var hubFilter: Option[String] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushed, rest) = filters.partition {
+      case EqualTo("settlement_point", _: String) => true
+      case _ => false
+    }
+    hubFilter = pushed.collectFirst { case EqualTo(_, v: String) => v }
+    rest // everything else stays a Spark-side residual
+  }
+  override def pushedFilters(): Array[Filter] =
+    hubFilter.map(v => EqualTo("settlement_point", v): Filter).toArray
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ErcotPagesScan(pages, pageSize, startDateDays, required, hubFilter)
+}
+
+class ErcotPagesScan(pages: Int, pageSize: Int, startDateDays: Long,
+    required: StructType, hubFilter: Option[String])
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"ercot-pages pages=$pages pageSize=$pageSize " +
+      s"PushedFilters: [${hubFilter.map(v => s"settlement_point = $v").getOrElse("")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).map(p => ErcotPage(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ErcotPagesReaderFactory(pageSize, startDateDays,
+      required.fieldNames, hubFilter)
+}
+
+case class ErcotPage(page: Int) extends InputPartition
+
+class ErcotPagesReaderFactory(pageSize: Int, startDateDays: Long,
+    fields: Array[String], hubFilter: Option[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[ErcotPage].page
+    new PartitionReader[InternalRow] {
+      private var i = page.toLong * pageSize - 1
+      private val end = (page + 1).toLong * pageSize
+      override def next(): Boolean = {
+        i += 1
+        // pushed equality applied "server-side": skip non-matching rows
+        while (i < end && hubFilter.exists(_ != ErcotPagesSource.hub(i))) i += 1
+        i < end
+      }
+      override def get(): InternalRow = {
+        val values = fields.map {
+          case "ts" => ErcotPagesSource.tsMicros(startDateDays, i)
+          case "settlement_point" => UTF8String.fromString(ErcotPagesSource.hub(i))
+          case "price" => ErcotPagesSource.price(i)
+          case "mw" => ErcotPagesSource.mw(i)
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.ErcotPagesSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 connector contract: partition-per-page parallelism, column
+  * pruning reaching the reader, and the settlement_point equality
+  * applied inside the partition (pushed, not residual). */
+class ErcotPagesSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def feed(pages: Int = 4, pageSize: Int = 50) =
+    spark.read.format("ercot-pages")
+      .option("pages", pages).option("pageSize", pageSize)
+      .option("startDate", "2024-01-01")
+      .load()
+
+  test("row count = pages × pageSize; one input partition per page") {
+    val df = feed(pages = 7, pageSize = 33)
+    assert(df.count() == 7 * 33)
+    assert(df.rdd.getNumPartitions == 7)
+  }
+
+  test("deterministic generator matches the documented row function") {
+    val first = feed(1, 3).orderBy("ts").collect()
+    assert(first(0).getAs[String]("settlement_point") == "HB_HUBAVG")
+    assert(first(1).getAs[String]("settlement_point") == "HB_NORTH")
+    assert(first(0).getAs[Double]("price") == 0.0)
+    assert(first(1).getAs[Double]("price") == 3.1) // (1*31 % 1000)/10
+    assert(first(1).getAs[java.sql.Timestamp]("ts").toString == "2024-01-01 00:15:00.0")
+  }
+
+  test("settlement_point equality is pushed into the scan") {
+    val df = feed().filter(col("settlement_point") === "HB_SOUTH")
+    // DSv2 surfaces pushed filters through the scan description.
+    val scanDesc = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.mkString("\n")
+    assert(scanDesc.contains("PushedFilters: [settlement_point = HB_SOUTH]"), scanDesc)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("settlement_point") == "HB_SOUTH"))
+  }
+
+  test("column pruning reaches the reader (scan output shrinks)") {
+    val df = feed().select("price")
+    // the BatchScan's output column list reflects pruneColumns
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("[price") && !plan.contains("settlement_point"), plan)
+    assert(df.agg(sum("price")).head().getDouble(0) > 0)
+  }
+
+  test("schema carries the documented column comments") {
+    assert(ErcotPagesSource.Schema.fields.forall(_.getComment().isDefined))
+  }
+}
