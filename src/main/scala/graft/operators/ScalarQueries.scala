@@ -78,7 +78,9 @@ object ScalarQueries {
         |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
         |  (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
         |  CAST(to_json(struct_pack(event_id := event_id,
-        |                           event_type := event_type)) AS VARCHAR) AS raw_json
+        |                           event_type := event_type)) AS VARCHAR) AS raw_json,
+        |  substring(CAST(to_json(struct_pack(event_id := event_id,
+        |                           event_type := event_type)) AS VARCHAR), 1, 24) AS raw_json_trunc
         |FROM events ORDER BY item_id LIMIT 1000""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .select(
@@ -88,7 +90,11 @@ object ScalarQueries {
             .cast("double").as("efficiency"),
           expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_value"),
           get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
-          to_json(struct(col("event_id"), col("event_type"))).as("raw_json"))
+          to_json(struct(col("event_id"), col("event_type"))).as("raw_json"),
+          // O3: bounded log/diagnostic truncation (reference: json.dumps(...)[:500],
+          // main.py:114 — 24 chars here so the cut is visible on test rows)
+          substring(to_json(struct(col("event_id"), col("event_type"))), 1, 24)
+            .as("raw_json_trunc"))
         .orderBy("item_id")
         .limit(1000)
     }
