@@ -71,7 +71,10 @@ object PipelineQueries {
          |  ${ExactSql.davg("price")} AS avg_price, MAX(mw) AS max_mw
          |FROM feed WHERE settlement_point = 'HB_HUBAVG'
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      s.read.format("ercot-pages")
+      // full class name: resolves without the META-INF service file, so
+      // the query works even off a bare-compiled classes dir (the
+      // "ercot-pages" short name needs copied resources)
+      s.read.format("graft.sources.ErcotPagesSource")
         .option("pages", 6).option("pageSize", 96)
         .option("startDate", "2024-01-01")
         .load()
