@@ -86,6 +86,55 @@ object PipelineQueries {
         .orderBy("d")
     },
 
+    // ----- E2 end-to-end: the reference's hourly weather-frame
+    // lifecycle as ONE query (weather.py:37-165): long (time, city,
+    // temp) → wide pivot → null-skipping row mean (A3) → °F (F6) → sort
+    // by time (O1) → rename time→timestamp (F15) → schema-intersect to
+    // the sink columns (F16). event_type plays the city column; value/10
+    // plays °C. The pivot is a single hash-agg shuffle; everything after
+    // is projection.
+    q("q47_weather_frame",
+      "E2/J1/A3/F6/F15/F16: long→wide hourly frame, row mean, °F, sink projection",
+      {
+        val types = CoreQueries.EventTypes
+        val cells = types.map { t =>
+          s"  ${ExactSql.davg(s"CASE WHEN event_type = '$t' THEN value END")} / 10 AS $t"
+        }.mkString(",\n")
+        val sumParts = types.map(t => s"COALESCE($t, 0.0)").mkString(" + ")
+        val cntParts = types.map(t => s"(CASE WHEN $t IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""SELECT "timestamp", ${types.mkString(", ")},
+           |  avg_temperature_c,
+           |  avg_temperature_c * 9 / 5 + 32 AS avg_temperature_f
+           |FROM (
+           |  SELECT "timestamp", ${types.mkString(", ")},
+           |    ($sumParts) / NULLIF($cntParts, 0) AS avg_temperature_c
+           |  FROM (
+           |    SELECT date_trunc('hour', ts) AS "timestamp",
+           |$cells
+           |    FROM events
+           |    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+           |    GROUP BY 1))
+           |ORDER BY "timestamp"""".stripMargin
+      }) { (s, dir) =>
+      val types = CoreQueries.EventTypes
+      val wide = Tables.load(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+                col("ts") <  lit("2024-01-12").cast("timestamp"))
+        .groupBy(date_trunc("hour", col("ts")).as("time"))
+        .pivot("event_type", types)
+        .agg(Exact.davg(col("value")) / 10)
+      val sumParts = types.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _)
+      val cntParts = types.map(t => when(col(t).isNotNull, 1).otherwise(0)).reduce(_ + _)
+      val framed = wide
+        .withColumn("avg_temperature_c", sumParts / nullif(cntParts, lit(0)))
+        .withColumn("avg_temperature_f", col("avg_temperature_c") * 9 / 5 + 32)
+        .withColumn("debug_rowid", monotonically_increasing_id()) // dropped by the sink projection
+        .orderBy("time")
+        .withColumnRenamed("time", "timestamp")
+      Upsert.schemaIntersect(framed,
+        Seq("timestamp") ++ types ++ Seq("avg_temperature_c", "avg_temperature_f"))
+    },
+
     // ----- F15/F16: the sink projection path — standardize column names
     // (time→timestamp, reference weather.py:128) then schema-intersect
     // against the sink's declared columns (weather.py:137-140) so extra

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.q
+import graft.NamedQuery.{noOracle, q}
 import graft.functions.VectorOps
+import graft.pipeline.Embedder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -235,6 +236,29 @@ object SimilarityQueries {
         .agg(count(col("hit")).as("n_hits"),
           (count(col("hit")).cast("double") / AnnK).as("recall"))
         .orderBy("query_id")
+    },
+
+    // ----- U1+X2 end-to-end: the RAG retrieval loop with OUR embedder —
+    // embed the documents, retrieve top-3 neighbors for the first 5 docs
+    // by cosine. The hash-projection embedding is not SQL-expressible
+    // (rows-only check by contract); the semantic invariant — every
+    // document's nearest neighbor is itself at sim 1.0 — is enforced by
+    // EmbedRetrievalSpec instead.
+    noOracle("q48_embed_retrieval",
+      "U1/X2: deterministic embedder + cosine top-k self-retrieval") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val embedded = Embedder.withEmbedding(docs.select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("embedding"))
+      val queries = embedded.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
+      val scored = embedded.crossJoin(broadcast(queries))
+        .withColumn("sim", VectorOps.cosine6(col("embedding"), col("qv")))
+      scored.groupBy(col("query_id"))
+        .agg(graft.plans.CollectTopK.topk(col("sim"), col("doc_id"), 3).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("query_id"), col("t.vec_id").as("doc_id"),
+          col("t.sim").as("sim"), (col("pos") + 1).cast("long").as("rn"))
+        .orderBy("query_id", "rn")
     },
 
     // ----- X3 (embedding flavor): near-duplicate pairs — candidates from
