@@ -77,6 +77,35 @@ object AdvancedQueries {
         .orderBy("event_type")
     },
 
+    // ----- T1/T2/T6 oracle-checked end to end: RUN the Structured
+    // Streaming restatement (AvailableNow drain → watermark → 1-day
+    // window agg → foreachBatch last-write-wins MERGE into
+    // date-partitioned parquet) and return the resulting table, which
+    // must equal the batch daily aggregate computed by DuckDB. This is
+    // the reference driver loop (main.py:343-369) with its convergence
+    // property actually asserted by the gate.
+    q("q49_streaming_daily",
+      "T1/T2/T6: streaming catch-up restatement ≡ batch daily aggregate",
+      s"""SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+         |  ${ExactSql.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_q49").toFile.getAbsolutePath
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      // Normalize the NANOS source once (what Tables.load does for batch),
+      // then stream the normalized files — a parquet file stream cannot
+      // apply the legacy-nanos rewrite itself.
+      // Watermarks require TIMESTAMP (LTZ); the session TZ is pinned UTC
+      // so the NTZ→LTZ cast is instant-preserving.
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      ev.write.parquet(src)
+      graft.streaming.StreamingUpsert.runAvailableNow(s, src, ev.schema, target, ckpt)
+      s.read.parquet(target)
+        .select(col("d").cast("date").as("d"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("d", "event_type")
+    },
+
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
     // The sketch value itself is engine-specific, so the contract under
     // oracle is the exact count plus the bounded-error assertion — at

@@ -43,12 +43,16 @@ object StreamingUpsert {
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
 
+    // Decimal-exact sum: streaming state merges in arrival order, so a
+    // double sum would be run-dependent in its last ulps; the decimal
+    // accumulator makes the restatement bit-equal to the batch answer.
     val daily = stream
       .withWatermark("ts", "2 days") // bounds agg state; 1-day overlap + slack
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(graft.functions.Exact.Dec)).as("sum_dec"))
       .select(col("w.start").cast("date").as("d"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_dec").cast("double").as("sum_value"))
 
     val query = daily.writeStream
       .outputMode("update") // emit re-aggregated keys each batch; upsert dedups
