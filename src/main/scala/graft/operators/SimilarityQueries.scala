@@ -246,8 +246,13 @@ object SimilarityQueries {
     // EmbedRetrievalSpec instead.
     noOracle("q48_embed_retrieval",
       "U1/X2: deterministic embedder + cosine top-k self-retrieval") { (s, dir) =>
+      // The corpus arrives as one file → one partition; spread the
+      // embed work across the cluster first (at real scale the file
+      // layout provides this parallelism and the repartition is free).
       val docs = Tables.load(s, dir, "documents")
-      val embedded = Embedder.withEmbedding(docs.select("doc_id", "text"), "text")
+        .select("doc_id", "text")
+        .repartition(col("doc_id"))
+      val embedded = Embedder.withEmbedding(docs, "text")
         .select(col("doc_id"), col("embedding"))
       val queries = embedded.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
