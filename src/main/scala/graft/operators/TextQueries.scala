@@ -195,6 +195,41 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // ----- RAG chunking: overlapping token windows (W=32, stride 24) —
+    // the step between documents and embeddings in a retrieval pipeline
+    // (the reference embeds whole daily sentences; real corpora chunk).
+    // Pure columnar: windows materialize per row via transform over the
+    // start sequence, then one posexplode re-keys to chunk granularity.
+    // Short docs yield exactly one whole-doc chunk.
+    q("q50_chunking",
+      "RAG: overlapping token-window chunking with chunk ids",
+      {
+        val (w, s) = (32, 24)
+        val toks = tokensSql("text")
+        s"""SELECT doc_id, u.cid AS chunk_id,
+           |  CAST(len(string_split(u.txt, ' ')) AS BIGINT) AS n_chunk_tokens,
+           |  u.txt AS chunk_text
+           |FROM (
+           |  SELECT doc_id,
+           |    unnest([{'cid': (x - 1) // $s + 1, 'txt': array_to_string(list_slice(tk, x, x + ${w - 1}), ' ')}
+           |            for x in range(1, greatest(len(tk) - ${w - 1}, 1) + 1, $s)]) AS u
+           |  FROM (SELECT doc_id, $toks AS tk FROM documents))
+           |ORDER BY doc_id, chunk_id""".stripMargin
+      }) { (s, dir) =>
+      val (w, st) = (32, 24)
+      val toks = TextOps.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), greatest(size(col("tk")) - (w - 1), lit(1)), lit(st)),
+          x => concat_ws(" ", slice(col("tk"), x, lit(w))))).as(Seq("pos", "chunk_text")))
+        .select(col("doc_id"),
+          (col("pos") + 1).cast("long").as("chunk_id"),
+          size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ----- X4: order-sensitive rolling-hash fingerprint. Planted: every
     // 11th doc re-appears token-REVERSED under id+40000 — same token
     // set, different order → distinct fingerprint (n=1 groups), while
