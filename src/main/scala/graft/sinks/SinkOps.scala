@@ -38,6 +38,17 @@ object SinkOps {
     StructField("avg_temperature_f", org.apache.spark.sql.types.FloatType)
       .withComment("avg_temperature_c * 9/5 + 32")))
 
+  /** Existence probe that works on ANY Hadoop-supported filesystem
+    * (local, HDFS, S3A, ...). A `java.io.File` probe only sees the
+    * local FS and silently reports false elsewhere — which would make
+    * the streaming mergers below drop the existing table on a real
+    * cluster. Resolved through the session Hadoop conf so scheme,
+    * credentials and defaultFS all apply. */
+  def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
   /** K2: write a frame as parquet partitioned by `partitionCols`, with
     * dynamic partition overwrite — re-writing a batch replaces exactly
     * the partitions present in `df` and leaves the rest of the table

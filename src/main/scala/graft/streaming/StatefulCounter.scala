@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.operators.Upsert
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,18 +70,19 @@ object StatefulCounter {
     query.awaitTermination()
   }
 
-  /** Keyed MERGE of emitted totals: newest write per user wins. */
+  /** Hash-bucket fan-out of the totals table: the merge below reads and
+    * rewrites ONLY the buckets whose users appear in a micro-batch, so
+    * per-batch cost is O(touched buckets), not O(whole key space). A
+    * 100 TB deployment raises this to spread buckets across many files;
+    * the per-batch rewrite stays proportional to the batch either way. */
+  val TotalsBuckets = 16
+
+  /** Keyed MERGE of emitted totals: newest write per user wins.
+    * Delegates to [[StreamingUpsert.upsertBatch]] with the hash bucket
+    * as the partition column — the same touched-partitions-only
+    * dynamic-overwrite path the daily upsert uses. */
   private def mergeTotals(batch: DataFrame, targetDir: String, version: Long): Unit = {
-    val spark = batch.sparkSession
-    val incoming = batch.withColumn("__v", lit(version))
-    val merged =
-      if (!new java.io.File(targetDir).exists()) incoming
-      else spark.read.parquet(targetDir).withColumn("__v", lit(-1L))
-        .select(incoming.columns.map(col).toSeq: _*)
-        .unionByName(incoming)
-    val resolved = Upsert.lastWins(merged, Seq("user_id"), Seq(col("__v").desc))
-      .drop("__v")
-      .localCheckpoint(true)
-    resolved.write.mode("overwrite").parquet(targetDir)
+    val bucketed = batch.withColumn("bucket", pmod(col("user_id"), lit(TotalsBuckets.toLong)))
+    StreamingUpsert.upsertBatch(bucketed, targetDir, Seq("user_id"), "bucket", version)
   }
 }

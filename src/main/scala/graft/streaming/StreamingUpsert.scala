@@ -73,7 +73,7 @@ object StreamingUpsert {
                   dateCol: String, version: Long): Unit = {
     val spark = batch.sparkSession
     val incoming = batch.withColumn("__v", lit(version))
-    val targetExists = new java.io.File(targetDir).exists()
+    val targetExists = SinkOps.pathExists(spark, targetDir)
     val merged =
       if (!targetExists) incoming
       else {

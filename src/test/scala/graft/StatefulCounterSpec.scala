@@ -48,4 +48,35 @@ class StatefulCounterSpec extends AnyFunSuite {
       .as[Timestamp].head()
     assert(lastTs == ts("2024-01-02 09:00:00"))
   }
+
+  test("merge rewrites only touched buckets; dormant users' files survive untouched") {
+    val root = Files.createTempDirectory("graft_state_bkt").toFile.getAbsolutePath
+    val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+
+    // Cycle 1 writes users 1 and 2 (buckets 1 and 2).
+    val df1 = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 5.0),
+      (ts("2024-01-01 12:00:00"), 2L, 1.0)).toDF("ts", "user_id", "value")
+    df1.write.mode("append").parquet(src)
+    StatefulCounter.runAvailableNow(spark, src, df1.schema, target, ckpt)
+
+    def bucketFiles(b: Long): Map[String, Long] = {
+      val dir = new java.io.File(s"$target/bucket=$b")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bucket2Before = bucketFiles(2L)
+    assert(bucket2Before.nonEmpty)
+
+    // Cycle 2 touches only user 1 — bucket 2's parquet files must be
+    // byte-for-byte the SAME files afterwards (no full-table rewrite).
+    Seq((ts("2024-01-02 09:00:00"), 1L, 100.0)).toDF("ts", "user_id", "value")
+      .write.mode("append").parquet(src)
+    StatefulCounter.runAvailableNow(spark, src, df1.schema, target, ckpt)
+
+    assert(bucketFiles(2L) == bucket2Before)
+    val after = spark.read.parquet(target)
+      .select("user_id", "n", "sum").as[(Long, Long, Double)].collect().toSet
+    assert(after == Set((1L, 2L, 105.0), (2L, 1L, 1.0)))
+  }
 }

@@ -77,4 +77,22 @@ class StreamingUpsertSpec extends AnyFunSuite {
       .as[(String, String, Long, Double)].collect().toSet
     assert(back == Set(("2024-02-01", "a", 1L, 10.0), ("2024-02-02", "a", 5L, 99.0)))
   }
+
+  test("upsertBatch resolves the target through Hadoop FS (file:-scheme path)") {
+    // A java.io.File probe can't see a scheme-qualified URI, would report
+    // "absent" and silently drop day 1 on the second upsert.
+    val root = Files.createTempDirectory("graft_upsert_uri").toFile.getAbsolutePath
+    val target = s"file:$root/t"
+    val v1 = Seq(("2024-03-01", "a", 1L, 10.0), ("2024-03-02", "a", 2L, 20.0))
+      .toDF("d", "event_type", "n", "sum_value")
+    StreamingUpsert.upsertBatch(v1, target, Seq("d", "event_type"), "d", version = 1L)
+    val v2 = Seq(("2024-03-02", "a", 5L, 99.0))
+      .toDF("d", "event_type", "n", "sum_value")
+    StreamingUpsert.upsertBatch(v2, target, Seq("d", "event_type"), "d", version = 2L)
+    val back = spark.read.parquet(target)
+      .select(col("d").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // Day 1 must SURVIVE the second, day-2-only batch.
+    assert(back == Set(("2024-03-01", "a", 1L, 10.0), ("2024-03-02", "a", 5L, 99.0)))
+  }
 }
