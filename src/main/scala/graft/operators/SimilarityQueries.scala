@@ -167,20 +167,27 @@ object SimilarityQueries {
       val base = emb(s, dir)
       val cents = base.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
-      // Assignment: argmin L2 over the broadcast centroid table — one
-      // pass over the corpus, no shuffle besides the rank's hash.
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(round(VectorOps.l2(col("ev"), col("cv")), 6).asc, col("cell_id"))
+      // Assignment: argmin L2 over the broadcast centroid table as a
+      // min_by AGGREGATE — map-side partial combine collapses the
+      // IvfCells-times-corpus crossJoin back to one row per vector
+      // BEFORE the exchange. (A ranking window here would shuffle all
+      // N·IvfCells scored rows into a sort — at 100 TB that window IS
+      // the job.) Ties on rounded distance break on cell_id because the
+      // (d, cell_id) struct is compared lexicographically.
       val assign = base.crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell_id"))
+        .withColumn("d", round(VectorOps.l2(col("ev"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell_id"), struct(col("d"), col("cell_id"))).as("cell_id"))
       val queries = base.filter(col("vec_id") < AnnQueries)
         .select(col("vec_id").as("query_id"), col("ev").as("qv"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(round(VectorOps.l2(col("qv"), col("cv")), 6).asc, col("cell_id"))
+      // Probes: nprobe nearest cells per query — CollectTopK over the
+      // NEGATED distance reuses the same desc-score/asc-id tie contract
+      // the oracle's (dist ASC, cell_id ASC) ranking expresses.
       val probes = queries.crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= IvfProbes)
-        .select(col("query_id"), col("cell_id"))
+        .withColumn("negd", -round(VectorOps.l2(col("qv"), col("cv")), 6))
+        .groupBy(col("query_id"))
+        .agg(graft.plans.CollectTopK.topk(col("negd"), col("cell_id"), IvfProbes).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("cell_id"))
       val cand = broadcast(probes).join(assign, "cell_id")
         .select("query_id", "vec_id")
       val scored = cand
