@@ -17,7 +17,12 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q28_minhash_pairs,q32_simhash_bands — iterate on a
+    // subset without paying for the whole suite. Unset = run everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize through the noop sink: every output column is
       // produced and row-serialized, so projection-heavy queries can't

@@ -24,4 +24,21 @@ object NamedQuery {
   def noOracle(name: String, doc: String)(
       fn: (SparkSession, String) => DataFrame): NamedQuery =
     NamedQuery(name, doc, None, fn)
+
+  /** Presentation sort for a BOUNDED final result (aggregates, top-k,
+    * verified pairs): one round-robin exchange, then a single-task sort.
+    *
+    * A trailing global `orderBy` range-partitions, and the range
+    * partitioner SAMPLES its child — re-executing everything upstream of
+    * the last exchange a second time just to pick split points. For the
+    * small result sets these queries end on, that extra pass costs more
+    * than the whole sort. Results that stay cluster-sized (raw scans,
+    * unbounded row-per-input outputs) should keep `orderBy`'s parallel
+    * range sort instead — this helper is only for ORDER-BY-as-display. */
+  implicit final class PresentationOps(private val df: DataFrame) extends AnyVal {
+    def presented(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    def presented(first: String, rest: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(first, rest: _*)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.NamedQuery.PresentationOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -64,7 +65,7 @@ object SentenceOps {
         concat(lit("ECRSS max offer: "), fmtMetric(col("max_offer"), "%.1f MW", 1)),
         concat(lit("Avg Texas temperature: "), fmtMetric(col("temp_c"), "%.1f C", 1)))
         .as("semantic_sentence"))
-      .orderBy("date_str")
+      .presented("date_str")
   }
 
   /** DuckDB mirror of [[dailySentences]]. */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.q
+import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql}
 import org.apache.spark.sql.functions._
 
@@ -45,7 +45,7 @@ object AdvancedQueries {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), col("sum_value"))
-        .orderBy("user_id", "session_start")
+        .presented("user_id", "session_start")
     },
 
     // ----- A1 at skew: two-phase SALTED aggregation. Phase 1 fans each
@@ -74,7 +74,7 @@ object AdvancedQueries {
           sum(col("n1")).as("n"),
           sum(col("sum1")).cast("double").as("sum_value"),
           (sum(col("sum1")).cast("double") / sum(col("nv1"))).as("avg_value"))
-        .orderBy("event_type")
+        .presented("event_type")
     },
 
     // ----- T1/T2/T6 oracle-checked end to end: RUN the Structured
@@ -103,7 +103,7 @@ object AdvancedQueries {
       s.read.parquet(target)
         .select(col("d").cast("date").as("d"), col("event_type"),
           col("n"), col("sum_value"))
-        .orderBy("d", "event_type")
+        .presented("d", "event_type")
     },
 
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
@@ -123,7 +123,7 @@ object AdvancedQueries {
         .select(col("event_type"), col("n_users"),
           (abs(col("approx") - col("n_users")) <=
             col("n_users").cast("double") * 0.05).as("approx_within_5pct"))
-        .orderBy("event_type")
+        .presented("event_type")
     }
   )
 }

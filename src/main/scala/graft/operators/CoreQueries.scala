@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.q
+import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,7 +53,7 @@ object CoreQueries {
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .presented("l_returnflag", "l_linestatus")
     },
 
     // ----- A1/A2 on the telemetry stand-in: the reference's agg configs
@@ -72,7 +72,7 @@ object CoreQueries {
           max(col("value")).as("max_value"),
           dsum(col("value")).as("sum_value"),
           count(lit(1)).as("n"))
-        .orderBy("event_type")
+        .presented("event_type")
     },
 
     // ----- P3/F4: date-window predicate pushed into the scan
@@ -89,7 +89,7 @@ object CoreQueries {
                 col("ts") <  lit("2024-01-20").cast("timestamp"))
         .groupBy(to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy("d")
+        .presented("d")
     },
 
     // ----- P4/P5: equality + range predicates
@@ -107,7 +107,7 @@ object CoreQueries {
                 col("value").between(50, 200) &&
                 hour(col("ts")).between(6, 18))
         .select("event_id", "user_id", "value")
-        .orderBy("event_id")
+        .presented("event_id")
     },
 
     // ----- P6: enum-set validation predicate
@@ -121,7 +121,7 @@ object CoreQueries {
         .filter(col("event_type").isin("click", "view", "signup"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
-        .orderBy("event_type")
+        .presented("event_type")
     },
 
     // ----- P2/F11: tolerant numeric cast (bad cast → skipped, i.e. null)
@@ -138,7 +138,7 @@ object CoreQueries {
         .agg(
           davg(k).as("avg_k"),
           (count(lit(1)) - count(k)).as("n_unparsable"))
-        .orderBy("event_type")
+        .presented("event_type")
     },
 
     // ----- P7 + the zero-fill-on-empty semantic (reference: NaN guards
@@ -157,7 +157,7 @@ object CoreQueries {
         .agg(
           coalesce(davg(when(col("value") > 300, col("value"))), lit(0.0)).as("avg_high"),
           coalesce(davg(when(col("value") > 1000, col("value"))), lit(0.0)).as("avg_impossible"))
-        .orderBy("event_type")
+        .presented("event_type")
     },
 
     // ----- P8: the region filter the reference declares but never applies
@@ -180,7 +180,7 @@ object CoreQueries {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_acctbal"))
-        .orderBy("n_name")
+        .presented("n_name")
     },
 
     // ----- J2/J3 family: multi-way join with date window (TPC-H Q5 shape).
@@ -211,7 +211,7 @@ object CoreQueries {
         .agg(
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy("n_name")
+        .presented("n_name")
     },
 
     // ----- J3: semi join (EXISTS).
@@ -225,7 +225,7 @@ object CoreQueries {
       val ord = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 100000)
       cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .presented("c_custkey")
     },
 
     // ----- J3: anti join (NOT EXISTS).
@@ -238,7 +238,7 @@ object CoreQueries {
       val ord = Tables.load(s, dir, "orders")
       cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
+        .presented("c_custkey")
     },
 
     // ----- J1/A3/E2: the weather-frame shape — long → wide pivot on a key,
@@ -268,7 +268,7 @@ object CoreQueries {
       val cntParts = EventTypes.map(t => when(col(t).isNotNull, 1).otherwise(0)).reduce(_ + _)
       wide
         .withColumn("avg_all", sumParts / nullif(cntParts, lit(0)))
-        .orderBy("d")
+        .presented("d")
     },
 
     // ----- W1/T1: the reference's 2-day extent / 1-day slide window
@@ -290,7 +290,7 @@ object CoreQueries {
           count(lit(1)).as("n_events"),
           dsum(col("value")).as("sum_value"),
           davg(col("value")).as("avg_value"))
-        .orderBy("date_to")
+        .presented("date_to")
     },
 
     // ----- W2/O4: top-k per group via ranking window (generalizes the
@@ -309,7 +309,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("event_type", "event_id", "value", "rn")
-        .orderBy("event_type", "rn")
+        .presented("event_type", "rn")
     },
 
     // ----- K1: upsert as dedup-last-wins — the pgvector ON CONFLICT DO
@@ -330,7 +330,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("ts").as("updated_at"), col("value"))
-        .orderBy("user_id")
+        .presented("user_id")
     },
 
     // ----- W2 (analytic): lag/lead day-over-day deltas.
@@ -355,7 +355,7 @@ object CoreQueries {
       daily
         .withColumn("delta_prev", col("sum_value") - lag(col("sum_value"), 1).over(w))
         .withColumn("delta_next", lead(col("sum_value"), 1).over(w) - col("sum_value"))
-        .orderBy("d")
+        .presented("d")
     },
 
     // ----- W2 (frame spec): running cumulative sum per group.
@@ -374,7 +374,7 @@ object CoreQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily
         .withColumn("running_n", sum(col("n")).over(w))
-        .orderBy("event_type", "d")
+        .presented("event_type", "d")
     },
 
     // ----- O1/O2: global sort + limit (reference: sort_values weather.py
@@ -407,7 +407,7 @@ object CoreQueries {
       val buys = ev(s, dir).filter(col("event_type") === "purchase").select("user_id")
       clicks.intersect(buys).select(lit("both").as("tag"), col("user_id"))
         .unionAll(clicks.except(buys).select(lit("click_only").as("tag"), col("user_id")))
-        .orderBy("tag", "user_id")
+        .presented("tag", "user_id")
     },
 
     // ----- A7: first-per-group, deterministic order (reference: first
@@ -425,7 +425,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("ts").as("first_ts"), col("value").as("first_value"))
-        .orderBy("user_id")
+        .presented("user_id")
     },
 
     // ----- A8: rollup grouping sets + distinct agg (absent in reference;
@@ -448,7 +448,7 @@ object CoreQueries {
           count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .select("event_type", "d", "g_type", "g_d", "n", "n_users")
-        .orderBy(col("g_type"), col("g_d"),
+        .presented(col("g_type"), col("g_d"),
           col("event_type").asc_nulls_first, col("d").asc_nulls_first)
     },
 
@@ -473,7 +473,7 @@ object CoreQueries {
         .select(col("d"),
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-        .orderBy("d")
+        .presented("d")
     }
   )
 }

@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.q
+import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication queries (SURVEY.md §2.10 X3 north star).
@@ -51,6 +52,27 @@ object DedupQueries {
     t => regexp_replace(t, "^[a-z0-9]+ ", "")
   private val dropFirstTokSql = "regexp_replace(text, '^[a-z0-9]+ ', '')"
 
+  /** DISTINCT word n-gram shingles as ROWS `(doc_id, t)` — the row form
+    * of [[TextOps.shingles]]. Higher-order functions are CodegenFallback
+    * (interpreted eval), and at sf0.1 the interpreted shingle fold is
+    * the dominant cost of both near-dup queries; posexplode + lead()
+    * windows + concat_ws stay inside WholeStageCodegen. The window and
+    * BOTH dedup/signature aggregates reuse the incoming hash
+    * distribution on doc_id, so the whole shingle stage is one exchange. */
+  private def shingleRows(u: DataFrame, n: Int): DataFrame = {
+    val toks = u.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "") // empties from leading/trailing delimiters
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = (1 until n).foldLeft(toks) { (df, k) =>
+      df.withColumn(s"t$k", lead(col("tok"), k).over(w))
+    }
+    withNext.filter(col(s"t${n - 1}").isNotNull) // short tails shingle nothing
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*).as("t"))
+      .distinct() // per-doc distinct, like the HOF's array_distinct
+  }
+
   /** DuckDB mirror of [[TextOps.hash60]]. */
   private def hash60Sql(tok: String): String =
     s"CAST(CONCAT('0x', substr(md5($tok), 1, 15)) AS BIGINT)"
@@ -96,7 +118,7 @@ object DedupQueries {
       withPlanted(base, 7, 20000, identity)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("keep_id")
+        .presented("keep_id")
     },
 
     // ----- X3 MinHash: shingle → minhash → band-bucket join → Jaccard
@@ -134,40 +156,53 @@ object DedupQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-      val u = withPlanted(base, 10, 10000, dropFirstTok)
+      // The corpus lands as ONE parquet row group → one partition; the
+      // md5-per-shingle stage is the query's dominant compute, so spread
+      // it across the cluster first (at real scale the file layout
+      // provides the parallelism and this exchange is free).
+      val u = withPlanted(base, 10, 10000, dropFirstTok).repartition(col("doc_id"))
       // Hashed-shingle space end to end: one md5 per distinct shingle;
       // the Jaccard verify runs on the compact int arrays, not strings.
-      // Lazily local-checkpointed: the signature table feeds the band
-      // self-join AND both Jaccard-verify join-backs — without the
-      // checkpoint the tokenize+shingle+md5 subtree is recomputed 4×.
-      // (In a standing pipeline this is a persisted signature stage.)
-      val sh = u.select(col("doc_id"), transform(TextOps.shingles(col("text"), 3),
-          t => TextOps.hash60(t).bitwiseAND(lit(2147483647L))).as("h31s"))
+      val shr = shingleRows(u, 3)
+        .withColumn("h31", TextOps.hash60(col("t")).bitwiseAND(lit(2147483647L)))
+      // ONE hash aggregate builds the whole signature table: the
+      // distinct-shingle-hash set for the Jaccard verify plus all k
+      // permuted minhashes (min is duplicate-insensitive). Lazily
+      // local-checkpointed: it feeds the band buckets AND both verify
+      // join-backs — without the checkpoint the tokenize+shingle+md5
+      // subtree is recomputed 4×. (In a standing pipeline this is a
+      // persisted signature stage.)
+      val sig = shr.groupBy(col("doc_id"))
+        .agg(collect_set(col("h31")).as("h31s"),
+          MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+            min((lit(a) * col("h31") + lit(b)) % MinhashP).as(s"m$j")
+          }: _*)
         .localCheckpoint(false)
-      // k permuted min-hashes from the single base hash (one md5 per
-      // shingle TOTAL), inline-exploded to (doc_id, seed, minhash).
-      val mh = sh.select(col("doc_id"), explode(array(
-          MinhashParams.map { case (a, b) =>
-            array_min(transform(col("h31s"),
-              h => (lit(a) * h + lit(b)) % MinhashP))
-          }.zipWithIndex.map { case (c, j) =>
-            struct(lit(j).as("seed"), c.as("minhash"))
-          }: _*)).as("sm"))
+      // (doc_id, seed, minhash) rows for the band buckets.
+      val mh = sig.select(col("doc_id"), explode(array(
+          MinhashParams.indices.map(j =>
+            struct(lit(j).as("seed"), col(s"m$j").as("minhash"))): _*)).as("sm"))
         .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.minhash").as("minhash"))
-      val cand = mh.select(col("seed"), col("minhash"), col("doc_id").as("id_a"))
-        .join(mh.select(col("seed"), col("minhash"), col("doc_id").as("id_b")),
-          Seq("seed", "minhash"))
+      // Candidates via bucket PRE-AGGREGATION rather than a self-join:
+      // one shuffle keyed by (seed, minhash) collects each bucket's ids,
+      // singleton buckets (the overwhelming majority) are dropped before
+      // any pair is materialized, and pairs explode only within buckets.
+      val cand = mh.groupBy(col("seed"), col("minhash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       cand
-        .join(sh.select(col("doc_id").as("id_a"), col("h31s").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
+        .join(sig.select(col("doc_id").as("id_a"), col("h31s").as("sh_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
         .withColumn("jaccard",
           round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))), 6))
         .filter(col("jaccard") >= JaccardThresh)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        .presented("id_a", "id_b")
     },
 
     // ----- X3 SimHash: 60-bit signature, 4×15-bit bands for candidate
@@ -192,15 +227,16 @@ object DedupQueries {
          |WHERE hamming <= $HammingThresh
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-      val u = withPlanted(base, 9, 30000, dropFirstTok)
+      // Spread the single-row-group corpus before the shingle+md5 explode
+      // (same reasoning as q28 — the hash stage is the dominant compute).
+      val u = withPlanted(base, 9, 30000, dropFirstTok).repartition(col("doc_id"))
       // SimHash via explode + a 61-column codegen'd hash aggregate
       // (partial+final combine) instead of the per-row HOF fold in
       // [[TextOps.simhash]]: semantically identical, but the vote sums
       // run inside WholeStageCodegen (~30× faster at sf0.1) and scale as
       // one shuffle keyed by doc_id. Shingle-less docs fall out of the
       // explode; the left join restores them with sig=0 (the HOF value).
-      val exploded = u.select(col("doc_id"),
-          explode(TextOps.shingles(col("text"), 3)).as("t"))
+      val exploded = shingleRows(u, 3)
         .withColumn("h", TextOps.hash60(col("t")))
       val bitSums = (0 until 60).map(j =>
         sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
@@ -209,8 +245,12 @@ object DedupQueries {
       val sigExpr = (0 until 60).map(j =>
         when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
+      // Checkpointed: BOTH sides of the band self-join read sg, and the
+      // aliased projections defeat exchange reuse — without this the
+      // shingle+vote subtree (the query's dominant cost) computes twice.
       val sg = u.select(col("doc_id")).join(votes, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(sigExpr, lit(0L)).as("sig"))
+        .localCheckpoint(false)
       val banded = sg.select(col("doc_id"), col("sig"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band_id"),
             shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
@@ -228,7 +268,7 @@ object DedupQueries {
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
         .filter(col("hamming") <= HammingThresh)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+        .presented("id_a", "id_b")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.{noOracle, q}
+import graft.NamedQuery.{noOracle, q, PresentationOps}
 import graft.pipeline.MediaOps
 import org.apache.spark.sql.functions._
 
@@ -46,7 +46,7 @@ object MediaQueries {
           hex(substring(col("payload"), 1, 8)).as("header_hex"),
           hex(substring(col("payload"), 33, 4)).as("frame1_hex"),
           hex(substring(col("payload"), 65, 4)).as("frame2_hex"))
-        .orderBy("media_id")
+        .presented("media_id")
     },
 
     // ----- the batched kernel path: typed Dataset boundary →
@@ -64,7 +64,7 @@ object MediaQueries {
           sum(col("n_bytes")).as("sum_bytes"),
           avg(col("brightness")).as("avg_brightness"),
           max(col("batch_size")).as("max_batch"))
-        .orderBy("kind")
+        .presented("kind")
     }
   )
 }

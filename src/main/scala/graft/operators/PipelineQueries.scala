@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.q
+import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql}
 import org.apache.spark.sql.functions._
 
@@ -49,7 +49,7 @@ object PipelineQueries {
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
             lit(0.8) * col("p_retailprice") * col("l_quantity")).as("profit"),
           count(lit(1)).as("n_items"))
-        .orderBy("n_name", "o_year")
+        .presented("n_name", "o_year")
     },
 
     // ----- S1/S2 as a real connector: the custom DataSourceV2 source
@@ -83,7 +83,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           Exact.davg(col("price")).as("avg_price"),
           max(col("mw")).as("max_mw"))
-        .orderBy("d")
+        .presented("d")
     },
 
     // ----- E2 end-to-end: the reference's hourly weather-frame
@@ -129,7 +129,7 @@ object PipelineQueries {
         .withColumn("avg_temperature_c", sumParts / nullif(cntParts, lit(0)))
         .withColumn("avg_temperature_f", col("avg_temperature_c") * 9 / 5 + 32)
         .withColumn("debug_rowid", monotonically_increasing_id()) // dropped by the sink projection
-        .orderBy("time")
+        .presented("time")
         .withColumnRenamed("time", "timestamp")
       Upsert.schemaIntersect(framed,
         Seq("timestamp") ++ types ++ Seq("avg_temperature_c", "avg_temperature_f"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.q
+import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql, SentenceOps}
 import org.apache.spark.sql.functions._
 
@@ -54,7 +54,7 @@ object ScalarQueries {
           round(col("avg_purchase"), 2).as("avg_purchase_r2"),
           when(col("sum_value") > 0, col("sum_click") / col("sum_value") * 100)
             .otherwise(lit(null)).as("click_pct"))
-        .orderBy("date_str")
+        .presented("date_str")
     },
 
     // ----- F1/F2: the semantic-sentence renderer — labeled metric lines
@@ -95,7 +95,7 @@ object ScalarQueries {
           // main.py:114 — 24 chars here so the cut is visible on test rows)
           substring(to_json(struct(col("event_id"), col("event_type"))), 1, 24)
             .as("raw_json_trunc"))
-        .orderBy("item_id")
+        .presented("item_id")
         .limit(1000)
     }
   )

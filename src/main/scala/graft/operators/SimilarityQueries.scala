@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.{noOracle, q}
+import graft.NamedQuery.{noOracle, q, PresentationOps}
 import graft.functions.VectorOps
 import graft.pipeline.Embedder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -95,7 +95,7 @@ object SimilarityQueries {
         .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
         .select(col("query_id"), col("t.vec_id").as("vec_id"),
           col("t.sim").as("sim"), (col("pos") + 1).cast("long").as("rn"))
-        .orderBy("query_id", "rn")
+        .presented("query_id", "rn")
     },
 
     // ----- X2 (scale path): LSH-bucketed approximate NN — candidate set
@@ -123,7 +123,7 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= AnnK)
         .select("query_id", "vec_id", "bucket", "sim", "rn")
-        .orderBy("query_id", "rn")
+        .presented("query_id", "rn")
     },
 
     // ----- X2 (the other scale path): IVF — a coarse quantizer assigns
@@ -199,7 +199,7 @@ object SimilarityQueries {
         .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
         .select(col("query_id"), col("t.vec_id").as("vec_id"),
           col("t.sim").as("sim"), (col("pos") + 1).cast("long").as("rn"))
-        .orderBy("query_id", "rn")
+        .presented("query_id", "rn")
     },
 
     // ----- X2 quality metric: recall@k of the LSH-bucketed ANN against
@@ -242,7 +242,7 @@ object SimilarityQueries {
         .groupBy(col("query_id"))
         .agg(count(col("hit")).as("n_hits"),
           (count(col("hit")).cast("double") / AnnK).as("recall"))
-        .orderBy("query_id")
+        .presented("query_id")
     },
 
     // ----- U1+X2 end-to-end: the RAG retrieval loop with OUR embedder —
@@ -270,7 +270,7 @@ object SimilarityQueries {
         .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
         .select(col("query_id"), col("t.vec_id").as("doc_id"),
           col("t.sim").as("sim"), (col("pos") + 1).cast("long").as("rn"))
-        .orderBy("query_id", "rn")
+        .presented("query_id", "rn")
     },
 
     // ----- X3 (embedding flavor): near-duplicate pairs — candidates from
@@ -295,7 +295,7 @@ object SimilarityQueries {
         .withColumn("sim", VectorOps.cosine6(col("av"), col("bv")))
         .filter(col("sim") >= NdThresh)
         .select("id_a", "id_b", "bucket", "sim")
-        .orderBy("id_a", "id_b")
+        .presented("id_a", "id_b")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.q
+import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,7 +66,7 @@ object TextQueries {
           countDistinct(col("source")).as("n_sources"),
           dsum(col("n_chars")).as("sum_chars"),
           davg(size(TextOps.tokens(col("text")))).as("avg_tokens"))
-        .orderBy("lang", "len_bucket")
+        .presented("lang", "len_bucket")
     },
 
     // ----- X4: stopword-profile language ID → confusion matrix against
@@ -99,7 +99,7 @@ object TextQueries {
       scored
         .groupBy(col("lang").as("actual"), ladder.as("predicted"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("actual", "predicted")
+        .presented("actual", "predicted")
     },
 
     // ----- X4: per-document quality scoring — length, punctuation,
@@ -155,7 +155,7 @@ object TextQueries {
           (expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
             expr("CAST(0.3 AS DECIMAL(2,1))") * (one - pd) +
             expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore).cast("double"))
-        .orderBy("doc_id")
+        .presented("doc_id")
     },
 
     // ----- X4: token counting two ways (whitespace words vs a BPE-ish
@@ -192,7 +192,7 @@ object TextQueries {
         .agg(countDistinct(col("tok")).as("vocab"))
       docAgg.join(vocab, "lang")
         .select("lang", "n_docs", "sum_ws_tokens", "sum_bpe_tokens", "vocab")
-        .orderBy("lang")
+        .presented("lang")
     },
 
     // ----- RAG chunking: overlapping token windows (W=32, stride 24) —
@@ -227,7 +227,7 @@ object TextQueries {
           (col("pos") + 1).cast("long").as("chunk_id"),
           size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
           col("chunk_text"))
-        .orderBy("doc_id", "chunk_id")
+        .presented("doc_id", "chunk_id")
     },
 
     // ----- X4: order-sensitive rolling-hash fingerprint. Planted: every
@@ -266,7 +266,7 @@ object TextQueries {
       u.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("keep_id")
+        .presented("keep_id")
     }
   )
 }
