@@ -47,8 +47,76 @@ class ErcotPagesSource extends TableProvider
       pages = Option(opts.get("pages")).map(_.toInt).getOrElse(10),
       pageSize = Option(opts.get("pageSize")).map(_.toInt).getOrElse(100),
       startDateDays = Option(opts.get("startDate"))
-        .map(java.time.LocalDate.parse(_).toEpochDay).getOrElse(19723L)) // 2024-01-01
+        .map(java.time.LocalDate.parse(_).toEpochDay).getOrElse(19723L), // 2024-01-01
+      retry = RetryConf(
+        maxAttempts = Option(opts.get("maxRetries")).map(_.toInt).getOrElse(3),
+        baseDelayMs = Option(opts.get("retryDelayMs")).map(_.toLong).getOrElse(0L),
+        failEveryN = Option(opts.get("failEveryN")).map(_.toInt).getOrElse(0),
+        failAttempts = Option(opts.get("failAttempts")).map(_.toInt).getOrElse(2)))
   }
+}
+
+/** Per-page fetch resilience knobs (SURVEY §2.9 T5 + reference
+  * client.py:60-84): `maxAttempts` tries with exponential backoff from
+  * `baseDelayMs`. `failEveryN`/`failAttempts` INJECT deterministic
+  * transient faults (every Nth page fails its first `failAttempts`
+  * fetches) so the policy is testable without a network. */
+final case class RetryConf(maxAttempts: Int, baseDelayMs: Long,
+    failEveryN: Int, failAttempts: Int)
+
+/** A retryable fetch failure — the stand-in for the transient HTTP 5xx /
+  * timeout the reference client retries. */
+final class TransientPageError(page: Int, attempt: Int)
+  extends RuntimeException(s"transient fault fetching page $page (attempt $attempt)")
+
+object RetryPolicy {
+  /** Run `f(attempt)` up to `maxAttempts` times, sleeping
+    * baseDelayMs·2^(attempt−1) between tries — the reference's bounded
+    * exponential backoff (client.py:60-84). Non-transient errors
+    * propagate immediately. */
+  def withRetry[T](maxAttempts: Int, baseDelayMs: Long)(f: Int => T): T = {
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return f(attempt)
+      catch {
+        case _: TransientPageError =>
+          if (baseDelayMs > 0) Thread.sleep(baseDelayMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    f(attempt) // last attempt: let any failure propagate
+  }
+}
+
+/** Auth-token lifecycle (reference auth.py:47-166): tokens live `ttlMs`;
+  * a fetch within `refreshAheadMs` of expiry mints a fresh token (the
+  * reference's T−5-minute refresh timer); otherwise the cached one is
+  * reused. One instance per JVM ([[TokenProvider.default]]) mirrors the
+  * reference's module-level singleton — executors each hold their own,
+  * which is exactly how per-worker REST credentials behave. */
+final class TokenProvider(ttlMs: Long, refreshAheadMs: Long, clock: () => Long) {
+  private var tok: Option[(String, Long)] = None // (token, expiresAtMs)
+  private var minted = 0
+
+  def mintCount: Int = synchronized(minted)
+
+  def current(): String = synchronized {
+    val now = clock()
+    tok match {
+      case Some((t, exp)) if now < exp - refreshAheadMs => t
+      case _ =>
+        minted += 1
+        val t = s"token-$minted"
+        tok = Some((t, now + ttlMs))
+        t
+    }
+  }
+}
+
+object TokenProvider {
+  /** 60-minute tokens, refreshed 5 minutes ahead (auth.py:52-58). */
+  lazy val default: TokenProvider =
+    new TokenProvider(3600000L, 300000L, () => System.currentTimeMillis())
 }
 
 object ErcotPagesSource {
@@ -73,17 +141,19 @@ object ErcotPagesSource {
   def mw(i: Long): Double = (i * 17 % 5000) / 10.0
 }
 
-class ErcotPagesTable(pages: Int, pageSize: Int, startDateDays: Long)
+class ErcotPagesTable(pages: Int, pageSize: Int, startDateDays: Long,
+    retry: RetryConf)
   extends Table with SupportsRead {
   override def name(): String = s"ercot_pages($pages x $pageSize)"
   override def schema(): StructType = ErcotPagesSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ErcotPagesScanBuilder(pages, pageSize, startDateDays)
+    new ErcotPagesScanBuilder(pages, pageSize, startDateDays, retry)
 }
 
-class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long)
+class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long,
+    retry: RetryConf)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -91,12 +161,13 @@ class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long)
   private var hubFilter: Option[String] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (pushed, rest) = filters.partition {
-      case EqualTo("settlement_point", _: String) => true
-      case _ => false
-    }
-    hubFilter = pushed.collectFirst { case EqualTo(_, v: String) => v }
-    rest // everything else stays a Spark-side residual
+    // Claim exactly ONE settlement_point equality — the reader can only
+    // encode one request param. Any further predicate (even another
+    // settlement_point equality, e.g. sp='A' AND sp='B') must remain a
+    // Spark-side residual or it would never be evaluated anywhere.
+    val claimed = filters.collectFirst { case f @ EqualTo("settlement_point", _: String) => f }
+    hubFilter = claimed.map { case EqualTo(_, v) => v.asInstanceOf[String] }
+    filters.filterNot(f => claimed.contains(f))
   }
   override def pushedFilters(): Array[Filter] =
     hubFilter.map(v => EqualTo("settlement_point", v): Filter).toArray
@@ -105,11 +176,11 @@ class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new ErcotPagesScan(pages, pageSize, startDateDays, required, hubFilter)
+    new ErcotPagesScan(pages, pageSize, startDateDays, required, hubFilter, retry)
 }
 
 class ErcotPagesScan(pages: Int, pageSize: Int, startDateDays: Long,
-    required: StructType, hubFilter: Option[String])
+    required: StructType, hubFilter: Option[String], retry: RetryConf)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -120,16 +191,25 @@ class ErcotPagesScan(pages: Int, pageSize: Int, startDateDays: Long,
     (0 until pages).map(p => ErcotPage(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ErcotPagesReaderFactory(pageSize, startDateDays,
-      required.fieldNames, hubFilter)
+      required.fieldNames, hubFilter, retry)
 }
 
 case class ErcotPage(page: Int) extends InputPartition
 
 class ErcotPagesReaderFactory(pageSize: Int, startDateDays: Long,
-    fields: Array[String], hubFilter: Option[String])
+    fields: Array[String], hubFilter: Option[String], retry: RetryConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[ErcotPage].page
+    // "Fetch" the page under the token + retry policy: acquiring the
+    // (cached, auto-refreshing) auth token and surviving injected
+    // transient faults stand in for the authenticated HTTP GET the
+    // reference performs per page (client.py:60-84, auth.py:47-166).
+    RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) { attempt =>
+      TokenProvider.default.current()
+      if (retry.failEveryN > 0 && page % retry.failEveryN == 0 && attempt <= retry.failAttempts)
+        throw new TransientPageError(page, attempt)
+    }
     new PartitionReader[InternalRow] {
       private var i = page.toLong * pageSize - 1
       private val end = (page + 1).toLong * pageSize

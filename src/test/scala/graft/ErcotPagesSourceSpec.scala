@@ -55,4 +55,46 @@ class ErcotPagesSourceSpec extends AnyFunSuite {
   test("schema carries the documented column comments") {
     assert(ErcotPagesSource.Schema.fields.forall(_.getComment().isDefined))
   }
+
+  test("a second settlement_point equality stays residual (sp='A' AND sp='B' = 0 rows)") {
+    // Regression: claiming every equality but applying only the first
+    // silently returned all 'A' rows for a contradictory conjunction.
+    val df = feed().filter(col("settlement_point") === "HB_SOUTH" &&
+      col("settlement_point") === "HB_NORTH")
+    assert(df.count() == 0)
+  }
+
+  test("transient page faults are retried; exhausted retries fail the read") {
+    // Every 2nd page fails its first 2 fetches; 3 attempts ride it out.
+    val flaky = spark.read.format("ercot-pages")
+      .option("pages", 4).option("pageSize", 25)
+      .option("failEveryN", 2).option("failAttempts", 2).option("maxRetries", 3)
+      .load()
+    assert(flaky.count() == 4 * 25) // same rows as a fault-free read
+
+    val tooFewRetries = spark.read.format("ercot-pages")
+      .option("pages", 4).option("pageSize", 25)
+      .option("failEveryN", 2).option("failAttempts", 2).option("maxRetries", 2)
+      .load()
+    val e = intercept[org.apache.spark.SparkException](tooFewRetries.count())
+    assert(e.getMessage.contains("transient fault") ||
+      Option(e.getCause).exists(_.getMessage.contains("transient fault")))
+  }
+
+  test("token lifecycle: cached until T-5 of expiry, then refreshed (singleton reuse)") {
+    var now = 0L
+    val tp = new graft.sources.TokenProvider(
+      ttlMs = 3600000L, refreshAheadMs = 300000L, clock = () => now)
+    val t1 = tp.current()
+    now = 3600000L - 300001L // 1 ms before the refresh-ahead window opens
+    assert(tp.current() == t1, "token must be reused until T-5")
+    assert(tp.mintCount == 1)
+    now = 3600000L - 300000L // exactly T-5: proactively refresh
+    val t2 = tp.current()
+    assert(t2 != t1)
+    assert(tp.mintCount == 2)
+    now = now + 60000L // well inside the new token's lifetime
+    assert(tp.current() == t2)
+    assert(tp.mintCount == 2)
+  }
 }
