@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * sequential order as the [[graft.functions.VectorOps]] HOF fold (so
   * results are bit-identical and oracle parity is preserved), but inside
   * WholeStageCodegen instead of three interpreted aggregate/zip_with
-  * chains per pair. NULL when either side is null or a norm is zero
-  * (zero vectors have no direction), matching `cosine`'s nullif.
+  * chains per pair. NULL when either side is null, lengths differ, an
+  * element is null (the zip_with fold's null-padding/poisoning, exactly),
+  * or a norm is zero (zero vectors have no direction — `cosine`'s nullif).
   */
 case class CosineSim(left: Expression, right: Expression,
     zeroMode: String = CosineSim.ZeroNull)
@@ -37,13 +38,24 @@ case class CosineSim(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  /** Null elements only need runtime checks when the schema admits them. */
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    // Length mismatch / null element → NULL in EVERY mode, matching the
+    // HOF fold this expression replaces: zip_with null-pads the shorter
+    // side and a null poisons the whole fold (null ÷ null is null even
+    // under ANSI, so no mode distinction arises).
+    if (n != ys.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElems && (xs.isNullAt(i) || ys.isNullAt(i))) return null
       val x = xs.getDouble(i); val y = ys.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -70,23 +82,36 @@ case class CosineSim(left: Expression, right: Expression,
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val denom = ctx.freshName("denom")
+      // Elementwise null checks are emitted only when the schema admits
+      // null elements, so the common dense-embedding loop stays branch-free.
+      val nullElemCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i);
-         |  double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) {
+         |      ${zeroMode match {
+                   case CosineSim.ZeroNan => s"${ev.value} = $dot / $denom;"
+                   case CosineSim.ZeroAnsi =>
+                     s"throw org.apache.spark.sql.GraftSql.divideByZeroError();"
+                   case _ => s"${ev.isNull} = true;"
+                 }}
+         |    } else { ${ev.value} = $dot / $denom; }
+         |  }
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) {
-         |  ${zeroMode match {
-               case CosineSim.ZeroNan => s"${ev.value} = $dot / $denom;"
-               case CosineSim.ZeroAnsi =>
-                 s"throw org.apache.spark.sql.GraftSql.divideByZeroError();"
-               case _ => s"${ev.isNull} = true;"
-             }}
-         |} else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 

@@ -33,6 +33,19 @@ class CosineSimSpec extends AnyFunSuite {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
+  test("ragged lengths and null elements yield NULL, same as the HOF fold") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), Some(2.0), Some(3.0))), Some(Seq(Some(1.0), Some(2.0)))), // ragged
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))))                 // null elem
+      .toDF("a", "b").select(
+        CosineSim(col("a"), col("b")).as("expr"),
+        VectorOps.cosine(col("a"), col("b")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0), r)
+      assert(r.isNullAt(1), r) // the HOF agrees — that's the contract
+    }
+  }
+
   test("known values") {
     val got = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0)))
       .toDF("a", "b").select(CosineSim(col("a"), col("b")).as("c"))
