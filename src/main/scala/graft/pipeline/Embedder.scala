@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * literal-"\\n" bug is fixed here per SURVEY F3).
   */
 object Embedder {
-  val Dim = 64 // matches testdata embeddings dim; reference uses 1536
+  val Dim = 64      // default: matches the testdata embeddings dim
+  val RefDim = 1536 // reference schema fidelity: VECTOR(1536), pgvector_storage.py:92
 
   /** raw(i) = Σ_tok sign(xxhash64(tok, i)), computed as ONE fold over
     * the token array — each token contributes a ±1 vector to all Dim
@@ -25,10 +26,10 @@ object Embedder {
     * aggregate per dimension — re-tokenizes the text Dim times per row:
     * ~40× slower at corpus scale. Values are identical: same per-dim
     * addition order.) */
-  private def rawFold(toks: Column): Column = {
-    val zero = array((0 until Dim).map(_ => lit(0.0)): _*)
+  private def rawFold(toks: Column, dim: Int): Column = {
+    val zero = array((0 until dim).map(_ => lit(0.0)): _*)
     aggregate(toks, zero, (acc, t) =>
-      zip_with(acc, array((0 until Dim).map(i =>
+      zip_with(acc, array((0 until dim).map(i =>
         when(pmod(xxhash64(t, lit(i)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))): _*),
         (a, b) => a + b))
   }
@@ -37,12 +38,13 @@ object Embedder {
     filter(split(lower(regexp_replace(textCol, "\\s+", " ")), "[^a-z0-9]+"),
       t => t =!= "")
 
-  /** Embed `textCol` into an ArrayType(Double) column of dimension [[Dim]].
+  /** Embed `textCol` into an ArrayType(Double) column of dimension `dim`
+    * (default [[Dim]]; pass [[RefDim]] for the reference's 1536-wide schema).
     * One-expression form for spec-scale use; pipelines should prefer
     * [[withEmbedding]], which stages the fold/norm into separate
     * projections so nothing is re-evaluated per element. */
-  def embed(textCol: Column): Column = {
-    val raw = rawFold(toksOf(textCol))
+  def embed(textCol: Column, dim: Int = Dim): Column = {
+    val raw = rawFold(toksOf(textCol), dim)
     val nrm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
     when(nrm > 0, transform(raw, x => x / nrm))
       .otherwise(raw) // zero vector on empty text (embedding_service.py:86)
@@ -52,9 +54,9 @@ object Embedder {
     * Staged columns: tokens → raw fold → norm → normalized vector.
     * CollapseProject keeps non-cheap multiply-referenced aliases in
     * their own projections, so each stage evaluates once per row. */
-  def withEmbedding(df: DataFrame, textCol: String): DataFrame =
+  def withEmbedding(df: DataFrame, textCol: String, dim: Int = Dim): DataFrame =
     df.withColumn("__toks", toksOf(col(textCol)))
-      .withColumn("__raw", rawFold(col("__toks")))
+      .withColumn("__raw", rawFold(col("__toks"), dim))
       .withColumn("__nrm",
         sqrt(aggregate(col("__raw"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn("embedding",

@@ -47,4 +47,15 @@ class EmbedderSpec extends AnyFunSuite {
     val Seq(a, b) = embed("completely different words here", "other tokens entirely now")
     assert(a != b)
   }
+
+  test("reference-schema fidelity: full 1536-dim embedding (VECTOR(1536))") {
+    val vs = Embedder.withEmbedding(
+        Seq("alpha beta gamma", "").toDF("text"), "text", dim = Embedder.RefDim)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    assert(Embedder.RefDim == 1536)
+    assert(vs.forall(_.size == 1536))
+    val norm = math.sqrt(vs.head.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9) // L2-normalized at full width too
+    assert(vs(1).forall(_ == 0.0))      // empty text → 1536-wide zero vector
+  }
 }
