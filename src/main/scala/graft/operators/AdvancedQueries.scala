@@ -106,6 +106,41 @@ object AdvancedQueries {
         .presented("d", "event_type")
     },
 
+    // ----- J2/A1 at skew, the AQE way: join a 90%-hot fact key to a dim
+    // WITHOUT salting and let adaptive execution split the skewed
+    // partition at runtime (spark.sql.adaptive.skewJoin, on by default).
+    // Contrast with q44, which handles the same shape by hand. The merge
+    // hints force a shuffle join — a broadcast would dodge the skew and
+    // prove nothing. Correctness never depends on the split (the oracle
+    // aggregates directly); AqeSkewJoinSpec asserts the split actually
+    // fires under production-shaped thresholds.
+    q("q51_aqe_skew_join",
+      "J2/skew: unsalted hot-key join, AQE skew-split mitigation",
+      s"""WITH fact AS (SELECT CASE WHEN event_id % 10 < 9 THEN 0
+         |                          ELSE event_id % 1000 END AS k, value
+         |              FROM events),
+         |     dim AS (SELECT r AS k, 'grp_' || CAST(r AS VARCHAR) AS label
+         |             FROM range(0, 1000) t(r))
+         |SELECT label, COUNT(*) AS n, ${ExactSql.dsum("value")} AS sum_value
+         |FROM fact JOIN dim USING (k)
+         |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      // The single-row-group test file scans as ONE map task, and AQE can
+      // only split a skewed reduce partition at MAPPER boundaries — so
+      // spread the fact like the many-file scan a real deployment has
+      // (there the file layout provides this and the exchange vanishes).
+      val fact = Tables.load(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("event_id"), lit(1000))).as("k"),
+        col("value"))
+        .repartition(16)
+      val dim = s.range(0, 1000)
+        .select(col("id").as("k"), concat(lit("grp_"), col("id")).as("label"))
+      fact.hint("merge").join(dim.hint("merge"), "k")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .presented("label")
+    },
+
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
     // The sketch value itself is engine-specific, so the contract under
     // oracle is the exact count plus the bounded-error assertion — at
