@@ -68,6 +68,35 @@ object SinkOps {
     * its whole batch, like an errored BatchWriteItem page). Distributes
     * as one pass over the frame; the accumulators are the only
     * driver-side state. */
+  /** Result of a [[putBatchedIf]] run: `condFailed` counts items the
+    * store REJECTED because their write condition did not hold — a
+    * normal outcome, accounted separately from hard errors. */
+  final case class CondPutStats(attempted: Long, stored: Long, condFailed: Long, failed: Long)
+
+  /** K4 conditional flavor (reference dynamodb.py:143-165: `put_item`
+    * with an optional ConditionExpression, ConditionalCheckFailed
+    * counted apart from other ClientErrors): per-item conditional puts,
+    * batched per partition. `putIf` returns false when the store's
+    * condition (e.g. attribute_not_exists) rejected the item; throwing
+    * marks a hard failure. One pass over the frame, accumulators only. */
+  def putBatchedIf(df: DataFrame, batchSize: Int)(putIf: Row => Boolean): CondPutStats = {
+    val spark = df.sparkSession
+    val attempted = spark.sparkContext.longAccumulator("condput_attempted")
+    val stored = spark.sparkContext.longAccumulator("condput_stored")
+    val condFailed = spark.sparkContext.longAccumulator("condput_cond_failed")
+    val failed = spark.sparkContext.longAccumulator("condput_failed")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      rows.grouped(batchSize).foreach { batch =>
+        batch.foreach { row =>
+          attempted.add(1)
+          try { if (putIf(row)) stored.add(1) else condFailed.add(1) }
+          catch { case _: Exception => failed.add(1) }
+        }
+      }
+    }
+    CondPutStats(attempted.value, stored.value, condFailed.value, failed.value)
+  }
+
   def putBatched(df: DataFrame, batchSize: Int)(put: Seq[Row] => Unit): PutStats = {
     val spark = df.sparkSession
     val attempted: LongAccumulator = spark.sparkContext.longAccumulator("put_attempted")

@@ -64,4 +64,31 @@ class SinkOpsSpec extends AnyFunSuite {
     val stats = SinkOps.putBatched(df, batchSize = 4)(_ => ())
     assert(stats == SinkOps.PutStats(10, 10, 0))
   }
+
+  test("putBatchedIf: condition rejections counted apart from hard failures (K4 conditional)") {
+    // attribute_not_exists-style insert-if-absent against a shared store:
+    // duplicate keys lose the condition race (exactly one wins, atomically),
+    // the poison row is a hard error.
+    SinkOpsSpec.CondStore.m.clear()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (1L, "a-again"), (2L, "b-again"), (4L, "poison"))
+      .toDF("id", "payload").repartition(3)
+    val stats = SinkOps.putBatchedIf(df, batchSize = 2) { row =>
+      val id = row.getLong(0)
+      if (row.getString(1) == "poison") throw new RuntimeException("hard error")
+      SinkOpsSpec.CondStore.m.putIfAbsent(id, row.getString(1)) == null
+    }
+    assert(stats.attempted == 6)
+    assert(stats.stored == 3)     // ids 1, 2, 3 — first writer each
+    assert(stats.condFailed == 2) // the duplicate attempts at ids 1 and 2
+    assert(stats.failed == 1)     // the poison row
+    assert(SinkOpsSpec.CondStore.m.size() == 3)
+  }
+}
+
+object SinkOpsSpec {
+  /** JVM-static stand-in for the external key-value store — referenced
+    * statically from the executor closure, never serialized with it. */
+  object CondStore {
+    val m = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  }
 }
