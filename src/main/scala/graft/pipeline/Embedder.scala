@@ -51,16 +51,36 @@ object Embedder {
   }
 
   /** Attach an `embedding` column to a frame with a text column.
-    * Staged columns: tokens → raw fold → norm → normalized vector.
-    * CollapseProject keeps non-cheap multiply-referenced aliases in
-    * their own projections, so each stage evaluates once per row. */
-  def withEmbedding(df: DataFrame, textCol: String, dim: Int = Dim): DataFrame =
-    df.withColumn("__toks", toksOf(col(textCol)))
-      .withColumn("__raw", rawFold(col("__toks"), dim))
+    *
+    * Hot path is explode + one WIDE hash aggregate, not the HOF fold:
+    * higher-order functions evaluate interpreted (CodegenFallback), so
+    * [[rawFold]] was the pipeline's dominant cost; the per-dimension ±1
+    * sums here run inside codegen'd HashAggregate with map-side partial
+    * combine. Values are BIT-identical to the fold — each accumulator
+    * sums ±1.0 terms, which are exact integers in double, so addition
+    * order cannot matter. Distinct texts embed once and join back (the
+    * reference's batch-dedup behavior for free); texts with no tokens
+    * take the zero vector, null texts a null embedding, exactly like
+    * the fold path. */
+  def withEmbedding(df: DataFrame, textCol: String, dim: Int = Dim): DataFrame = {
+    val texts = df.select(col(textCol).as("__text")).na.drop().distinct()
+    val toks = texts.select(col("__text"), explode(toksOf(col("__text"))).as("__t"))
+    val sums = (0 until dim).map(i =>
+      sum(when(pmod(xxhash64(col("__t"), lit(i)), lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0))).as(s"__e$i"))
+    val raw = toks.groupBy(col("__text"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("__text"),
+        array((0 until dim).map(i => col(s"__e$i")): _*).as("__raw"))
+    val zero = array((0 until dim).map(_ => lit(0.0)): _*)
+    df.join(raw.withColumnRenamed("__text", textCol), Seq(textCol), "left")
+      .withColumn("__raw",
+        when(col(textCol).isNotNull, coalesce(col("__raw"), zero)))
       .withColumn("__nrm",
         sqrt(aggregate(col("__raw"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn("embedding",
         when(col("__nrm") > 0, transform(col("__raw"), x => x / col("__nrm")))
           .otherwise(col("__raw")))
-      .drop("__toks", "__raw", "__nrm")
+      .drop("__raw", "__nrm")
+  }
 }
