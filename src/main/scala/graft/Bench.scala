@@ -12,11 +12,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
-    // Warmup: touch every table + exercise shuffle/codegen paths once so
-    // the first measured query doesn't absorb JVM/session startup.
+    // Warmup: touch every table + exercise shuffle/codegen/sink paths
+    // once so the first measured query doesn't absorb JVM/session
+    // startup (scan, exchange, sort, window, and the noop writer each
+    // JIT/compile machinery on their first use).
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect()
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    spark.range(100000)
+      .select((col("id") % 97).as("k"), col("id").as("v"))
+      .groupBy("k").count()
+      .withColumn("rn", row_number().over(Window.partitionBy(col("k") % 7).orderBy(col("count"))))
+      .repartition(1).sortWithinPartitions("k")
+      .write.mode("overwrite").format("noop").save()
     // SPARK_GRAFT_ONLY=q28_minhash_pairs,q32_simhash_bands — iterate on a
     // subset without paying for the whole suite. Unset = run everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

@@ -44,6 +44,18 @@ object Tables {
     case _ => spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Round-robin fan-out applied ONLY when the plan currently reads
+    * fewer partitions than the session can run in parallel. The test
+    * files are single parquet row groups, so every scan starts as ONE
+    * task and compute-heavy stages above it serialize; a production
+    * many-file layout already provides the parallelism, making this a
+    * structural no-op there. Call it AFTER filters/projections so
+    * pushdown still reaches the scan. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Load all tables as a name→DataFrame map. */
   def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, sfDir, n)).toMap

@@ -42,8 +42,8 @@ object CoreQueries {
          |WHERE l_shipdate < TIMESTAMP '2001-09-01'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      li(s, dir)
-        .filter(col("l_shipdate") < lit("2001-09-01").cast("timestamp"))
+      Tables.spread(li(s, dir)
+          .filter(col("l_shipdate") < lit("2001-09-01").cast("timestamp")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
