@@ -99,7 +99,8 @@ object AdvancedQueries {
       val ev = Tables.load(s, dir, "events")
         .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
       ev.write.parquet(src)
-      graft.streaming.StreamingUpsert.runAvailableNow(s, src, ev.schema, target, ckpt)
+      graft.streaming.StreamingUpsert.runAvailableNow(s, src, ev.schema, target, ckpt,
+        statePartitions = Some(8)) // ~40 (day, type) keys: 8 stores, not 32
       s.read.parquet(target)
         .select(col("d").cast("date").as("d"), col("event_type"),
           col("n"), col("sum_value"))

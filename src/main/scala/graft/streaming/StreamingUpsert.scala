@@ -36,9 +36,23 @@ object StreamingUpsert {
       schema: StructType,
       targetDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      statePartitions: Option[Int] = None): Unit = {
 
-    val reader = spark.readStream.schema(schema)
+    // The stateful aggregation shards its state store by
+    // spark.sql.shuffle.partitions AT FIRST RUN (the layout is then
+    // pinned in the checkpoint). Each shard pays per-batch store
+    // open/commit file ops, so the count should track the DATA, not the
+    // session default — a catch-up over one day of files doesn't want
+    // hundreds of near-empty stores, a 100 TB backfill wants many. The
+    // override runs on a cloned session so the caller's conf is untouched.
+    val session = statePartitions.fold(spark) { n =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", n)
+      s
+    }
+
+    val reader = session.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
