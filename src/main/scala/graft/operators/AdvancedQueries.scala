@@ -142,6 +142,36 @@ object AdvancedQueries {
         .presented("label")
     },
 
+    // ----- Extension tier (c), whole operator: AS-OF JOIN — enrich each
+    // event with the most recent completed daily summary of its type
+    // (day D's summary becomes effective at D+1 00:00; events of the
+    // first day enrich NULL). Planned by graft's own
+    // LogicalPlan/Strategy/SparkPlan (plans/AsOfJoin.scala): one
+    // exchange per side, then a forward-only per-partition merge — no
+    // window, no union. Oracle: DuckDB's native ASOF LEFT JOIN.
+    q("q52_asof_enrich",
+      "J+/ext: as-of join via custom Strategy/SparkPlan (prior-day enrich)",
+      s"""WITH summaries AS (
+         |  SELECT event_type,
+         |         CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP) AS effective_ts,
+         |         COUNT(*) AS prev_n, ${ExactSql.dsum("value")} AS prev_sum
+         |  FROM events GROUP BY 1, 2)
+         |SELECT l.event_id, l.event_type, l.value, r.prev_n, r.prev_sum
+         |FROM events l ASOF LEFT JOIN summaries r
+         |  ON l.event_type = r.event_type AND l.ts >= r.effective_ts
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val summaries = ev
+        .groupBy(col("event_type"),
+          date_add(to_date(col("ts")), 1).cast("timestamp_ntz").as("effective_ts"))
+        .agg(count(lit(1)).as("prev_n"), dsum(col("value")).as("prev_sum"))
+      graft.plans.AsOf.join(
+          ev.select("event_id", "event_type", "value", "ts"), summaries,
+          on = Seq("event_type"), leftTsCol = "ts", rightTsCol = "effective_ts")
+        .select("event_id", "event_type", "value", "prev_n", "prev_sum")
+        .presented("event_id")
+    },
+
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
     // The sketch value itself is engine-specific, so the contract under
     // oracle is the exact count plus the bounded-error assertion — at

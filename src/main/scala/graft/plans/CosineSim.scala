@@ -139,6 +139,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectOptimizerRule(_ => FuseCosine)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -160,5 +161,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(FuseCosine))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseCosine
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 }

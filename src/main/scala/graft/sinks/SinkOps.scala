@@ -60,6 +60,24 @@ object SinkOps {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** K2 at co-location: write `df` as a BUCKETED, per-bucket-sorted
+    * table on `key`. Two tables bucketed the same way (same key, same
+    * bucket count) equi-join and aggregate on that key with NO exchange
+    * on either side — the pre-shuffle is paid once at write time, every
+    * downstream join reads co-located buckets. This is the 100 TB
+    * repeated-join story (SURVEY §4): at that scale the exchange this
+    * removes is the dominant cost of every fact-fact join.
+    * External table: data lands at `path`, metadata in the session
+    * catalog under `name`. */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(name)
+
   /** Result of a [[putBatched]] run: rows attempted / stored / failed. */
   final case class PutStats(attempted: Long, stored: Long, failed: Long)
 

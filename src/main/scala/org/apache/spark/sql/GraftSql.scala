@@ -25,4 +25,16 @@ object GraftSql {
     * Divide's ANSI eval-mode semantics. */
   def divideByZeroError(): ArithmeticException =
     org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+
+  /** Wrap a custom LogicalPlan as a DataFrame (the private[sql]
+    * Dataset.ofRows), for operators graft plans itself (as-of join). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan (resolved attributes), for
+    * building custom plan nodes over existing frames. */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
