@@ -172,6 +172,33 @@ object AdvancedQueries {
         .presented("event_id")
     },
 
+    // ----- T6 stream-STREAM: run the watermarked interval join
+    // (purchases × same-user clicks of the preceding day) as an
+    // AvailableNow job and return the written pairs — which must equal
+    // the batch time-bound join DuckDB computes. Complements q49
+    // (stream-batch upsert) and q43 (session windows): with it, every
+    // streaming operator family is oracle-checked end to end.
+    q("q53_stream_interval_join",
+      "T6: stream-stream watermarked interval join ≡ batch time-bound join",
+      """SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |ORDER BY p_event_id, c_event_id""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_q53").toFile.getAbsolutePath
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      // Same normalization as q49: NANOS→timestamp once, then stream.
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      ev.write.parquet(src)
+      graft.streaming.StreamIntervalJoin.runAvailableNow(
+        s, src, ev.schema, target, ckpt, statePartitions = Some(8))
+      s.read.parquet(target)
+        .select("p_event_id", "c_event_id", "user_id")
+        .presented("p_event_id", "c_event_id")
+    },
+
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
     // The sketch value itself is engine-specific, so the contract under
     // oracle is the exact count plus the bounded-error assertion — at

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** T6, stream-STREAM: the attribution join — every purchase paired with
+  * the clicks of the SAME user in the preceding day — as a watermarked
+  * interval join (the one streaming operator family the engine had not
+  * yet demonstrated; batch analog: the reference's telemetry-to-weather
+  * time-window pairing, src/main.py:239-316).
+  *
+  * Scale contract: the event-time bound on BOTH sides plus the two
+  * watermarks let Spark EVICT join state — a click older than
+  * (watermark − 1 day) can never match a future purchase, so per-key
+  * state is a sliding day of clicks, not the stream's history. Append
+  * mode emits a pair exactly once, when the watermark passes the bound.
+  */
+object StreamIntervalJoin {
+
+  /** One AvailableNow catch-up: drain `srcDir`, join purchases to the
+    * same user's clicks with `c_ts ∈ [p_ts − 1 day, p_ts]`, append the
+    * (p_event_id, c_event_id, user_id) pairs to `targetDir` parquet. */
+  def runAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      targetDir: String,
+      checkpointDir: String,
+      statePartitions: Option[Int] = None): Unit = {
+
+    val session = statePartitions.fold(spark) { n =>
+      val s = spark.newSession() // same rationale as StreamingUpsert
+      s.conf.set("spark.sql.shuffle.partitions", n)
+      s
+    }
+
+    // Two independent sources over the same directory — each side scans
+    // and filters its own event class (at scale these are two topics).
+    def side(eventType: String, prefix: String) =
+      session.readStream.schema(schema).parquet(srcDir)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("user_id").as(s"${prefix}_user_id"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 day")
+
+    val joined = side("purchase", "p")
+      .join(side("click", "c"),
+        expr("p_user_id = c_user_id AND " +
+          "c_ts BETWEEN p_ts - INTERVAL 1 DAY AND p_ts"),
+        "inner")
+      .select(col("p_event_id"), col("c_event_id"),
+        col("p_user_id").as("user_id"))
+
+    val query = joined.writeStream
+      .outputMode("append") // stream-stream joins emit append-only
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", targetDir)
+      .start()
+    query.awaitTermination()
+  }
+}

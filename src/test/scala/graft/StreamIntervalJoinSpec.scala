@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.StreamIntervalJoin
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-stream interval join across TWO AvailableNow cycles: the
+  * second cycle's late click must pair with a purchase held in the
+  * checkpointed join state from cycle one, and the final table must
+  * equal the batch join of everything — emitted exactly once each. */
+class StreamIntervalJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("late click joins a cycle-one purchase from checkpointed state") {
+    val root = Files.createTempDirectory("graft_ssj").toFile.getAbsolutePath
+    val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+
+    val cycle1 = Seq(
+      (10L, 1L, "purchase", ts("2024-01-02 10:00:00")),
+      (20L, 1L, "click", ts("2024-01-02 09:00:00")),    // in [p-1d, p] → pairs
+      (21L, 1L, "click", ts("2024-01-01 08:00:00")),    // before the window
+      (22L, 2L, "click", ts("2024-01-02 09:30:00")))    // other user
+      .toDF("event_id", "user_id", "event_type", "ts")
+    cycle1.write.mode("append").parquet(src)
+    StreamIntervalJoin.runAvailableNow(spark, src, cycle1.schema, target, ckpt)
+
+    val after1 = spark.read.parquet(target)
+      .select("p_event_id", "c_event_id").as[(Long, Long)].collect().toSet
+    assert(after1 == Set((10L, 20L)))
+
+    // Cycle two: a LATE click inside purchase 10's window, plus a new
+    // purchase that must see cycle one's clicks from state.
+    Seq(
+      (23L, 1L, "click", ts("2024-01-02 09:45:00")),
+      (11L, 1L, "purchase", ts("2024-01-02 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("append").parquet(src)
+    StreamIntervalJoin.runAvailableNow(spark, src, cycle1.schema, target, ckpt)
+
+    val after2 = spark.read.parquet(target)
+      .select("p_event_id", "c_event_id").as[(Long, Long)].collect().toList
+    // Exactly-once: no pair may be re-emitted by the second cycle.
+    assert(after2.size == after2.toSet.size)
+    assert(after2.toSet == Set(
+      (10L, 20L), (10L, 23L),            // late click reached old purchase
+      (11L, 20L), (11L, 23L)))           // new purchase saw stated clicks
+  }
+}
