@@ -199,6 +199,31 @@ object AdvancedQueries {
         .presented("p_event_id", "c_event_id")
     },
 
+    // ----- T6+X3: streaming DEDUP-AT-INGEST. The whole source is
+    // delivered TWICE (two identical files) and drained one file per
+    // micro-batch, so the re-delivery lands in a LATER batch and
+    // dropDuplicatesWithinWatermark must recognize it from keyed state —
+    // the written table must equal the plain distinct source.
+    q("q54_stream_dedup",
+      "T6/X3: dropDuplicatesWithinWatermark across re-delivered batches",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_q54").toFile.getAbsolutePath
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("timestamp").as("ts"))
+        .coalesce(1) // one file per delivery → exactly two micro-batches
+      ev.write.parquet(src)
+      ev.write.mode("append").parquet(src) // the duplicate delivery
+      graft.streaming.StreamDedup.runAvailableNow(
+        s, src, ev.schema, "event_id", target, ckpt,
+        maxFilesPerTrigger = Some(1), statePartitions = Some(8))
+      s.read.parquet(target)
+        .select("event_id", "user_id", "event_type", "value")
+        .presented("event_id")
+    },
+
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
     // The sketch value itself is engine-specific, so the contract under
     // oracle is the exact count plus the bounded-error assertion — at
