@@ -224,6 +224,62 @@ object AdvancedQueries {
         .presented("event_id")
     },
 
+    // ----- A8 completion: CUBE — all four grouping sets of two dims in
+    // one pass (one Expand, one hash aggregate; same Catalyst machinery
+    // as q21's ROLLUP but the full lattice).
+    q("q55_cube",
+      "A8: cube over (event_type, user bucket) with grouping() flags",
+      s"""SELECT event_type, user_id % 10 AS user_bucket,
+         |  CAST(GROUPING(event_type) AS INT) AS g_type,
+         |  CAST(GROUPING(user_id % 10) AS INT) AS g_u,
+         |  COUNT(*) AS n, ${ExactSql.dsum("value")} AS sum_value
+         |FROM events
+         |GROUP BY CUBE (event_type, user_id % 10)
+         |ORDER BY g_type, g_u, event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("user_bucket")).cast("int").as("g_u"),
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+        .select("event_type", "user_bucket", "g_type", "g_u", "n", "sum_value")
+        .presented(col("g_type"), col("g_u"),
+          col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+    },
+
+    // ----- W2 completion: the distribution-rank analytic family —
+    // dense_rank / ntile / percent_rank / cume_dist over daily totals,
+    // totally ordered (sum desc, then date) so both engines agree on
+    // every tie.
+    q("q56_rank_family",
+      "W2: dense_rank + ntile + percent_rank + cume_dist per group",
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+         |                      ${ExactSql.dsum("value")} AS sum_value
+         |               FROM events GROUP BY 1, 2)
+         |SELECT event_type, d, sum_value,
+         |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+         |  PERCENT_RANK() OVER w AS pct_rank,
+         |  CUME_DIST() OVER w AS cume
+         |FROM daily
+         |WINDOW w AS (PARTITION BY event_type ORDER BY sum_value DESC, d)
+         |ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(dsum(col("value")).as("sum_value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("sum_value").desc, col("d"))
+      daily
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .presented("event_type", "d")
+    },
+
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
     // The sketch value itself is engine-specific, so the contract under
     // oracle is the exact count plus the bounded-error assertion — at
