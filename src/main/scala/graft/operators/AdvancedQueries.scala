@@ -280,6 +280,34 @@ object AdvancedQueries {
         .presented("event_type", "d")
     },
 
+    // ----- A8 (quantiles): exact interpolated percentiles per group —
+    // both engines define quantile_cont/percentile as linear
+    // interpolation, so the values hash-match after 6dp rounding — plus
+    // the approx_percentile sketch bounded against them (the number a
+    // 100 TB job actually computes; the exact form needs a full sort).
+    q("q57_percentiles",
+      "A8: exact interpolated quartiles + bounded approx sketch per group",
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(value, 0.50), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+        |  TRUE AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.50)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          expr("approx_percentile(value, 0.50, 1000)").as("approx_p50"),
+          expr("min(value)").as("lo"), expr("max(value)").as("hi"))
+        .select(col("event_type"), col("p25"), col("p50"), col("p75"),
+          // the sketch must land within 2% of the value range of the median
+          (abs(col("approx_p50") - col("p50")) <=
+            (col("hi") - col("lo")) * 0.02).as("approx_within_tol"))
+        .presented("event_type")
+    },
+
     // ----- A8: sketch-based distinct (HLL++) next to the exact count.
     // The sketch value itself is engine-specific, so the contract under
     // oracle is the exact count plus the bounded-error assertion — at
