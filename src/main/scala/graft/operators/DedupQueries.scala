@@ -59,7 +59,7 @@ object DedupQueries {
     * windows + concat_ws stay inside WholeStageCodegen. The window and
     * BOTH dedup/signature aggregates reuse the incoming hash
     * distribution on doc_id, so the whole shingle stage is one exchange. */
-  private def shingleRows(u: DataFrame, n: Int): DataFrame = {
+  private def shingleRows(u: DataFrame, n: Int, dedup: Boolean = true): DataFrame = {
     val toks = u.select(col("doc_id"),
         posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "") // empties from leading/trailing delimiters
@@ -67,10 +67,13 @@ object DedupQueries {
     val withNext = (1 until n).foldLeft(toks) { (df, k) =>
       df.withColumn(s"t$k", lead(col("tok"), k).over(w))
     }
-    withNext.filter(col(s"t${n - 1}").isNotNull) // short tails shingle nothing
+    val rows = withNext.filter(col(s"t${n - 1}").isNotNull) // short tails shingle nothing
       .select(col("doc_id"),
         concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*).as("t"))
-      .distinct() // per-doc distinct, like the HOF's array_distinct
+    // per-doc distinct, like the HOF's array_distinct — skippable when the
+    // consumer's aggregates are duplicate-insensitive anyway (q28: min
+    // permutations + collect_set both are)
+    if (dedup) rows.distinct() else rows
   }
 
   /** DuckDB mirror of [[TextOps.hash60]]. */
@@ -163,7 +166,7 @@ object DedupQueries {
       val u = withPlanted(base, 10, 10000, dropFirstTok).repartition(col("doc_id"))
       // Hashed-shingle space end to end: one md5 per distinct shingle;
       // the Jaccard verify runs on the compact int arrays, not strings.
-      val shr = shingleRows(u, 3)
+      val shr = shingleRows(u, 3, dedup = false) // sig aggs are dup-insensitive
         .withColumn("h31", TextOps.hash60(col("t")).bitwiseAND(lit(2147483647L)))
       // ONE hash aggregate builds the whole signature table: the
       // distinct-shingle-hash set for the Jaccard verify plus all k
