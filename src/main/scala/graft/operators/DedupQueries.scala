@@ -88,6 +88,10 @@ object DedupQueries {
   private def shinglesSql(toks: String): String =
     s"list_distinct([list_aggregate(list_slice($toks, i, i + 2), 'string_agg', ' ') for i in range(1, len($toks) - 1)])"
 
+  /** DuckDB word n-grams, distinct, for arbitrary n. */
+  private def ngramsSql(toks: String, n: Int): String =
+    s"list_distinct([list_aggregate(list_slice($toks, i, i + ${n - 1}), 'string_agg', ' ') for i in range(1, len($toks) - ${n - 2})])"
+
   /** DuckDB mirror of [[TextOps.simhash]] over a token-hash list column. */
   private def simhashSql(hs: String): String =
     (0 until 60).map { j =>
@@ -96,6 +100,7 @@ object DedupQueries {
 
   private val JaccardThresh = 0.6
   private val HammingThresh = 10
+  private val ContamThresh = 0.5
 
   /** Universal-hash permutation constants for MinHash: minhash_j =
     * (a_j·h31 + b_j) mod p over h31 = hash60(t) & (2^31−1). One md5 per
@@ -272,6 +277,60 @@ object DedupQueries {
         .filter(col("hamming") <= HammingThresh)
         .select("id_a", "id_b", "hamming")
         .presented("id_a", "id_b")
+    },
+
+    // ----- X3 (cross-corpus): train/eval CONTAMINATION detection — the
+    // decontamination sweep every training-data pipeline runs before a
+    // corpus ships. Every 50th doc plays the eval set; the train corpus
+    // is the base plus PLANTED near-copies of eval docs (first token
+    // dropped, id+40000). A train doc is contaminated when it contains
+    // ≥ half of an eval doc's distinct word-8-grams (the industry-usual
+    // n-gram containment test). Candidate generation is the 8-gram
+    // equi-join — work scales with shared n-grams, never |eval|×|train|;
+    // at 100 TB the join key becomes the n-gram HASH (and the eval side
+    // is small enough to broadcast), same plan shape.
+    q("q58_contamination",
+      "X3: train/eval 8-gram containment (decontamination sweep)",
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |     train AS (SELECT doc_id, text FROM documents
+         |               UNION ALL
+         |               SELECT doc_id + 40000, $dropFirstTokSql FROM documents
+         |               WHERE doc_id % 50 = 0),
+         |     eg AS (SELECT doc_id AS eval_id, unnest(${ngramsSql(tokensSql("text"), 8)}) AS t FROM ev),
+         |     tg AS (SELECT doc_id AS train_id, unnest(${ngramsSql(tokensSql("text"), 8)}) AS t FROM train),
+         |     shared AS (SELECT eval_id, train_id, COUNT(*) AS n_shared
+         |                FROM eg JOIN tg USING (t)
+         |                WHERE eval_id <> train_id
+         |                GROUP BY 1, 2),
+         |     totals AS (SELECT eval_id, COUNT(*) AS n_eval FROM eg GROUP BY 1)
+         |SELECT s.eval_id, s.train_id, s.n_shared,
+         |       ROUND(CAST(s.n_shared AS DOUBLE) / t.n_eval, 6) AS containment
+         |FROM shared s JOIN totals t USING (eval_id)
+         |WHERE ROUND(CAST(s.n_shared AS DOUBLE) / t.n_eval, 6) >= $ContamThresh
+         |ORDER BY eval_id, train_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val evalDocs = base.filter(col("doc_id") % 50 === 0)
+      val train = base.unionAll(
+        evalDocs.select((col("doc_id") + 40000).as("doc_id"),
+          dropFirstTok(col("text")).as("text")))
+      // Distinct word-8-grams as rows, each side (the window exchange on
+      // doc_id doubles as the corpus spread).
+      val eg = shingleRows(evalDocs, 8)
+        .select(col("doc_id").as("eval_id"), col("t"))
+        .localCheckpoint(false) // feeds the join AND the totals
+      val tg = shingleRows(train, 8)
+        .select(col("doc_id").as("train_id"), col("t"))
+      val shared = eg.join(tg, "t")
+        .filter(col("eval_id") =!= col("train_id"))
+        .groupBy(col("eval_id"), col("train_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val totals = eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+      shared.join(totals, "eval_id")
+        .withColumn("containment",
+          round(col("n_shared").cast("double") / col("n_eval"), 6))
+        .filter(col("containment") >= ContamThresh)
+        .select("eval_id", "train_id", "n_shared", "containment")
+        .presented("eval_id", "train_id")
     }
   )
 }
