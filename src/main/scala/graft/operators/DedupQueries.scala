@@ -331,6 +331,91 @@ object DedupQueries {
         .filter(col("containment") >= ContamThresh)
         .select("eval_id", "train_id", "n_shared", "containment")
         .presented("eval_id", "train_id")
+    },
+
+    // ----- X3 (cluster resolution): near-dup PAIRS are not the end of a
+    // dedup pipeline — transitive copies (A≈B, B≈C but A,C share no key)
+    // must land in ONE cluster so exactly one canonical doc survives.
+    // Candidate edges come from multi-key normalization blocking (md5 of
+    // the text and of the text minus its leading token — a drop-a-token
+    // chain collides on adjacent keys), then distributed CONNECTED
+    // COMPONENTS by iterative min-label propagation: each round is one
+    // equi-join + one min-aggregate, both keyed on the vertex id, and the
+    // round count grows with component DIAMETER, not corpus size — the
+    // driver loop is the same shape GraphX Pregel runs. At 100 TB the
+    // edge list shuffles once per round and dup components stay tiny, so
+    // rounds ≈ 2-3; star-contraction variants cut worst cases to log n.
+    // Planted: every 25th doc re-appears minus its first token
+    // (id+40000), every 50th additionally minus two tokens (id+80000) —
+    // the {A,B,C} chains are grouped only by the transitive closure.
+    q("q59_dup_clusters",
+      "X3: multi-key blocking + connected-components dup clusters",
+      s"""WITH RECURSIVE
+         |  u AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 40000, $dropFirstTokSql FROM documents WHERE doc_id % 25 = 0
+         |        UNION ALL
+         |        SELECT doc_id + 80000, ${dropFirstTokSql.replace("text", dropFirstTokSql)}
+         |        FROM documents WHERE doc_id % 50 = 0),
+         |  keys AS (SELECT doc_id, unnest([md5(text), md5($dropFirstTokSql)]) AS k FROM u),
+         |  e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |        FROM keys a JOIN keys b USING (k) WHERE a.doc_id <> b.doc_id),
+         |  walk(id, r) AS (
+         |    SELECT DISTINCT a, a FROM e
+         |    UNION
+         |    SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id),
+         |  comp AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id),
+         |  sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY 1)
+         |SELECT c.cluster_id, c.id AS doc_id, s.n_members
+         |FROM comp c JOIN sizes s USING (cluster_id)
+         |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val u = base
+        .unionAll(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            dropFirstTok(col("text")).as("text")))
+        .unionAll(base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 80000).as("doc_id"),
+            dropFirstTok(dropFirstTok(col("text"))).as("text")))
+      // Blocking: two normalization keys per doc, bucket pre-aggregation
+      // (identical plan shape to q28's band buckets — singleton buckets
+      // die before any pair exists), pairs only within a bucket.
+      val keyed = u.select(col("doc_id"), explode(array(
+          md5(col("text")), md5(dropFirstTok(col("text"))))).as("k"))
+      val edges = keyed.groupBy(col("k"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint() // the loop below re-reads it every round
+      // Min-label propagation to fixpoint. Labels are re-checkpointed
+      // per round: truncates the iterative lineage AND gives the loop's
+      // convergence count an action to ride on.
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("lbl").as("nbr_lbl")), "b")
+          .groupBy(col("a")).agg(min(col("nbr_lbl")).as("nbr"))
+          .withColumnRenamed("a", "id")
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("lbl"),
+            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl2"))
+          .localCheckpoint()
+        changed = next.filter(col("lbl2") < col("lbl")).count()
+        labels = next.select(col("id"), col("lbl2").as("lbl"))
+        rounds += 1
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "lbl")
+        .select(col("lbl").as("cluster_id"), col("id").as("doc_id"),
+          col("n_members"))
+        .presented("cluster_id", "doc_id")
     }
   )
 }
