@@ -16,6 +16,7 @@ object SparkEntry {
       operators.DedupQueries.all ++
       operators.SimilarityQueries.all ++
       operators.TextQueries.all ++
+      operators.CurationQueries.all ++
       operators.PipelineQueries.all ++
       operators.MediaQueries.all ++
       operators.AdvancedQueries.all

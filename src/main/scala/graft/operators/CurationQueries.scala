@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.NamedQuery.{q, PresentationOps}
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries over `documents` (SURVEY.md §2.10 X3/X4
+  * umbrella): the assignment/selection passes a training-data pipeline
+  * runs between profiling (q29/q33-q35) and shipping — deterministic
+  * holdout splits and domain-mixture rebalancing. Nothing here is
+  * random: every selection keys off a stable md5-derived hash of the
+  * document id ([[TextOps.hash60]] — identical in DuckDB), so re-runs,
+  * retries, and incremental extensions of the corpus never reshuffle
+  * past assignments. That determinism is the operator; rand()-based
+  * sampling cannot be re-derived or oracle-checked.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Stable per-doc hash, DuckDB-mirrorable. */
+  private val hashSql =
+    "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** Target mixture for q62 (must sum to 1 over the corpus langs). */
+  private val Mixture: Seq[(String, Double)] = Seq(
+    "de" -> 0.15, "en" -> 0.4, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ----- Deterministic stratified train/val/test split: bucket each
+    // doc by hash(doc_id) % 100 (80/10/10), report per-(lang, split)
+    // counts and within-stratum shares. One scan + one hash-aggregate;
+    // the share window runs over the tiny aggregate, not the corpus.
+    // Hash-of-key assignment is the 100 TB answer: no global order, no
+    // state, any executor can re-derive any row's split independently.
+    q("q61_stratified_split",
+      "X4: deterministic 80/10/10 stratified split by key hash",
+      s"""WITH a AS (SELECT lang, $hashSql % 100 AS b FROM documents),
+         |  s AS (SELECT lang,
+         |          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM a)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+         |        SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS share
+         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val b = TextOps.hash60(col("doc_id").cast("string")) % 100
+      docs(s, dir)
+        .select(col("lang"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
+        .presented("lang", "split")
+    },
+
+    // ----- Domain-mixture rebalance: given target lang proportions,
+    // keep the LARGEST corpus whose mixture hits them exactly —
+    // M = min_l(n_l / t_l) total, k_l = floor(t_l · M) per lang — then
+    // select each stratum's k_l docs deterministically (smallest doc
+    // hashes first). The per-stratum row_number is the exact-k
+    // selection; at 100 TB strata outgrow a single sort task, so the
+    // scale path is the same two-phase selection CollectTopK (q26) runs
+    // for kNN — per-partition k-heaps on (-h), merge k per stratum —
+    // or rate-based keep (h % R < r) when ±0.1% mixture error is fine.
+    // The one-row M frame and the 5-row quota frame stay broadcast.
+    q("q62_mixture_rebalance",
+      "X4: exact-quota domain-mixture rebalance, hash-deterministic",
+      {
+        val vals = Mixture.map { case (l, t) =>
+          s"('$l', CAST($t AS DOUBLE))"
+        }.mkString(", ")
+        s"""WITH t(lang, tgt) AS (VALUES $vals),
+           |  a AS (SELECT doc_id, lang, $hashSql AS h FROM documents),
+           |  cnt AS (SELECT lang, COUNT(*) AS n FROM a GROUP BY 1),
+           |  m AS (SELECT MIN(CAST(n AS DOUBLE) / tgt) AS m
+           |        FROM cnt JOIN t USING (lang)),
+           |  k AS (SELECT lang, tgt, CAST(FLOOR(tgt * m) AS BIGINT) AS k
+           |        FROM t CROSS JOIN m),
+           |  r AS (SELECT lang, ROW_NUMBER() OVER
+           |          (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           |        FROM a),
+           |  kc AS (SELECT r.lang, COUNT(*) AS n_kept
+           |         FROM r JOIN k USING (lang) WHERE rn <= k GROUP BY 1),
+           |  tot AS (SELECT SUM(n_kept) AS total_kept FROM kc)
+           |SELECT c.lang, c.n AS n_before, kc.n_kept, t.tgt AS target_share,
+           |  ROUND(CAST(kc.n_kept AS DOUBLE) / tot.total_kept, 6) AS achieved_share
+           |FROM cnt c JOIN kc USING (lang) JOIN t USING (lang) CROSS JOIN tot
+           |ORDER BY lang""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val tgt = Mixture.toDF("lang", "tgt")
+      val a = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.hash60(col("doc_id").cast("string")).as("h"))
+      val cnt = a.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val m = cnt.join(broadcast(tgt), "lang")
+        .agg(min(col("n").cast("double") / col("tgt")).as("m"))
+      val quotas = tgt.crossJoin(broadcast(m))
+        .select(col("lang"), col("tgt"), floor(col("tgt") * col("m")).as("k"))
+      val ranked = a.withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id")))
+      val keptCnt = ranked.join(broadcast(quotas), "lang")
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      val total = keptCnt.agg(sum(col("n_kept")).as("total_kept"))
+      cnt.join(keptCnt, "lang")
+        .join(broadcast(tgt), "lang")
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n").as("n_before"), col("n_kept"),
+          col("tgt").as("target_share"),
+          round(col("n_kept").cast("double") / col("total_kept"), 6)
+            .as("achieved_share"))
+        .presented("lang")
+    },
+
+    // ----- PII scrub: detect and redact structured PII (emails, phone
+    // numbers) before a corpus ships. The synthetic docs are clean, so
+    // PII is PLANTED in place (every 6th doc gains a derived email,
+    // every 8th a derived phone number) and the operator must find
+    // exactly those. Pure columnar regexp algebra — count, then redact
+    // with placeholder tags — so the scrub distributes with the scan;
+    // the output carries md5(redacted) rather than the redacted text
+    // (hash equality proves byte-identical redaction, and keeps the
+    // result narrow). Patterns stay in the RE2 ∩ java.util.regex
+    // dialect ([0-9], no lookaround) so both engines agree.
+    q("q63_pii_scrub",
+      "X4: regex PII detection + redaction with audit counts",
+      s"""WITH u AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 6 = 0
+         |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+         |            ELSE '' END
+         |    || CASE WHEN doc_id % 8 = 0
+         |            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+         |            ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS n_email,
+         |  len(regexp_extract_all(text, '555-[0-9]{3}-[0-9]{4}')) AS n_phone,
+         |  length(regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |         '555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS n_chars_clean,
+         |  md5(regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |      '555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_hash
+         |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phonePat = "555-[0-9]{3}-[0-9]{4}"
+      val planted = concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@mail.com")))
+          .otherwise(""),
+        when(col("doc_id") % 8 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199")))
+          .otherwise(""))
+      val clean = regexp_replace(
+        regexp_replace(col("text"), emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+      docs(s, dir).select(col("doc_id"), planted.as("text"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(emailPat)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phone"),
+          length(clean).cast("long").as("n_chars_clean"),
+          md5(clean).as("clean_hash"))
+        .presented("doc_id")
+    }
+  )
+}

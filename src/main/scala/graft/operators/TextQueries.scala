@@ -36,6 +36,9 @@ object TextQueries {
 
   private val Stopwords: Seq[String] = Profiles.toMap.apply("en")
 
+  /** Fixed keyword query for the BM25 scorer (corpus-vocabulary terms). */
+  private val BmTerms: Seq[String] = Seq("vector", "hash", "merge")
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- X4: corpus stats per (lang, source-bucketed): counts, char
@@ -267,6 +270,61 @@ object TextQueries {
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .presented("keep_id")
+    },
+
+    // ----- X4 (relevance): BM25 keyword scoring — the ranking function
+    // behind lexical retrieval, as pure columnar algebra: one token
+    // explode feeding three aggregates (per-doc length, corpus stats,
+    // per-(doc,term) frequency), each one hash shuffle; the one-row
+    // corpus-stats frame and the per-term document frequencies are
+    // broadcast back, so the scoring join adds no exchange. Cross-engine
+    // float parity: every non-dyadic literal is an explicit DOUBLE cast
+    // in the oracle (DuckDB parses bare numeric literals as DECIMAL,
+    // which would route the arithmetic through exact decimal and drift
+    // a ulp from Spark's double path), the idf log is rounded to 6dp
+    // before use (libm last-ulp differences), and per-term weights are
+    // rounded then summed as exact decimals (Exact.dsum,
+    // order-independence). At 100 TB the top-k presentation over these
+    // scores is CollectTopK (q26); the scoring itself is shuffle-minimal.
+    q("q60_bm25",
+      "X4: BM25 keyword relevance scoring (k1=1.2, b=0.75)",
+      {
+        val terms = BmTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+           |  dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+           |  stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+           |  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           |         WHERE tok IN ($terms) GROUP BY 1, 2),
+           |  dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+           |  w AS (SELECT t.doc_id,
+           |          ROUND(ROUND(ln(CAST(1 AS DOUBLE) +
+           |              (s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE))), 6)
+           |            * (t.tf * CAST(2.2 AS DOUBLE) /
+           |               (t.tf + CAST(1.2 AS DOUBLE) *
+           |                (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))), 6) AS wt
+           |        FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d ON d.tok = t.tok
+           |        CROSS JOIN stats s)
+           |SELECT doc_id, ${ExactSql.dsum("wt")} AS bm25
+           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = toks.filter(col("tok").isin(BmTerms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val idf = round(log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+      val tfPart = col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(dl, "doc_id")
+        .join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(idf * tfPart, 6).as("wt"))
+        .groupBy(col("doc_id")).agg(dsum(col("wt")).as("bm25"))
+        .presented("doc_id")
     }
   )
 }
