@@ -166,6 +166,52 @@ object CurationQueries {
           length(clean).cast("long").as("n_chars_clean"),
           md5(clean).as("clean_hash"))
         .presented("doc_id")
+    },
+
+    // ----- Repetition filter: the Gopher-style quality gate that drops
+    // boilerplate/spammy docs by their repeated-n-gram mass. Planted:
+    // every 10th doc is replaced by its own first 5 tokens repeated 12
+    // times (id+60000) — those must fail the gate; originals pass or
+    // fail on their own merits. rep_ratio = 1 − distinct/total word
+    // trigrams. One posexplode + two per-doc aggregates, all reusing
+    // the doc_id distribution — one exchange end to end at any scale.
+    q("q64_repetition_filter",
+      "X4: repeated-trigram ratio quality gate (boilerplate filter)",
+      {
+        val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        s"""WITH u AS (SELECT doc_id, text FROM documents
+           |     UNION ALL
+           |     SELECT doc_id + 60000,
+           |            repeat(list_aggregate(list_slice($toks, 1, 5), 'string_agg', ' ') || ' ', 12)
+           |     FROM documents WHERE doc_id % 10 = 0),
+           |  g AS (SELECT doc_id, unnest([list_aggregate(list_slice(ts, i, i + 2), 'string_agg', ' ')
+           |                               for i in range(1, len(ts) - 1)]) AS t
+           |        FROM (SELECT doc_id, $toks AS ts FROM u)),
+           |  r AS (SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT t) AS n_distinct
+           |        FROM g GROUP BY 1)
+           |SELECT doc_id,
+           |  ROUND(CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio,
+           |  (CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_grams > CAST(0.2 AS DOUBLE)) AS fails
+           |FROM r ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val head5 = concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5))
+      val u = base.unionAll(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 60000).as("doc_id"),
+            concat_ws(" ", (1 to 12).map(_ => head5): _*).as("text")))
+      // Raw (non-distinct) trigram rows; both aggregates ride the same
+      // doc_id hash distribution as the shingle window itself.
+      val grams = DedupQueries.shingleRowsOf(u, 3)
+      grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count_distinct(col("t")).as("n_distinct"))
+        .select(col("doc_id"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
+            .as("rep_ratio"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_grams") > lit(0.2))
+            .as("fails"))
+        .presented("doc_id")
     }
   )
 }

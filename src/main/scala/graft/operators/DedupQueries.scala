@@ -76,6 +76,10 @@ object DedupQueries {
     if (dedup) rows.distinct() else rows
   }
 
+  /** Raw (non-distinct) word n-gram rows — shared with CurationQueries. */
+  private[operators] def shingleRowsOf(u: DataFrame, n: Int): DataFrame =
+    shingleRows(u, n, dedup = false)
+
   /** DuckDB mirror of [[TextOps.hash60]]. */
   private def hash60Sql(tok: String): String =
     s"CAST(CONCAT('0x', substr(md5($tok), 1, 15)) AS BIGINT)"

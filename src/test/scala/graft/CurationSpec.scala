@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level invariants for the corpus-curation family (q58-q64)
+  * at sf0.001 — the properties the DuckDB hash-match can't articulate:
+  * planted artifacts are FOUND, assignments are exhaustive, and the
+  * transitive closure actually closes.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q59: planted drop-token chains resolve into one cluster per origin") {
+    val rows = run("q59_dup_clusters")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    // Every 50th doc spawned {i, i+40000, i+80000}: the A-C link exists
+    // only transitively (A,C share no blocking key), so finding all
+    // three under cluster_id=i is the closure property itself.
+    val origins = rows.map(_.getAs[Long]("doc_id")).filter(id =>
+      id < 40000 && id % 50 == 0)
+    assert(origins.nonEmpty)
+    origins.foreach { i =>
+      val members = byCluster.getOrElse(i, Set.empty)
+      assert(Set(i, i + 40000, i + 80000).subsetOf(members),
+        s"chain of $i not fully clustered: $members")
+    }
+    // n_members is consistent with the actual member count.
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_members")).distinct.sameElements(Array(rs.length.toLong)))
+    }
+  }
+
+  test("q61: split shares sum to 1 within each stratum and cover every doc") {
+    val rows = run("q61_stratified_split")
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val s = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$lang shares sum to $s")
+    }
+  }
+
+  test("q62: achieved mixture hits the target within quota rounding") {
+    val rows = run("q62_mixture_rebalance")
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    rows.foreach { r =>
+      val achieved = r.getAs[Double]("achieved_share")
+      val target = r.getAs[Double]("target_share")
+      // floor() rounding perturbs each stratum by at most 1/totalKept.
+      assert(math.abs(achieved - target) <= 1.5 / totalKept,
+        s"${r.getAs[String]("lang")}: achieved $achieved vs target $target")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_before"))
+    }
+  }
+
+  test("q63: planted PII is found and redaction removes every match") {
+    val rows = run("q63_pii_scrub")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_email") >= 1) == (id % 6 == 0),
+        s"doc $id email count ${r.getAs[Long]("n_email")}")
+      assert((r.getAs[Long]("n_phone") >= 1) == (id % 8 == 0),
+        s"doc $id phone count ${r.getAs[Long]("n_phone")}")
+    }
+  }
+
+  test("q64: every planted repetition doc fails the gate") {
+    val rows = run("q64_repetition_filter")
+    val planted = rows.filter(_.getAs[Long]("doc_id") >= 60000)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(r.getAs[Boolean]("fails"),
+        s"planted doc ${r.getAs[Long]("doc_id")} rep_ratio ${r.getAs[Double]("rep_ratio")}")
+    }
+  }
+
+  test("q58: every planted eval near-copy is flagged as contaminated") {
+    val rows = run("q58_contamination")
+    val evalIds = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flaggedPairs = rows.map(r =>
+      (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"))).toSet
+    evalIds.foreach { i =>
+      assert(flaggedPairs.contains((i, i + 40000)),
+        s"planted near-copy of eval doc $i not flagged")
+    }
+  }
+}
