@@ -333,6 +333,56 @@ object AdvancedQueries {
           (abs(col("approx") - col("n_users")) <=
             col("n_users").cast("double") * 0.05).as("approx_within_5pct"))
         .presented("event_type")
+    },
+
+    // ----- W2/A: funnel analysis — strictly-SEQUENCED stage conversion
+    // (view, then a click after that view, then a purchase after that
+    // click), not mere event presence. Each stage is one filter + one
+    // min-aggregate keyed on user_id, reusing the previous stage's
+    // timestamps through an equi-join on the same key — so the whole
+    // funnel is hash-partitioned by user once and every stage reduces
+    // map-side; no windows over the event stream, no self-cross. The
+    // 4-row stage summary then takes its step rates from a lag window
+    // over the tiny aggregate.
+    q("q66_funnel",
+      "W2/A6: strict-sequence funnel (view → click → purchase) conversion",
+      s"""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+         |           WHERE event_type = 'view' GROUP BY 1),
+         |  c AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+         |        WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+         |  p AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN c USING (user_id)
+         |        WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+         |  stages AS (
+         |    SELECT '0_any' AS stage, COUNT(DISTINCT user_id) AS n_users FROM events
+         |    UNION ALL SELECT '1_view', COUNT(*) FROM v
+         |    UNION ALL SELECT '2_click', COUNT(*) FROM c
+         |    UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
+         |SELECT stage, n_users,
+         |  COALESCE(ROUND(CAST(n_users AS DOUBLE) /
+         |    NULLIF(lag(n_users) OVER (ORDER BY stage), 0), 6), CAST(1 AS DOUBLE)) AS conv_rate
+         |FROM stages ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val stages = ev.agg(count_distinct(col("user_id")).as("n_users"))
+        .select(lit("0_any").as("stage"), col("n_users"))
+        .unionAll(v.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n")))
+        .unionAll(c.agg(count(lit(1)).as("n")).select(lit("2_click").as("stage"), col("n")))
+        .unionAll(p.agg(count(lit(1)).as("n")).select(lit("3_purchase").as("stage"), col("n")))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      stages.select(col("stage"), col("n_users"),
+          coalesce(
+            round(col("n_users").cast("double") /
+              nullif(lag(col("n_users"), 1).over(w), lit(0L)), 6),
+            lit(1.0)).as("conv_rate"))
+        .presented("stage")
     }
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{noOracle, q, PresentationOps}
-import graft.functions.VectorOps
+import graft.functions.{Exact, ExactSql, VectorOps}
 import graft.pipeline.Embedder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -353,6 +353,69 @@ object SimilarityQueries {
         .filter(col("sim") >= NdThresh)
         .select("id_a", "id_b", "bucket", "sim")
         .presented("id_a", "id_b")
+    },
+
+    // ----- X2 (index training): one k-means Lloyd iteration — the step
+    // that turns q42's "first-k stand-in" centroids into trained IVF
+    // cells. Assign = the same min_by argmin aggregate q42 uses (no
+    // ranking window, map-side combine). Recompute = per-(cell, dim)
+    // means via posexplode + ONE hash aggregate — the classic
+    // distributed-k-means shape: everything reduces map-side, the
+    // exchange carries cells×dims partial sums, never vectors. Float
+    // parity: per-dim means are exact-decimal (Exact.davg), squared
+    // shifts are rounded before the exact-decimal sum, so the reported
+    // centroid movement and inertia are partitioning-invariant.
+    q("q65_kmeans_step",
+      "X2: one Lloyd k-means iteration (assign + exact recompute)",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |  cents AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells),
+         |  assign AS (SELECT vec_id, cell_id, d FROM (
+         |    SELECT es.vec_id, cents.cell_id, ROUND(list_distance(ev, cv), 6) AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
+         |        ROUND(list_distance(ev, cv), 6) ASC, cents.cell_id) AS rn
+         |    FROM es, cents) WHERE rn = 1),
+         |  stats AS (SELECT cell_id, COUNT(*) AS n_members,
+         |              ${ExactSql.davgRound("d", 6)} AS inertia
+         |            FROM assign GROUP BY 1),
+         |  dims AS (SELECT unnest(range(1, ${Embedder.Dim + 1})) AS dim),
+         |  mem AS (SELECT a.cell_id, dm.dim, es.ev[dm.dim] AS val
+         |          FROM assign a JOIN es USING (vec_id) CROSS JOIN dims dm),
+         |  means AS (SELECT cell_id, dim, ${ExactSql.davg("val")} AS m
+         |            FROM mem GROUP BY 1, 2),
+         |  old AS (SELECT cell_id, dm.dim, cv[dm.dim] AS ov
+         |          FROM cents CROSS JOIN dims dm),
+         |  sh AS (SELECT cell_id,
+         |           ROUND(sqrt(${ExactSql.dsum("ROUND((m - ov) * (m - ov), 6)")}), 6) AS shift
+         |         FROM means JOIN old USING (cell_id, dim) GROUP BY 1)
+         |SELECT s.cell_id, s.n_members, sh.shift, s.inertia
+         |FROM stats s JOIN sh USING (cell_id) ORDER BY cell_id""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir)
+      val cents = base.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("d", round(VectorOps.l2(col("ev"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cell_id"), col("d")),
+          struct(col("d"), col("cell_id"))).as("a"))
+        .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("a.d").as("d"))
+      val stats = assign.groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n_members"),
+          Exact.davgRound(col("d"), 6).as("inertia"))
+      val memDims = assign.join(base, "vec_id")
+        .select(col("cell_id"), posexplode(col("ev")).as(Seq("pos", "val")))
+        .select(col("cell_id"), (col("pos") + 1).as("dim"), col("val"))
+      val means = memDims.groupBy(col("cell_id"), col("dim"))
+        .agg(Exact.davg(col("val")).as("m"))
+      val oldDims = cents
+        .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "ov")))
+        .select(col("cell_id"), (col("pos") + 1).as("dim"), col("ov"))
+      val shift = means.join(oldDims, Seq("cell_id", "dim"))
+        .withColumn("d2", round((col("m") - col("ov")) * (col("m") - col("ov")), 6))
+        .groupBy(col("cell_id"))
+        .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("shift"))
+      stats.join(shift, "cell_id")
+        .select(col("cell_id"), col("n_members"), col("shift"), col("inertia"))
+        .presented("cell_id")
     }
   )
 }
