@@ -80,6 +80,27 @@ object DedupQueries {
   private[operators] def shingleRowsOf(u: DataFrame, n: Int): DataFrame =
     shingleRows(u, n, dedup = false)
 
+  /** 60-bit SimHash signatures `(doc_id, sig)` for `(doc_id, text)`
+    * rows, via explode + a 61-column codegen'd hash aggregate
+    * (partial+final combine) instead of the per-row HOF fold in
+    * [[TextOps.simhash]]: semantically identical, but the vote sums
+    * run inside WholeStageCodegen (~30× faster at sf0.1) and scale as
+    * one shuffle keyed by doc_id. Shingle-less docs fall out of the
+    * explode; the left join restores them with sig=0 (the HOF value). */
+  private def simhashSigs(u: DataFrame): DataFrame = {
+    val exploded = shingleRows(u, 3)
+      .withColumn("h", TextOps.hash60(col("t")))
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val votes = exploded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("cnt"), bitSums: _*)
+    val sigExpr = (0 until 60).map(j =>
+      when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    u.select(col("doc_id")).join(votes, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(sigExpr, lit(0L)).as("sig"))
+  }
+
   /** DuckDB mirror of [[TextOps.hash60]]. */
   private def hash60Sql(tok: String): String =
     s"CAST(CONCAT('0x', substr(md5($tok), 1, 15)) AS BIGINT)"
@@ -242,27 +263,10 @@ object DedupQueries {
       // Spread the single-row-group corpus before the shingle+md5 explode
       // (same reasoning as q28 — the hash stage is the dominant compute).
       val u = withPlanted(base, 9, 30000, dropFirstTok).repartition(col("doc_id"))
-      // SimHash via explode + a 61-column codegen'd hash aggregate
-      // (partial+final combine) instead of the per-row HOF fold in
-      // [[TextOps.simhash]]: semantically identical, but the vote sums
-      // run inside WholeStageCodegen (~30× faster at sf0.1) and scale as
-      // one shuffle keyed by doc_id. Shingle-less docs fall out of the
-      // explode; the left join restores them with sig=0 (the HOF value).
-      val exploded = shingleRows(u, 3)
-        .withColumn("h", TextOps.hash60(col("t")))
-      val bitSums = (0 until 60).map(j =>
-        sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-      val votes = exploded.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("cnt"), bitSums: _*)
-      val sigExpr = (0 until 60).map(j =>
-        when(col(s"b$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
       // Checkpointed: BOTH sides of the band self-join read sg, and the
       // aliased projections defeat exchange reuse — without this the
       // shingle+vote subtree (the query's dominant cost) computes twice.
-      val sg = u.select(col("doc_id")).join(votes, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(sigExpr, lit(0L)).as("sig"))
-        .localCheckpoint(false)
+      val sg = simhashSigs(u).localCheckpoint(false)
       val banded = sg.select(col("doc_id"), col("sig"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band_id"),
             shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
@@ -420,6 +424,99 @@ object DedupQueries {
         .select(col("lbl").as("cluster_id"), col("id").as("doc_id"),
           col("n_members"))
         .presented("cluster_id", "doc_id")
+    },
+
+    // ----- X3 (incremental): dedup-on-APPEND — the standing-corpus
+    // operation: an incoming batch is triaged against the existing
+    // index as exact_dup (content hash), near_dup (SimHash band
+    // candidates + Hamming verify, batch-vs-index only — never
+    // index-vs-index), or new. In production the index side's md5s and
+    // signatures are a PERSISTED table maintained by earlier appends
+    // (the plan shape below simply reads it); only the batch pays the
+    // signature compute, and both probes are equi-joins keyed by hash /
+    // (band, band_val), so the append cost scales with the batch, not
+    // the corpus. Batch: every 4th doc — verbatim (%12), first token
+    // dropped (%8), or token-reversed (reversal destroys every shingle,
+    // so those must come out 'new').
+    q("q68_incremental_dedup",
+      "X3: batch-vs-index append triage (exact / near / new)",
+      {
+        val toks = tokensSql("text")
+        val sigExpr = simhashSql(
+          s"list_transform(${shinglesSql(toks)}, t -> ${hash60Sql("t")})")
+        s"""WITH batch AS (SELECT doc_id + 90000 AS doc_id,
+           |         CASE WHEN doc_id % 12 = 0 THEN text
+           |              WHEN doc_id % 8 = 0 THEN $dropFirstTokSql
+           |              ELSE list_aggregate(list_reverse($toks), 'string_agg', ' ') END AS text
+           |       FROM documents WHERE doc_id % 4 = 0),
+           |  ex AS (SELECT bh.doc_id, COUNT(*) AS exact_n
+           |         FROM (SELECT doc_id, md5(text) AS h FROM batch) bh
+           |         JOIN (SELECT md5(text) AS h FROM documents) ih USING (h)
+           |         GROUP BY 1),
+           |  u AS (SELECT 'idx' AS side, doc_id, text FROM documents
+           |        UNION ALL SELECT 'new', doc_id, text FROM batch),
+           |  sg AS (SELECT side, doc_id, $sigExpr AS sig FROM u),
+           |  bands AS (SELECT side, doc_id, sig, b.band_id,
+           |              (sig >> (b.band_id * 15)) & 32767 AS band_val
+           |            FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),
+           |  nearm AS (SELECT n.doc_id, COUNT(DISTINCT i.doc_id) AS near_n
+           |            FROM bands n JOIN bands i
+           |              ON n.band_id = i.band_id AND n.band_val = i.band_val
+           |            WHERE n.side = 'new' AND i.side = 'idx'
+           |              AND CAST(bit_count(xor(n.sig, i.sig)) AS BIGINT) <= $HammingThresh
+           |            GROUP BY 1)
+           |SELECT b.doc_id,
+           |  CASE WHEN COALESCE(ex.exact_n, 0) > 0 THEN 'exact_dup'
+           |       WHEN COALESCE(nm.near_n, 0) > 0 THEN 'near_dup'
+           |       ELSE 'new' END AS verdict,
+           |  CASE WHEN COALESCE(ex.exact_n, 0) > 0 THEN ex.exact_n
+           |       ELSE COALESCE(nm.near_n, 0) END AS n_matches
+           |FROM batch b
+           |LEFT JOIN ex ON ex.doc_id = b.doc_id
+           |LEFT JOIN nearm nm ON nm.doc_id = b.doc_id
+           |ORDER BY b.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val batch = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          when(col("doc_id") % 12 === 0, col("text"))
+            .when(col("doc_id") % 8 === 0, dropFirstTok(col("text")))
+            .otherwise(concat_ws(" ", reverse(TextOps.tokens(col("text")))))
+            .as("text"))
+      val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(base.select(md5(col("text")).as("h")), "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("exact_n"))
+      val u = base.select(lit("idx").as("side"), col("doc_id"), col("text"))
+        .unionAll(batch.select(lit("new").as("side"), col("doc_id"), col("text")))
+        .repartition(col("doc_id"))
+      // Signature table (in production: persisted and appended to);
+      // checkpointed because both sides of the band probe read it.
+      val sg = simhashSigs(u.select("doc_id", "text"))
+        .join(u.select("doc_id", "side"), "doc_id")
+        .localCheckpoint(false)
+      val banded = sg.select(col("side"), col("doc_id"), col("sig"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("band_id"),
+            shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
+        .select(col("side"), col("doc_id"), col("sig"),
+          col("bv.band_id").as("band_id"), col("bv.band_val").as("band_val"))
+      val near = banded.filter(col("side") === "new")
+        .select(col("doc_id"), col("sig"), col("band_id"), col("band_val"))
+        .join(banded.filter(col("side") === "idx")
+          .select(col("doc_id").as("idx_id"), col("sig").as("isig"),
+            col("band_id"), col("band_val")),
+          Seq("band_id", "band_val"))
+        .filter(bit_count(col("sig").bitwiseXOR(col("isig"))).cast("long") <= HammingThresh)
+        .groupBy(col("doc_id")).agg(count_distinct(col("idx_id")).as("near_n"))
+      batch.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("exact_n"), lit(0L)) > 0, "exact_dup")
+            .when(coalesce(col("near_n"), lit(0L)) > 0, "near_dup")
+            .otherwise("new").as("verdict"),
+          when(coalesce(col("exact_n"), lit(0L)) > 0, col("exact_n"))
+            .otherwise(coalesce(col("near_n"), lit(0L))).as("n_matches"))
+        .presented("doc_id")
     }
   )
 }

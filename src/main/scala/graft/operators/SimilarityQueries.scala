@@ -416,6 +416,55 @@ object SimilarityQueries {
       stats.join(shift, "cell_id")
         .select(col("cell_id"), col("n_members"), col("shift"), col("inertia"))
         .presented("cell_id")
+    },
+
+    // ----- X2 (index compression): SQ8 scalar quantization — the
+    // 4×-smaller storage path a 100 TB vector index actually ships
+    // (float32 → uint8 codes against per-dimension corpus min/max).
+    // Train = one aggregate for the 64-row codebook (broadcast back);
+    // encode/decode/error = pure per-element arithmetic riding the
+    // posexplode rows, reduced per vector map-side. Reported per
+    // vector: reconstruction MSE and worst per-dim absolute error —
+    // the quantities that decide whether SQ8 recall loss is
+    // acceptable before rolling it out. Float parity: codes are exact
+    // small ints in both engines (ROUND of identical doubles), errors
+    // are rounded before the exact-decimal per-vector sum.
+    q("q67_sq8_quantize",
+      "X2: SQ8 scalar quantization + reconstruction-error audit",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |  dims AS (SELECT unnest(range(1, ${Embedder.Dim + 1})) AS dim),
+         |  el AS (SELECT vec_id, dm.dim, ev[dm.dim] AS val FROM es CROSS JOIN dims dm),
+         |  cb AS (SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM el GROUP BY 1),
+         |  enc AS (SELECT vec_id, el.dim, val, lo, hi,
+         |            ROUND((val - lo) / NULLIF(hi - lo, CAST(0 AS DOUBLE)) * 255) AS code
+         |          FROM el JOIN cb USING (dim)),
+         |  err AS (SELECT vec_id,
+         |            ROUND(POW(val - (lo + code / CAST(255 AS DOUBLE) * (hi - lo)), 2), 9) AS se,
+         |            ROUND(ABS(val - (lo + code / CAST(255 AS DOUBLE) * (hi - lo))), 6) AS ae
+         |          FROM enc)
+         |SELECT vec_id,
+         |  ROUND(CAST(SUM(CAST(se AS DECIMAL(28,9))) AS DOUBLE) / ${Embedder.Dim}, 9) AS mse,
+         |  MAX(ae) AS max_abs_err
+         |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val el = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("ev")).as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"), col("val"))
+      val codebook = el.groupBy(col("dim"))
+        .agg(min(col("val")).as("lo"), max(col("val")).as("hi"))
+      val deq = col("lo") + col("code") / lit(255.0) * (col("hi") - col("lo"))
+      el.join(broadcast(codebook), "dim")
+        .withColumn("code",
+          round((col("val") - col("lo")) /
+            nullif(col("hi") - col("lo"), lit(0.0)) * 255))
+        .select(col("vec_id"),
+          round(pow(col("val") - deq, 2), 9).as("se"),
+          round(abs(col("val") - deq), 6).as("ae"))
+        .groupBy(col("vec_id"))
+        .agg(
+          round(sum(col("se").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+            .cast("double") / Embedder.Dim, 9).as("mse"),
+          max(col("ae")).as("max_abs_err"))
+        .presented("vec_id")
     }
   )
 }
