@@ -30,6 +30,9 @@ object CurationQueries {
   private val Mixture: Seq[(String, Double)] = Seq(
     "de" -> 0.15, "en" -> 0.4, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
 
+  /** Tokens per packed training context (q70). */
+  private val PackLen = 512
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- Deterministic stratified train/val/test split: bucket each
@@ -212,6 +215,49 @@ object CurationQueries {
           (lit(1.0) - col("n_distinct").cast("double") / col("n_grams") > lit(0.2))
             .as("fails"))
         .presented("doc_id")
+    },
+
+    // ----- Sequence packing: lay the corpus out as fixed-length
+    // training contexts (GPT-style concat-and-chop at L tokens) and
+    // report the per-bin layout — docs touching each bin and tokens
+    // landing in it — the numbers that size a pre-training epoch. Doc
+    // offsets come from one running-sum window in doc_id order; each
+    // doc then explodes into only the bins it overlaps (integer
+    // interval math, no float anywhere). The global window is a
+    // SHARD-level construct: at 100 TB packing runs per shard — each
+    // partition packs independently and bin ids get a shard prefix;
+    // cross-shard order is irrelevant to training. All bins must fill
+    // to exactly L except the last (asserted in CurationSpec).
+    q("q70_sequence_packing",
+      "X4: fixed-length context packing layout (concat-and-chop)",
+      s"""WITH d AS (SELECT doc_id, len(${"list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"}) AS n
+         |       FROM documents),
+         |  o AS (SELECT doc_id, n,
+         |          CAST(SUM(n) OVER (ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin
+         |        FROM d WHERE n > 0),
+         |  b AS (SELECT doc_id, n, fin - n AS start, fin,
+         |          unnest(range((fin - n) // $PackLen, (fin - 1) // $PackLen + 1)) AS bin_id
+         |        FROM o)
+         |SELECT bin_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(LEAST(fin, (bin_id + 1) * $PackLen)
+         |         - GREATEST(start, bin_id * $PackLen)) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1 ORDER BY bin_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val o = d.filter(col("n") > 0)
+        .withColumn("fin", sum(col("n")).over(w))
+        .withColumn("start", col("fin") - col("n"))
+      val b = o.select(col("start"), col("fin"),
+        explode(sequence(
+          floor(col("start") / PackLen).cast("long"),
+          floor((col("fin") - 1) / PackLen).cast("long"))).as("bin_id"))
+      b.groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("fin"), (col("bin_id") + 1) * PackLen) -
+            greatest(col("start"), col("bin_id") * PackLen)).as("n_tokens"))
+        .presented("bin_id")
     }
   )
 }

@@ -39,6 +39,9 @@ object TextQueries {
   /** Fixed keyword query for the BM25 scorer (corpus-vocabulary terms). */
   private val BmTerms: Seq[String] = Seq("vector", "hash", "merge")
 
+  /** Bigram count floor for PMI mining (drops unstable rare pairs). */
+  private val PmiMinCount = 20
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- X4: corpus stats per (lang, source-bucketed): counts, char
@@ -325,6 +328,58 @@ object TextQueries {
         .select(col("doc_id"), round(idf * tfPart, 6).as("wt"))
         .groupBy(col("doc_id")).agg(dsum(col("wt")).as("bm25"))
         .presented("doc_id")
+    },
+
+    // ----- X4 (vocabulary statistics): PMI bigram collocations — the
+    // corpus statistic behind tokenizer-merge and phrase-vocabulary
+    // decisions: pmi(a,b) = ln(p(ab) / (p(a)·p(b))). Two explodes
+    // (tokens, adjacent pairs via a per-doc lead window), three hash
+    // aggregates, and two one-row total frames broadcast back — every
+    // count reduces map-side, so the corpus is read once and the
+    // exchange carries vocabulary-sized aggregates. Adjacency is taken
+    // over the EMPTY-FILTERED token sequence in both engines (the lead
+    // window runs after the filter; the oracle slices the filtered
+    // list). ln is applied to identical doubles (ratios of exact
+    // counts) and rounded to 6dp — the libm-parity recipe.
+    q("q69_pmi_bigrams",
+      "X4: PMI bigram collocation mining (min-count floor)",
+      s"""WITH ts AS (SELECT doc_id, ${tokensSql("text")} AS ts FROM documents),
+         |  tok AS (SELECT unnest(ts) AS t FROM ts),
+         |  uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+         |  ntok AS (SELECT COUNT(*) AS n FROM tok),
+         |  big AS (SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+         |                 unnest(list_slice(ts, 2, len(ts))) AS w2 FROM ts),
+         |  bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM big
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinCount),
+         |  nbi AS (SELECT COUNT(*) AS n FROM big)
+         |SELECT w1, w2, n_ab,
+         |  ROUND(ln((CAST(n_ab AS DOUBLE) / nbi.n) /
+         |    ((CAST(a.c AS DOUBLE) / ntok.n) * (CAST(b.c AS DOUBLE) / ntok.n))), 6) AS pmi
+         |FROM bc JOIN uni a ON a.t = bc.w1 JOIN uni b ON b.t = bc.w2
+         |CROSS JOIN ntok CROSS JOIN nbi
+         |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val big = toks
+        .select(col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+      val bc = big.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= PmiMinCount)
+      val totals = toks.agg(count(lit(1)).as("ntok"))
+        .crossJoin(big.agg(count(lit(1)).as("nbi")))
+      bc.join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))), "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))), "w2")
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("n_ab"),
+          round(log((col("n_ab").cast("double") / col("nbi")) /
+            ((col("ca").cast("double") / col("ntok")) *
+              (col("cb").cast("double") / col("ntok")))), 6).as("pmi"))
+        .presented("w1", "w2")
     }
   )
 }

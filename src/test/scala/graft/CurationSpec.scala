@@ -78,6 +78,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q70: every packed context fills to exactly L except the last") {
+    val rows = run("q70_sequence_packing").sortBy(_.getAs[Long]("bin_id"))
+    assert(rows.length > 1)
+    val lastBin = rows.last.getAs[Long]("bin_id")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      if (r.getAs[Long]("bin_id") < lastBin) assert(n == 512L, s"bin ${r.getAs[Long]("bin_id")} holds $n tokens")
+      else assert(n >= 1 && n <= 512L)
+    }
+    // No token lost or double-counted by the interval split.
+    val total = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextOps.tokens(org.apache.spark.sql.functions.col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
+
   test("q58: every planted eval near-copy is flagged as contaminated") {
     val rows = run("q58_contamination")
     val evalIds = Tables.load(spark, dir, "documents")
