@@ -383,6 +383,42 @@ object AdvancedQueries {
               nullif(lag(col("n_users"), 1).over(w), lit(0L)), 6),
             lit(1.0)).as("conv_rate"))
         .presented("stage")
+    },
+
+    // ----- T6/J2: STREAM-STATIC broadcast enrich — reference data
+    // decorating events as they arrive. Stateless per micro-batch (no
+    // watermark, no state store): each batch plans an ordinary
+    // broadcast-hash join, so the stream side never shuffles. Run as
+    // two bounded micro-batches (maxFilesPerTrigger=1) to prove the
+    // enrich holds across batch boundaries; the oracle is the same
+    // join+aggregate in batch — stream-static enrich must be
+    // indistinguishable from its batch counterpart.
+    q("q71_stream_static_enrich",
+      "T6/J2: stream-static broadcast join enrich (AvailableNow)",
+      s"""WITH w(event_type, weight) AS (VALUES
+         |    ('click', CAST(1.5 AS DOUBLE)), ('view', CAST(0.5 AS DOUBLE)),
+         |    ('purchase', CAST(5.0 AS DOUBLE)), ('signup', CAST(3.0 AS DOUBLE)),
+         |    ('error', CAST(0.0 AS DOUBLE)))
+         |SELECT e.event_type, COUNT(*) AS n,
+         |  ${ExactSql.dsum("e.value * w.weight")} AS weighted_value
+         |FROM events e JOIN w USING (event_type)
+         |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val weights = Seq("click" -> 1.5, "view" -> 0.5, "purchase" -> 5.0,
+        "signup" -> 3.0, "error" -> 0.0).toDF("event_type", "weight")
+      val root = java.nio.file.Files.createTempDirectory("graft_q71").toFile.getAbsolutePath
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.repartition(2).write.parquet(src) // two files → two micro-batches
+      graft.streaming.StreamEnrich.runAvailableNow(
+        s, src, ev.schema, weights, "event_type",
+        Seq("event_type", "value", "value * weight AS weighted"),
+        target, ckpt, maxFilesPerTrigger = Some(1))
+      s.read.parquet(target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("weighted")).as("weighted_value"))
+        .presented("event_type")
     }
   )
 }

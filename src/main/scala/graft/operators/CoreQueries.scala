@@ -271,6 +271,27 @@ object CoreQueries {
         .presented("d")
     },
 
+    // ----- J1 inverse: UNPIVOT (melt) — the wide→long reshape that
+    // undoes q12's pivot, needed whenever a wide frame (one column per
+    // metric/city/type) must feed a long-keyed operator (joins, windows,
+    // per-key aggregation). Spark's native unpivot expands each row to
+    // #value-columns rows with NO shuffle (pure projection); dropping
+    // the nulls restores exactly the long frame the pivot started from,
+    // which is what the oracle computes directly — the round trip is
+    // the correctness claim.
+    q("q72_unpivot",
+      "J1/O: pivot → unpivot round trip reconstructs the long frame",
+      """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin) { (s, dir) =>
+      val wide = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("d")), EventTypes.map(col).toArray, "event_type", "n")
+        .filter(col("n").isNotNull)
+        .presented("d", "event_type")
+    },
+
     // ----- W1/T1: the reference's 2-day extent / 1-day slide window
     // (src/main.py:341-369): day d's summary aggregates [d-1, d]. Calendar
     // aligned (not epoch-aligned), expressed as an explode of each event
