@@ -3,6 +3,7 @@ package graft.operators
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-technique queries: session windows, salted aggregation for
@@ -419,6 +420,110 @@ object AdvancedQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("weighted")).as("weighted_value"))
         .presented("event_type")
+    },
+
+    // ----- A1+/X4: grouped z-score outlier detection with ORDER-
+    // INDEPENDENT variance. stddev_samp over doubles is accumulation-
+    // order-dependent (different partitionings give different last
+    // ulps); Exact.dvar accumulates both moments as exact decimals, so
+    // the 3σ flags are partitioning-invariant — the same rows flag on
+    // any cluster layout, which is what makes an outlier quarantine
+    // reproducible. Two passes over the fact (stats, then flag), stats
+    // broadcast back; both aggregates reduce map-side.
+    q("q73_zscore_outliers",
+      "A1/X4: per-group 3-sigma outliers via exact two-moment variance",
+      s"""WITH st AS (SELECT event_type, COUNT(*) AS n,
+         |              ${ExactSql.davg("value")} AS mu,
+         |              ${ExactSql.dstd("value")} AS sd
+         |            FROM events GROUP BY 1),
+         |  fl AS (SELECT e.event_type, COUNT(*) AS n_outliers
+         |         FROM events e JOIN st USING (event_type)
+         |         WHERE ABS(e.value - st.mu) > CAST(3 AS DOUBLE) * st.sd
+         |         GROUP BY 1)
+         |SELECT st.event_type, st.n, ROUND(st.mu, 6) AS mean,
+         |  ROUND(st.sd, 6) AS std, COALESCE(fl.n_outliers, 0) AS n_outliers
+         |FROM st LEFT JOIN fl USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.davg(col("value")).as("mu"),
+          Exact.dstd(col("value")).as("sd"))
+      val flagged = ev.join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
+      stats.join(flagged, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), round(col("mu"), 6).as("mean"),
+          round(col("sd"), 6).as("std"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .presented("event_type")
+    },
+
+    // ----- Data-quality expectations: the contract gate a pipeline runs
+    // before promoting a batch — referential integrity (anti-join orphan
+    // counts), domain membership, range and shape invariants — emitted
+    // as one row per check so a scheduler can fail the run on any
+    // violations > 0. Each check is one scan + one aggregate (the FK
+    // checks anti-join against the dimension's key set); checks over
+    // different tables are independent jobs that parallelize trivially.
+    q("q74_data_quality",
+      "A6/P7: expectations suite — FK orphans, domains, ranges, shapes",
+      s"""SELECT check_name, n_checked, n_violations,
+         |       n_violations = 0 AS pass FROM (
+         |  SELECT 'orders_custkey_fk' AS check_name,
+         |    (SELECT COUNT(*) FROM orders) AS n_checked,
+         |    (SELECT COUNT(*) FROM orders o
+         |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+         |  UNION ALL
+         |  SELECT 'lineitem_orderkey_fk',
+         |    (SELECT COUNT(*) FROM lineitem),
+         |    (SELECT COUNT(*) FROM lineitem l
+         |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         |  UNION ALL
+         |  SELECT 'events_type_domain',
+         |    (SELECT COUNT(*) FROM events),
+         |    (SELECT COUNT(*) FROM events
+         |     WHERE event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view'))
+         |  UNION ALL
+         |  SELECT 'events_value_nonneg',
+         |    (SELECT COUNT(*) FROM events),
+         |    (SELECT COUNT(*) FROM events WHERE value < 0)
+         |  UNION ALL
+         |  SELECT 'documents_text_nonempty',
+         |    (SELECT COUNT(*) FROM documents),
+         |    (SELECT COUNT(*) FROM documents WHERE text IS NULL OR length(text) = 0)
+         |  UNION ALL
+         |  SELECT 'embeddings_dim_64',
+         |    (SELECT COUNT(*) FROM embeddings),
+         |    (SELECT COUNT(*) FROM embeddings WHERE len(embedding) <> 64))
+         |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      def one(name: String, checked: DataFrame, violations: DataFrame): DataFrame =
+        checked.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val events = Tables.load(s, dir, "events")
+      val documents = Tables.load(s, dir, "documents")
+      val embeddings = Tables.load(s, dir, "embeddings")
+      Seq(
+        one("orders_custkey_fk", orders,
+          orders.join(customer,
+            orders("o_custkey") === customer("c_custkey"), "left_anti")),
+        one("lineitem_orderkey_fk", lineitem,
+          lineitem.join(orders,
+            lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")),
+        one("events_type_domain", events,
+          events.filter(!col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"))),
+        one("events_value_nonneg", events, events.filter(col("value") < 0)),
+        one("documents_text_nonempty", documents,
+          documents.filter(col("text").isNull || length(col("text")) === 0)),
+        one("embeddings_dim_64", embeddings,
+          embeddings.filter(size(col("embedding")) =!= 64)))
+        .reduce(_ unionAll _)
+        .withColumn("pass", col("n_violations") === 0)
+        .presented("check_name")
     }
   )
 }

@@ -46,4 +46,17 @@ object ExactDecimalProps extends Properties("ExactDecimal") {
       val viaCounts = xs.map(toFixed).foldLeft(BigDecimal(0))(_ + _) / xs.size
       exact == viaCounts
     }
+
+  property("two-moment variance is partition-invariant (Exact.dvar model)") =
+    Prop.forAll(metrics.suchThat(_.size >= 2), Gen.chooseNum(1, 8)) { (xs, nParts) =>
+      // Both moments as exact decimals (x² of a 2-decimal value has 4
+      // decimals — exact at scale 6), combined across any partitioning.
+      def moments(ys: List[Double]): (BigDecimal, BigDecimal) =
+        (ys.map(toFixed).sum, ys.map(y => toFixed(y) * toFixed(y)).sum)
+      val (sx, sxx) = moments(xs)
+      val parts = xs.grouped(math.max(1, xs.size / nParts + 1)).map(moments).toList
+      val (psx, psxx) = parts.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      val shuffled = moments(scala.util.Random.shuffle(xs))
+      sx == psx && sxx == psxx && shuffled == ((sx, sxx))
+    }
 }
