@@ -87,7 +87,7 @@ object DedupQueries {
     * run inside WholeStageCodegen (~30× faster at sf0.1) and scale as
     * one shuffle keyed by doc_id. Shingle-less docs fall out of the
     * explode; the left join restores them with sig=0 (the HOF value). */
-  private def simhashSigs(u: DataFrame): DataFrame = {
+  private[graft] def simhashSigs(u: DataFrame): DataFrame = {
     val exploded = shingleRows(u, 3)
       .withColumn("h", TextOps.hash60(col("t")))
     val bitSums = (0 until 60).map(j =>

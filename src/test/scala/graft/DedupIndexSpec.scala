@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.DedupIndex
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the persisted dedup index (the production form of q68):
+  * planted batch classes triage correctly against a built index, and
+  * append-then-retriage CONVERGES — nothing is 'new' twice.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.load(spark, dir, "documents").select("doc_id", "text")
+
+  /** q68's batch: every 4th doc — verbatim (%12), first token dropped
+    * (%8 not %12), token-reversed (else → must triage 'new'). */
+  private def batch = corpus.filter(col("doc_id") % 4 === 0)
+    .select((col("doc_id") + 90000).as("doc_id"),
+      when(col("doc_id") % 12 === 0, col("text"))
+        .when(col("doc_id") % 8 === 0, regexp_replace(col("text"), "^[a-z0-9]+ ", ""))
+        .otherwise(concat_ws(" ", reverse(graft.functions.TextOps.tokens(col("text")))))
+        .as("text"))
+
+  test("triage against a built index matches the planted classes") {
+    val root = Files.createTempDirectory("graft_dedup_idx").toFile.getAbsolutePath
+    DedupIndex.build(corpus, s"$root/index")
+    val verdicts = DedupIndex
+      .triage(spark, s"$root/index", DedupIndex.signatures(batch))
+      .collect().map(r => r.getAs[Long]("doc_id") - 90000 -> r.getAs[String]("verdict")).toMap
+    assert(verdicts.nonEmpty)
+    // Verbatim copies MUST hash-match; token-reversed docs share no
+    // shingles with anything indexed, so they MUST come out new.
+    verdicts.foreach { case (id, v) =>
+      if (id % 12 == 0) assert(v == "exact_dup", s"verbatim doc $id triaged $v")
+      else if (id % 8 != 0) assert(v == "new", s"reversed doc $id triaged $v")
+      else assert(v != "exact_dup", s"perturbed doc $id triaged $v")
+    }
+    // The near class is statistical: a dropped token flips few SimHash
+    // bits for typical docs but can exceed the Hamming budget for very
+    // short ones — most of the class must still be recovered.
+    val nearClass = verdicts.filter { case (id, _) => id % 8 == 0 && id % 12 != 0 }
+    assert(nearClass.nonEmpty)
+    val recovered = nearClass.count(_._2 == "near_dup")
+    assert(recovered * 2 > nearClass.size,
+      s"only $recovered of ${nearClass.size} near-dups recovered")
+  }
+
+  test("append converges: a re-triaged batch is never 'new' twice") {
+    val root = Files.createTempDirectory("graft_dedup_idx2").toFile.getAbsolutePath
+    val idx = s"$root/index"
+    DedupIndex.build(corpus, idx)
+    val before = spark.read.parquet(idx).count()
+    val first = DedupIndex.append(spark, idx, batch)
+    val firstNew = first.filter(col("verdict") === "new")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(firstNew.nonEmpty)
+    // Index grew by exactly the accepted docs.
+    assert(spark.read.parquet(idx).count() == before + firstNew.size)
+    // Second pass over the SAME batch: formerly-new docs are now exact
+    // duplicates of their own indexed signatures; nothing is 'new'.
+    val second = DedupIndex
+      .triage(spark, idx, DedupIndex.signatures(batch)).collect()
+    assert(!second.exists(_.getAs[String]("verdict") == "new"))
+    second.filter(r => firstNew.contains(r.getAs[Long]("doc_id")))
+      .foreach(r => assert(r.getAs[String]("verdict") == "exact_dup"))
+  }
+}
