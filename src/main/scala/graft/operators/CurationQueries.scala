@@ -258,6 +258,45 @@ object CurationQueries {
           sum(least(col("fin"), (col("bin_id") + 1) * PackLen) -
             greatest(col("start"), col("bin_id") * PackLen)).as("n_tokens"))
         .presented("bin_id")
+    },
+
+    // ----- Capstone SHIP MANIFEST: the composition the whole curation
+    // family exists for — exact dedup (keep the lowest id per content
+    // hash), a token-length quality gate, then the deterministic split
+    // assignment, emitting the final (doc_id, split) training list.
+    // Planted: every 7th doc re-appears verbatim under id+20000; every
+    // copy must be excluded by the dedup stage while its original
+    // ships. Each stage is one hash-keyed aggregate/join composed on
+    // the SAME corpus scan; because every stage is deterministic, the
+    // manifest is re-derivable from scratch on any cluster — the
+    // lineage story a 100 TB corpus release needs.
+    q("q75_ship_manifest",
+      "X3+X4 composition: dedup → quality gate → split = ship list",
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |     UNION ALL
+         |     SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0),
+         |  keep AS (SELECT MIN(doc_id) AS doc_id FROM u GROUP BY md5(text)),
+         |  gated AS (SELECT u.doc_id, u.text FROM u JOIN keep USING (doc_id)
+         |            WHERE len(${"list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"})
+         |                  BETWEEN 20 AND 200)
+         |SELECT doc_id,
+         |  CASE WHEN $hashSql % 100 < 80 THEN 'train'
+         |       WHEN $hashSql % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM gated ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val u = base.unionAll(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val keep = u.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val nToks = size(TextOps.tokens(col("text")))
+      val b = TextOps.hash60(col("doc_id").cast("string")) % 100
+      u.join(keep, "doc_id")
+        .filter(nToks.between(20, 200))
+        .select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        .presented("doc_id")
     }
   )
 }
