@@ -95,6 +95,28 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
   }
 
+  test("q75: manifest ships originals only, all within the quality bounds") {
+    val rows = run("q75_ship_manifest")
+    assert(rows.nonEmpty)
+    // Dedup keeps the LOWEST id per content hash: no planted +20000
+    // copy may ship (its original has the same hash and a smaller id).
+    assert(!rows.exists(_.getAs[Long]("doc_id") >= 20000))
+    // Every shipped doc passes the token-length gate.
+    val shipped = rows.map(_.getAs[Long]("doc_id")).toSet
+    val lens = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextOps.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    shipped.foreach { id =>
+      assert(lens(id) >= 20 && lens(id) <= 200, s"doc $id len ${lens(id)}")
+    }
+    // Splits are the q61 assignment: same doc, same split.
+    val splits = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splits.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("q58: every planted eval near-copy is flagged as contaminated") {
     val rows = run("q58_contamination")
     val evalIds = Tables.load(spark, dir, "documents")
