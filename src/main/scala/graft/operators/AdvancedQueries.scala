@@ -524,6 +524,44 @@ object AdvancedQueries {
         .reduce(_ unionAll _)
         .withColumn("pass", col("n_violations") === 0)
         .presented("check_name")
+    },
+
+    // ----- A8+: Misra-Gries FREQUENT-ITEMS sketch (second custom
+    // TypedImperativeAggregate, plans/FrequentItems.scala) against the
+    // exact answer on a 90%-hot key. The sketch holds ≤ m counters no
+    // matter the cardinality — the bounded-memory heavy-hitters pass a
+    // 100 TB key census starts with. MG's guarantee is one-sided: every
+    // key with frequency > N/(m+1) IS in the final sketch (any merge
+    // order); below the line membership is order-dependent — so the
+    // oracle-checked claim is exactly the guarantee: sketch_ok =
+    // (¬guaranteed ∨ found), which must be uniformly TRUE. The exact
+    // top-5 counts hash-check as usual; the estimate bounds are
+    // property-tested across partitionings in FrequentItemsSpec.
+    q("q76_heavy_hitters",
+      "A8: Misra-Gries sketch vs exact top-k on a skewed key",
+      s"""WITH fact AS (SELECT CASE WHEN event_id % 10 < 9 THEN 0
+         |                         ELSE event_id % 1000 END AS k FROM events),
+         |  cnt AS (SELECT k, COUNT(*) AS n FROM fact GROUP BY 1),
+         |  tot AS (SELECT COUNT(*) AS total FROM fact),
+         |  top5 AS (SELECT k, n FROM cnt ORDER BY n DESC, k LIMIT 5)
+         |SELECT k, n, (n > CAST(total AS DOUBLE) / 9) AS guaranteed,
+         |       TRUE AS sketch_ok
+         |FROM top5 CROSS JOIN tot ORDER BY n DESC, k""".stripMargin) { (s, dir) =>
+      val fact = Tables.load(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("event_id"), lit(1000))).as("k"))
+      val top5 = fact.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k")).limit(5)
+      val sk = fact.agg(
+        graft.plans.FrequentItems.sketch(col("k").cast("string"), 8).as("sk"),
+        count(lit(1)).as("total"))
+      top5.crossJoin(broadcast(sk))
+        .withColumn("guaranteed", col("n") > col("total").cast("double") / 9)
+        .withColumn("found",
+          array_contains(col("sk")("item"), col("k").cast("string")))
+        .select(col("k"), col("n"), col("guaranteed"),
+          (!col("guaranteed") || col("found")).as("sketch_ok"))
+        .presented("k")
     }
   )
 }
