@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{q, PresentationOps}
-import graft.functions.TextOps
+import graft.functions.{ExactSql, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -297,6 +297,74 @@ object CurationQueries {
         .select(col("doc_id"),
           when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
         .presented("doc_id")
+    },
+
+    // ----- Distribution DRIFT monitoring: Population Stability Index
+    // between two corpus snapshots — the alarm a standing pipeline
+    // raises when "today's crawl" stops looking like yesterday's. The
+    // comparison snapshot deterministically truncates every 3rd doc to
+    // its first 40 tokens (a real drift: mass moves to shorter bins);
+    // PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over a 4-bin token-length histogram.
+    // Two scans + two 4-row aggregates, joined on bin — drift checks
+    // cost two histogram passes at any scale. Parity: shares are ratios
+    // of exact counts (identical doubles), each bin term is rounded to
+    // 6dp before the exact-decimal total (libm-ln recipe).
+    q("q77_drift_psi",
+      "X4: PSI drift between corpus snapshots (token-length histogram)",
+      {
+        val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        def binSql(n: String) =
+          s"CASE WHEN $n < 25 THEN 'a_lt25' WHEN $n < 50 THEN 'b_25_49' WHEN $n < 75 THEN 'c_50_74' ELSE 'd_ge75' END"
+        s"""WITH pb AS (SELECT ${binSql(s"len($toks)")} AS bin, COUNT(*) AS n_base
+           |            FROM documents GROUP BY 1),
+           |  snap AS (SELECT CASE WHEN doc_id % 3 = 0
+           |             THEN list_aggregate(list_slice($toks, 1, 40), 'string_agg', ' ')
+           |             ELSE text END AS text
+           |           FROM documents),
+           |  qb AS (SELECT ${binSql(s"len($toks)")} AS bin, COUNT(*) AS n_new
+           |         FROM snap GROUP BY 1),
+           |  tot AS (SELECT (SELECT SUM(n_base) FROM pb) AS tb,
+           |                 (SELECT SUM(n_new) FROM qb) AS tn),
+           |  terms AS (SELECT bin, n_base, n_new,
+           |              ROUND(CAST(n_base AS DOUBLE) / tb, 6) AS p_share,
+           |              ROUND(CAST(n_new AS DOUBLE) / tn, 6) AS q_share,
+           |              ROUND((CAST(n_base AS DOUBLE) / tb - CAST(n_new AS DOUBLE) / tn)
+           |                * ln((CAST(n_base AS DOUBLE) / tb) / (CAST(n_new AS DOUBLE) / tn)), 6) AS psi_term
+           |            FROM pb JOIN qb USING (bin) CROSS JOIN tot)
+           |SELECT bin, n_base, n_new, p_share, q_share, psi_term FROM terms
+           |UNION ALL
+           |SELECT 'e_total', CAST(SUM(n_base) AS BIGINT), CAST(SUM(n_new) AS BIGINT),
+           |  CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), ${ExactSql.dsum("psi_term")}
+           |FROM terms
+           |ORDER BY bin""".stripMargin
+      }) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      def bin(n: org.apache.spark.sql.Column) =
+        when(n < 25, "a_lt25").when(n < 50, "b_25_49")
+          .when(n < 75, "c_50_74").otherwise("d_ge75")
+      val base = docs(s, dir)
+      val pb = base.select(bin(size(toks)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_base"))
+      val snap = base.select(
+        when(col("doc_id") % 3 === 0, concat_ws(" ", slice(toks, 1, 40)))
+          .otherwise(col("text")).as("text"))
+      val qb = snap.select(bin(size(toks)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_new"))
+      val tot = pb.agg(sum(col("n_base")).as("tb"))
+        .crossJoin(qb.agg(sum(col("n_new")).as("tn")))
+      val p = col("n_base").cast("double") / col("tb")
+      val qq = col("n_new").cast("double") / col("tn")
+      val terms = pb.join(qb, "bin").crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_base"), col("n_new"),
+          round(p, 6).as("p_share"), round(qq, 6).as("q_share"),
+          round((p - qq) * log(p / qq), 6).as("psi_term"))
+      terms.unionAll(
+        terms.agg(sum(col("n_base")).as("n_base"), sum(col("n_new")).as("n_new"),
+          graft.functions.Exact.dsum(col("psi_term")).as("psi"))
+          .select(lit("e_total").as("bin"), col("n_base"), col("n_new"),
+            lit(1.0).as("p_share"), lit(1.0).as("q_share"),
+            col("psi").as("psi_term")))
+        .presented("bin")
     }
   )
 }
