@@ -365,6 +365,55 @@ object CurationQueries {
             lit(1.0).as("p_share"), lit(1.0).as("q_share"),
             col("psi").as("psi_term")))
         .presented("bin")
+    },
+
+    // ----- Snapshot DIFF (CDC summary): classify every key across two
+    // dataset versions as added / deleted / changed / unchanged — the
+    // regression check run before promoting a rebuilt corpus (did the
+    // pipeline change touch only what it should?). v2 deterministically
+    // deletes every 9th doc, rewrites every 5th surviving doc, and adds
+    // re-keyed docs. One full-outer join on the key with md5 content
+    // compare — at any scale this is a single co-partitioned shuffle on
+    // the key, and with both versions bucketed on doc_id
+    // (SinkOps.writeBucketed) it plans with no exchange at all.
+    q("q78_snapshot_diff",
+      "X3/A6: two-version CDC diff (added/deleted/changed/unchanged)",
+      s"""WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |  v2 AS (SELECT doc_id,
+         |           md5(CASE WHEN doc_id % 5 = 0
+         |               THEN regexp_replace(text, '^[a-z0-9]+ ', '') ELSE text END) AS h
+         |         FROM documents WHERE doc_id % 9 <> 0
+         |         UNION ALL
+         |         SELECT doc_id + 70000, md5(text) FROM documents WHERE doc_id % 10 = 0),
+         |  d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         |          CASE WHEN v1.doc_id IS NULL THEN 'added'
+         |               WHEN v2.doc_id IS NULL THEN 'deleted'
+         |               WHEN v1.h <> v2.h THEN 'changed'
+         |               ELSE 'unchanged' END AS change_type
+         |        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT change_type, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val v1 = base.select(col("doc_id"), md5(col("text")).as("h"))
+      val dropTok = regexp_replace(col("text"), "^[a-z0-9]+ ", "")
+      val v2 = base.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, dropTok).otherwise(col("text"))).as("h"))
+        .unionAll(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 70000).as("doc_id"), md5(col("text")).as("h")))
+      v1.select(col("doc_id").as("id1"), col("h").as("h1"))
+        .join(v2.select(col("doc_id").as("id2"), col("h").as("h2")),
+          col("id1") === col("id2"), "full_outer")
+        .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+          when(col("id1").isNull, "added")
+            .when(col("id2").isNull, "deleted")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .presented("change_type")
     }
   )
 }
