@@ -439,11 +439,12 @@ object SimilarityQueries {
          |            ROUND((val - lo) / NULLIF(hi - lo, CAST(0 AS DOUBLE)) * 255) AS code
          |          FROM el JOIN cb USING (dim)),
          |  err AS (SELECT vec_id,
-         |            ROUND(POW(val - (lo + code / CAST(255 AS DOUBLE) * (hi - lo)), 2), 9) AS se,
+         |            ROUND((val - (lo + code / CAST(255 AS DOUBLE) * (hi - lo)))
+         |              * (val - (lo + code / CAST(255 AS DOUBLE) * (hi - lo))), 9) AS se,
          |            ROUND(ABS(val - (lo + code / CAST(255 AS DOUBLE) * (hi - lo))), 6) AS ae
          |          FROM enc)
          |SELECT vec_id,
-         |  ROUND(CAST(SUM(CAST(se AS DECIMAL(28,9))) AS DOUBLE) / ${Embedder.Dim}, 9) AS mse,
+         |  CAST(SUM(CAST(se AS DECIMAL(28,9))) AS DOUBLE) / ${Embedder.Dim} AS mse,
          |  MAX(ae) AS max_abs_err
          |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val el = emb(s, dir)
@@ -456,13 +457,22 @@ object SimilarityQueries {
         .withColumn("code",
           round((col("val") - col("lo")) /
             nullif(col("hi") - col("lo"), lit(0.0)) * 255))
+        // (v-deq)*(v-deq), NOT pow(v-deq, 2): libm pow is allowed 1 ulp
+        // and Java's and C's disagree on ~1e-5 of inputs, while IEEE
+        // multiplication is exact in both engines (bit-identical). The
+        // sf0.1 sweep caught pow flipping the 9th decimal on 5 of 320k.
         .select(col("vec_id"),
-          round(pow(col("val") - deq, 2), 9).as("se"),
+          round((col("val") - deq) * (col("val") - deq), 9).as("se"),
           round(abs(col("val") - deq), 6).as("ae"))
         .groupBy(col("vec_id"))
+        // No final round: the 9dp-exact decimal sum divided by Dim is
+        // already bit-identical cross-engine, while ROUND(·, 9) of it
+        // lands on an EXACT 9th-decimal tie whenever the summed integer
+        // is ≡ Dim/2 (mod Dim) — ~1/64 of vectors — and the engines
+        // resolve near-tie doubles differently (sf0.1 sweep, 5 flips).
         .agg(
-          round(sum(col("se").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-            .cast("double") / Embedder.Dim, 9).as("mse"),
+          (sum(col("se").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+            .cast("double") / Embedder.Dim).as("mse"),
           max(col("ae")).as("max_abs_err"))
         .presented("vec_id")
     }
