@@ -475,6 +475,47 @@ object SimilarityQueries {
             .cast("double") / Embedder.Dim).as("mse"),
           max(col("ae")).as("max_abs_err"))
         .presented("vec_id")
+    },
+
+    // ----- X1/X2 (training data): HARD-NEGATIVE mining for contrastive
+    // embedding training — per anchor, the most-similar OTHER vector in
+    // its LSH bucket (the near-miss that actually teaches the model;
+    // random negatives are trivially separable). Pure reuse of the ANN
+    // machinery: bucket equi-join for candidates, CollectTopK(k=1) for
+    // the argmax — map-side partials, no ranking window, never
+    // all-pairs. The positive is the planted near-copy convention
+    // (id+40000, the q28/q58 perturbation contract). Anchors whose
+    // bucket holds no other vector yield no triplet — at 100 TB
+    // multi-probe (q30) fills those gaps with the same plan shape.
+    q("q79_hard_negatives",
+      "X1/X2: contrastive triplets — bucket-mined hardest negative",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |                   ${signBucketSql("CAST(embedding AS DOUBLE[])", NdBits)} AS bucket
+         |            FROM embeddings),
+         |  anc AS (SELECT vec_id AS anchor_id, ev AS av, bucket FROM es
+         |          WHERE vec_id % 10 = 0),
+         |  cand AS (SELECT anchor_id, es.vec_id AS neg_id,
+         |             ROUND(list_inner_product(av, ev) /
+         |               NULLIF(sqrt(list_inner_product(av, av)) * sqrt(list_inner_product(ev, ev)), 0), 6) AS neg_sim
+         |           FROM anc JOIN es USING (bucket) WHERE es.vec_id <> anchor_id),
+         |  best AS (SELECT anchor_id, neg_id, neg_sim,
+         |             ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |               ORDER BY neg_sim DESC, neg_id) AS rn
+         |           FROM cand)
+         |SELECT anchor_id, anchor_id + 40000 AS pos_id, neg_id, neg_sim
+         |FROM best WHERE rn = 1 ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir).withColumn("bucket", signBucket(col("ev"), NdBits))
+      val anchors = base.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("anchor_id"), col("ev").as("av"), col("bucket"))
+      val cand = base.join(anchors, "bucket")
+        .filter(col("vec_id") =!= col("anchor_id"))
+        .withColumn("neg_sim", VectorOps.cosine6(col("av"), col("ev")))
+      cand.groupBy(col("anchor_id"))
+        .agg(graft.plans.CollectTopK.topk(col("neg_sim"), col("vec_id"), 1).as("tk"))
+        .select(col("anchor_id"), explode(col("tk")).as("t"))
+        .select(col("anchor_id"), (col("anchor_id") + 40000).as("pos_id"),
+          col("t.vec_id").as("neg_id"), col("t.sim").as("neg_sim"))
+        .presented("anchor_id")
     }
   )
 }
