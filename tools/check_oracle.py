@@ -11,7 +11,9 @@ SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else 
 ONLY = None
 if "--only" in sys.argv:
     ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-OUT = "/tmp/graft_verify"
+# SF-specific scratch dir: sweeps at different scales must not race each
+# other (a concurrent default-gate run would rmtree this dump mid-compare).
+OUT = f"/tmp/graft_verify_{os.path.basename(SF.rstrip(os.sep))}"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
