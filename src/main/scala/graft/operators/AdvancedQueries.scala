@@ -46,7 +46,7 @@ object AdvancedQueries {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), col("sum_value"))
-        .presented("user_id", "session_start")
+        .orderBy("user_id", "session_start")
     },
 
     // ----- A1 at skew: two-phase SALTED aggregation. Phase 1 fans each
@@ -170,7 +170,7 @@ object AdvancedQueries {
           ev.select("event_id", "event_type", "value", "ts"), summaries,
           on = Seq("event_type"), leftTsCol = "ts", rightTsCol = "effective_ts")
         .select("event_id", "event_type", "value", "prev_n", "prev_sum")
-        .presented("event_id")
+        .orderBy("event_id")
     },
 
     // ----- T6 stream-STREAM: run the watermarked interval join
@@ -197,7 +197,7 @@ object AdvancedQueries {
         s, src, ev.schema, target, ckpt, statePartitions = Some(8))
       s.read.parquet(target)
         .select("p_event_id", "c_event_id", "user_id")
-        .presented("p_event_id", "c_event_id")
+        .orderBy("p_event_id", "c_event_id")
     },
 
     // ----- T6+X3: streaming DEDUP-AT-INGEST. The whole source is
@@ -222,7 +222,7 @@ object AdvancedQueries {
         maxFilesPerTrigger = Some(1), statePartitions = Some(8))
       s.read.parquet(target)
         .select("event_id", "user_id", "event_type", "value")
-        .presented("event_id")
+        .orderBy("event_id")
     },
 
     // ----- A8 completion: CUBE — all four grouping sets of two dims in

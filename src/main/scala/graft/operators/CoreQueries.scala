@@ -107,7 +107,7 @@ object CoreQueries {
                 col("value").between(50, 200) &&
                 hour(col("ts")).between(6, 18))
         .select("event_id", "user_id", "value")
-        .presented("event_id")
+        .orderBy("event_id")
     },
 
     // ----- P6: enum-set validation predicate
@@ -225,7 +225,7 @@ object CoreQueries {
       val ord = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 100000)
       cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .presented("c_custkey")
+        .orderBy("c_custkey")
     },
 
     // ----- J3: anti join (NOT EXISTS).
@@ -238,7 +238,7 @@ object CoreQueries {
       val ord = Tables.load(s, dir, "orders")
       cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
-        .presented("c_custkey")
+        .orderBy("c_custkey")
     },
 
     // ----- J1/A3/E2: the weather-frame shape — long → wide pivot on a key,
@@ -351,7 +351,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("ts").as("updated_at"), col("value"))
-        .presented("user_id")
+        .orderBy("user_id")
     },
 
     // ----- W2 (analytic): lag/lead day-over-day deltas.
@@ -428,7 +428,7 @@ object CoreQueries {
       val buys = ev(s, dir).filter(col("event_type") === "purchase").select("user_id")
       clicks.intersect(buys).select(lit("both").as("tag"), col("user_id"))
         .unionAll(clicks.except(buys).select(lit("click_only").as("tag"), col("user_id")))
-        .presented("tag", "user_id")
+        .orderBy("tag", "user_id")
     },
 
     // ----- A7: first-per-group, deterministic order (reference: first
@@ -446,7 +446,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("ts").as("first_ts"), col("value").as("first_value"))
-        .presented("user_id")
+        .orderBy("user_id")
     },
 
     // ----- A8: rollup grouping sets + distinct agg (absent in reference;

@@ -168,7 +168,7 @@ object CurationQueries {
           regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phone"),
           length(clean).cast("long").as("n_chars_clean"),
           md5(clean).as("clean_hash"))
-        .presented("doc_id")
+        .orderBy("doc_id")
     },
 
     // ----- Repetition filter: the Gopher-style quality gate that drops
@@ -214,7 +214,7 @@ object CurationQueries {
             .as("rep_ratio"),
           (lit(1.0) - col("n_distinct").cast("double") / col("n_grams") > lit(0.2))
             .as("fails"))
-        .presented("doc_id")
+        .orderBy("doc_id")
     },
 
     // ----- Sequence packing: lay the corpus out as fixed-length
@@ -257,7 +257,7 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(least(col("fin"), (col("bin_id") + 1) * PackLen) -
             greatest(col("start"), col("bin_id") * PackLen)).as("n_tokens"))
-        .presented("bin_id")
+        .orderBy("bin_id")
     },
 
     // ----- Capstone SHIP MANIFEST: the composition the whole curation
@@ -296,7 +296,7 @@ object CurationQueries {
         .filter(nToks.between(20, 200))
         .select(col("doc_id"),
           when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
-        .presented("doc_id")
+        .orderBy("doc_id")
     },
 
     // ----- Distribution DRIFT monitoring: Population Stability Index

@@ -151,7 +151,7 @@ object DedupQueries {
       withPlanted(base, 7, 20000, identity)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .presented("keep_id")
+        .orderBy("keep_id")
     },
 
     // ----- X3 MinHash: shingle → minhash → band-bucket join → Jaccard
@@ -235,7 +235,7 @@ object DedupQueries {
             size(array_union(col("sh_a"), col("sh_b"))), 6))
         .filter(col("jaccard") >= JaccardThresh)
         .select("id_a", "id_b", "jaccard")
-        .presented("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     },
 
     // ----- X3 SimHash: 60-bit signature, 4×15-bit bands for candidate
@@ -284,7 +284,7 @@ object DedupQueries {
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
         .filter(col("hamming") <= HammingThresh)
         .select("id_a", "id_b", "hamming")
-        .presented("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     },
 
     // ----- X3 (cross-corpus): train/eval CONTAMINATION detection — the
@@ -338,7 +338,7 @@ object DedupQueries {
           round(col("n_shared").cast("double") / col("n_eval"), 6))
         .filter(col("containment") >= ContamThresh)
         .select("eval_id", "train_id", "n_shared", "containment")
-        .presented("eval_id", "train_id")
+        .orderBy("eval_id", "train_id")
     },
 
     // ----- X3 (cluster resolution): near-dup PAIRS are not the end of a
@@ -406,7 +406,8 @@ object DedupQueries {
         .localCheckpoint()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 20) {
+      val maxRounds = 20
+      while (changed > 0 && rounds < maxRounds) {
         val nbrMin = edges
           .join(labels.select(col("id").as("b"), col("lbl").as("nbr_lbl")), "b")
           .groupBy(col("a")).agg(min(col("nbr_lbl")).as("nbr"))
@@ -419,11 +420,19 @@ object DedupQueries {
         labels = next.select(col("id"), col("lbl2").as("lbl"))
         rounds += 1
       }
+      // Rounds ∝ component diameter; the cap is a runaway guard, not an
+      // answer. A component wider than the cap must FAIL loudly — a
+      // partially-merged labeling would silently diverge from the
+      // recursive-CTE oracle.
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"q59: label propagation did not converge in $maxRounds rounds " +
+            s"($changed labels still changing) — raise the round cap")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "lbl")
         .select(col("lbl").as("cluster_id"), col("id").as("doc_id"),
           col("n_members"))
-        .presented("cluster_id", "doc_id")
+        .orderBy("cluster_id", "doc_id")
     },
 
     // ----- X3 (incremental): dedup-on-APPEND — the standing-corpus
@@ -483,40 +492,17 @@ object DedupQueries {
             .when(col("doc_id") % 8 === 0, dropFirstTok(col("text")))
             .otherwise(concat_ws(" ", reverse(TextOps.tokens(col("text")))))
             .as("text"))
-      val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
-        .join(base.select(md5(col("text")).as("h")), "h")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("exact_n"))
-      val u = base.select(lit("idx").as("side"), col("doc_id"), col("text"))
-        .unionAll(batch.select(lit("new").as("side"), col("doc_id"), col("text")))
-        .repartition(col("doc_id"))
-      // Signature table (in production: persisted and appended to);
-      // checkpointed because both sides of the band probe read it.
-      val sg = simhashSigs(u.select("doc_id", "text"))
-        .join(u.select("doc_id", "side"), "doc_id")
-        .localCheckpoint(false)
-      val banded = sg.select(col("side"), col("doc_id"), col("sig"), explode(array(
-          (0 until 4).map(b => struct(lit(b).as("band_id"),
-            shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
-        .select(col("side"), col("doc_id"), col("sig"),
-          col("bv.band_id").as("band_id"), col("bv.band_val").as("band_val"))
-      val near = banded.filter(col("side") === "new")
-        .select(col("doc_id"), col("sig"), col("band_id"), col("band_val"))
-        .join(banded.filter(col("side") === "idx")
-          .select(col("doc_id").as("idx_id"), col("sig").as("isig"),
-            col("band_id"), col("band_val")),
-          Seq("band_id", "band_val"))
-        .filter(bit_count(col("sig").bitwiseXOR(col("isig"))).cast("long") <= HammingThresh)
-        .groupBy(col("doc_id")).agg(count_distinct(col("idx_id")).as("near_n"))
-      batch.select(col("doc_id"))
-        .join(exact, Seq("doc_id"), "left")
-        .join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(coalesce(col("exact_n"), lit(0L)) > 0, "exact_dup")
-            .when(coalesce(col("near_n"), lit(0L)) > 0, "near_dup")
-            .otherwise("new").as("verdict"),
-          when(coalesce(col("exact_n"), lit(0L)) > 0, col("exact_n"))
-            .otherwise(coalesce(col("near_n"), lit(0L))).as("n_matches"))
-        .presented("doc_id")
+      // The index side's md5s + SimHash signatures come from the
+      // PERSISTED signature table (built once by DedupIndex.prepared,
+      // exactly as production's prior appends would have left it) — only
+      // the BATCH pays signature compute here, so the append costs
+      // O(batch), not O(corpus). Both probes are equi-joins against the
+      // index parquet (content_hash; (band_id, band_val)).
+      val indexPath = graft.pipeline.DedupIndex.prepared(s, dir)
+      val batchSigs = graft.pipeline.DedupIndex.signatures(batch)
+        .localCheckpoint(false) // exact probe, band probe, and verdict all read it
+      graft.pipeline.DedupIndex.triage(s, indexPath, batchSigs)
+        .orderBy("doc_id")
     }
   )
 }

@@ -46,7 +46,7 @@ object MediaQueries {
           hex(substring(col("payload"), 1, 8)).as("header_hex"),
           hex(substring(col("payload"), 33, 4)).as("frame1_hex"),
           hex(substring(col("payload"), 65, 4)).as("frame2_hex"))
-        .presented("media_id")
+        .orderBy("media_id")
     },
 
     // ----- the batched kernel path: typed Dataset boundary →

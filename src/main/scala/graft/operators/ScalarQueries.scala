@@ -95,7 +95,10 @@ object ScalarQueries {
           // main.py:114 — 24 chars here so the cut is visible on test rows)
           substring(to_json(struct(col("event_id"), col("event_type"))), 1, 24)
             .as("raw_json_trunc"))
-        .presented("item_id")
+        // orderBy + limit plans TakeOrderedAndProject: parallel per-partition
+        // top-k, no full sort, no single-task exchange — the whole events
+        // table never funnels through one partition.
+        .orderBy("item_id")
         .limit(1000)
     }
   )

@@ -352,7 +352,7 @@ object SimilarityQueries {
         .withColumn("sim", VectorOps.cosine6(col("av"), col("bv")))
         .filter(col("sim") >= NdThresh)
         .select("id_a", "id_b", "bucket", "sim")
-        .presented("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     },
 
     // ----- X2 (index training): one k-means Lloyd iteration — the step
@@ -474,7 +474,7 @@ object SimilarityQueries {
           (sum(col("se").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
             .cast("double") / Embedder.Dim).as("mse"),
           max(col("ae")).as("max_abs_err"))
-        .presented("vec_id")
+        .orderBy("vec_id")
     },
 
     // ----- X1/X2 (training data): HARD-NEGATIVE mining for contrastive

@@ -161,7 +161,7 @@ object TextQueries {
           (expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
             expr("CAST(0.3 AS DECIMAL(2,1))") * (one - pd) +
             expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore).cast("double"))
-        .presented("doc_id")
+        .orderBy("doc_id")
     },
 
     // ----- X4: token counting two ways (whitespace words vs a BPE-ish
@@ -233,7 +233,7 @@ object TextQueries {
           (col("pos") + 1).cast("long").as("chunk_id"),
           size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
           col("chunk_text"))
-        .presented("doc_id", "chunk_id")
+        .orderBy("doc_id", "chunk_id")
     },
 
     // ----- X4: order-sensitive rolling-hash fingerprint. Planted: every
@@ -272,7 +272,7 @@ object TextQueries {
       u.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .presented("keep_id")
+        .orderBy("keep_id")
     },
 
     // ----- X4 (relevance): BM25 keyword scoring — the ranking function
@@ -327,7 +327,7 @@ object TextQueries {
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), round(idf * tfPart, 6).as("wt"))
         .groupBy(col("doc_id")).agg(dsum(col("wt")).as("bm25"))
-        .presented("doc_id")
+        .orderBy("doc_id")
     },
 
     // ----- X4 (vocabulary statistics): PMI bigram collocations — the
@@ -379,7 +379,7 @@ object TextQueries {
           round(log((col("n_ab").cast("double") / col("nbi")) /
             ((col("ca").cast("double") / col("ntok")) *
               (col("cb").cast("double") / col("ntok")))), 6).as("pmi"))
-        .presented("w1", "w2")
+        .orderBy("w1", "w2")
     }
   )
 }

@@ -84,11 +84,18 @@ case class FrequentItems(
       .sortBy { case (k, c) => (-c, k) } // est desc, item asc
       .map { case (k, c) => InternalRow(UTF8String.fromString(k), c) })
 
+  // Length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps an entry
+  // at 65535 bytes, so sketching a long-string column (full document
+  // text) would throw UTFDataFormatException at partial-aggregate
+  // shuffle time. An int length + raw bytes has no such cliff.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -98,7 +105,12 @@ case class FrequentItems(
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var j = 0
-    while (j < n) { buf.update(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      j += 1
+    }
     buf
   }
 

@@ -82,7 +82,26 @@ object StatefulCounter {
     * as the partition column — the same touched-partitions-only
     * dynamic-overwrite path the daily upsert uses. */
   private def mergeTotals(batch: DataFrame, targetDir: String, version: Long): Unit = {
+    migrateLegacyLayout(batch.sparkSession, targetDir)
     val bucketed = batch.withColumn("bucket", pmod(col("user_id"), lit(TotalsBuckets.toLong)))
     StreamingUpsert.upsertBatch(bucketed, targetDir, Seq("user_id"), "bucket", version)
   }
+
+  /** One-time layout migration: a totals table written before the bucket
+    * fan-out existed has its files at the table root and no `bucket`
+    * column, so the bucketed merge's column resolution (and its dynamic
+    * partition overwrite, which only replaces `bucket=*` directories)
+    * would both break against it. Detect that layout and rewrite it once
+    * with the derived bucket — a FULL overwrite, because the legacy
+    * root-level files must be removed, not shadowed. */
+  private def migrateLegacyLayout(spark: SparkSession, targetDir: String): Unit =
+    if (graft.sinks.SinkOps.pathExists(spark, targetDir)) {
+      val existing = spark.read.parquet(targetDir)
+      if (!existing.columns.contains("bucket")) {
+        val migrated = existing
+          .withColumn("bucket", pmod(col("user_id"), lit(TotalsBuckets.toLong)))
+          .localCheckpoint(true) // materialize before overwriting its own source
+        migrated.write.mode("overwrite").partitionBy("bucket").parquet(targetDir)
+      }
+    }
 }
