@@ -221,13 +221,14 @@ object CurationQueries {
     // training contexts (GPT-style concat-and-chop at L tokens) and
     // report the per-bin layout — docs touching each bin and tokens
     // landing in it — the numbers that size a pre-training epoch. Doc
-    // offsets come from one running-sum window in doc_id order; each
-    // doc then explodes into only the bins it overlaps (integer
-    // interval math, no float anywhere). The global window is a
-    // SHARD-level construct: at 100 TB packing runs per shard — each
-    // partition packs independently and bin ids get a shard prefix;
-    // cross-shard order is irrelevant to training. All bins must fill
-    // to exactly L except the last (asserted in CurationSpec).
+    // offsets are a corpus-wide prefix sum in doc_id order, computed as
+    // the scalable two-level form: a partition-LOCAL running sum inside
+    // deterministic doc_id buckets, plus an exclusive per-bucket offset
+    // (one row per bucket — cluster-metadata scale, not data scale)
+    // broadcast back. No corpus-sized single-partition window anywhere
+    // (PlanShapeSpec pins this). Each doc then explodes into only the
+    // bins it overlaps (integer interval math, no float anywhere). All
+    // bins must fill to exactly L except the last (CurationSpec).
     q("q70_sequence_packing",
       "X4: fixed-length context packing layout (concat-and-chop)",
       s"""WITH d AS (SELECT doc_id, len(${"list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"}) AS n
@@ -245,9 +246,24 @@ object CurationQueries {
          |FROM b GROUP BY 1 ORDER BY bin_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n"))
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val o = d.filter(col("n") > 0)
-        .withColumn("fin", sum(col("n")).over(w))
+        .filter(col("n") > 0)
+        // Deterministic coarse buckets (monotone in doc_id): at 100 TB
+        // raise the divisor so bucket count stays ~1e5 — the offset
+        // table is one row per bucket either way.
+        .withColumn("bkt", floor(col("doc_id") / 64).cast("long"))
+      val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Exclusive bucket offsets: the only ordered window runs over the
+      // bucket TOTALS (tiny), never the docs.
+      val offsets = d.groupBy("bkt").agg(sum(col("n")).as("bn"))
+        .withColumn("off", coalesce(
+          sum(col("bn")).over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      val o = d
+        .withColumn("lfin", sum(col("n")).over(wLocal))
+        .join(broadcast(offsets), "bkt")
+        .withColumn("fin", col("off") + col("lfin"))
         .withColumn("start", col("fin") - col("n"))
       val b = o.select(col("start"), col("fin"),
         explode(sequence(

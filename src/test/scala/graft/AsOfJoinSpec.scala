@@ -54,6 +54,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("agrees with the scalar-subquery formulation on adversarial distributions") {
+    // The hand-rolled SparkPlan declares its own distribution/ordering
+    // requirements, so the shapes that stress EnsureRequirements get
+    // their own cases: empty sides, empty partitions, one hot key,
+    // all-equal timestamps (every comparison a tie), disjoint key sets.
+    val r = new scala.util.Random(7)
+    def rows(n: Int, keys: Seq[String], tsChoices: Seq[String]) =
+      Seq.fill(n)((keys(r.nextInt(keys.size)),
+        ts(tsChoices(r.nextInt(tsChoices.size))), r.nextLong()))
+    val manyTs = (0 until 24).map(h => f"2024-01-01 $h%02d:00:00")
+    val oneTs = Seq("2024-01-01 12:00:00")
+    val cases: Seq[(String, Seq[(String, Timestamp, Long)], Seq[(String, Timestamp, Long)])] = Seq(
+      ("empty right", rows(50, Seq("a", "b"), manyTs), Nil),
+      ("empty left", Nil, rows(20, Seq("a", "b"), manyTs)),
+      ("one hot key (skew + empty partitions)",
+        rows(500, Seq("hot"), manyTs), rows(30, Seq("hot"), manyTs)),
+      ("all timestamps equal on both sides",
+        rows(100, Seq("a", "b", "c"), oneTs), rows(30, Seq("a", "b", "c"), oneTs)),
+      ("disjoint key sets", rows(80, Seq("l1", "l2"), manyTs), rows(40, Seq("r1", "r2"), manyTs)),
+      ("right denser than left", rows(5, Seq("a"), manyTs), rows(400, Seq("a"), manyTs)))
+    cases.foreach { case (label, lRows, rRows) =>
+      val lhs = lRows.toDF("k", "lts", "id")
+      val rhs = rRows.toDF("k", "rts", "vl").dropDuplicates("k", "rts")
+        .withColumn("v", col("vl").cast("double")).drop("vl")
+      val got = AsOf.join(lhs, rhs, Seq("k"), "lts", "rts")
+        .select(col("id"), col("v")).as[(Long, Option[Double])].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      lhs.createOrReplaceTempView("aslhs"); rhs.createOrReplaceTempView("asrhs")
+      val expect = spark.sql(
+        """SELECT id, (SELECT max_by(v, rts) FROM asrhs r
+          |            WHERE r.k = l.k AND r.rts <= l.lts) AS v
+          |FROM aslhs l""".stripMargin)
+        .as[(Long, Option[Double])].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expect, s"case: $label")
+    }
+  }
+
   test("agrees with the window-over-union formulation on seeded random data") {
     val r = new scala.util.Random(11)
     val syms = Seq("x", "y", "z")

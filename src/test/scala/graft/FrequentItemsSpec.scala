@@ -46,6 +46,24 @@ class FrequentItemsSpec extends AnyFunSuite {
     }
   }
 
+  test("keys beyond the 64 KiB modified-UTF-8 cliff survive the merge path") {
+    import spark.implicits._
+    // writeUTF would throw UTFDataFormatException here: each hot key's
+    // UTF-8 form is ~80 KB (document-text-sized). repartition(5) forces
+    // real partial-aggregate serialize/merge across the shuffle.
+    val big1 = "µ" * 40000 + "a" // 2-byte char ⇒ 80001 bytes UTF-8
+    val big2 = "µ" * 40000 + "b"
+    val df = (0 until 600)
+      .map(i => if (i % 3 == 0) big1 else if (i % 3 == 1) big2 else s"small_$i")
+      .toDF("item")
+    val sk = df.repartition(5)
+      .agg(FrequentItems.sketch(col("item"), M).as("sk"))
+      .head.getAs[Seq[Row]](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.contains(big1) && sk.contains(big2)) // both far above n/(m+1)
+    assert(sk(big1) <= 200L && sk(big2) <= 200L)
+  }
+
   test("degenerate case: cardinality <= m is exact") {
     import spark.implicits._
     val df = (0 until 900).map(i => s"k${i % 3}").toDF("item")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -51,6 +51,41 @@ class PlanShapeSpec extends AnyFunSuite {
     Seq("q60_bm25", "q26_knn_topk").foreach { q =>
       assert(nodes(plan(q)).exists(_.isInstanceOf[BroadcastExchangeExec]),
         s"$q plans no broadcast exchange")
+    }
+  }
+
+  /** Walk the unary presentation chain from the root (sorts, projects,
+    * limits, AQE wrappers) to the first exchange: that is the exchange
+    * the final result funnels through. Deeper single-partition exchanges
+    * (global scalar aggregates) are legitimate — they carry a handful of
+    * rows, not the output. */
+  private def resultFunnel(p: SparkPlan): Option[ShuffleExchangeExec] = p match {
+    case a: AdaptiveSparkPlanExec => resultFunnel(a.executedPlan)
+    case e: ShuffleExchangeExec => Some(e)
+    case n if n.children.size == 1 => resultFunnel(n.children.head)
+    case _ => None // hit a join/agg/scan first — no presentation funnel
+  }
+
+  test("unbounded (row-per-input) outputs never funnel through one partition") {
+    // Every query whose output scales with its input: the trailing sort
+    // must be a parallel range sort (or top-k), never repartition(1).
+    // Streaming-harness queries (q49/q53/q54) are excluded here only for
+    // test cost; their returned frames are parquet scans + orderBy.
+    val unbounded = Seq(
+      "q04_eq_range_pred", "q10_semi_join", "q11_anti_join",
+      "q15_upsert_last_wins", "q19_set_ops", "q20_first_per_group",
+      "q25_flatten_project", "q27_exact_dedup", "q28_minhash_pairs",
+      "q31_embedding_neardup", "q32_simhash_bands", "q34_quality_score",
+      "q36_fingerprint_groups", "q39_media_features", "q43_session_window",
+      "q50_chunking", "q52_asof_enrich", "q58_contamination",
+      "q59_dup_clusters", "q60_bm25", "q63_pii_scrub",
+      "q64_repetition_filter", "q67_sq8_quantize", "q68_incremental_dedup",
+      "q69_pmi_bigrams", "q70_sequence_packing", "q75_ship_manifest")
+    unbounded.foreach { q =>
+      resultFunnel(plan(q)).foreach { e =>
+        assert(e.outputPartitioning.numPartitions > 1,
+          s"$q funnels its full output through a single-partition exchange: $e")
+      }
     }
   }
 }

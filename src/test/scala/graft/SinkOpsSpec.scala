@@ -47,6 +47,43 @@ class SinkOpsSpec extends AnyFunSuite {
       ("2024-01-02", "a", 99L), ("2024-01-02", "z", 7L)))
   }
 
+  test("K1/T2 upsert keeps untouched date partitions' files identical (surgical rewrite)") {
+    val dir = tmp("graft_surgical") + "/t"
+    // Three date partitions, written through the real merge path.
+    val b0 = Seq(
+      ("2024-01-01", "a", 1L), ("2024-01-01", "b", 2L),
+      ("2024-01-02", "a", 10L),
+      ("2024-01-03", "c", 5L)).toDF("d", "k", "v")
+    graft.streaming.StreamingUpsert.upsertBatch(b0, dir, Seq("d", "k"), "d", 0L)
+
+    // File identity = (name, mtime, length): a rewrite changes all three
+    // (part file names carry fresh task UUIDs).
+    def files(part: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/d=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    }
+    val day1Before = files("2024-01-01")
+    val day3Before = files("2024-01-03")
+    assert(day1Before.nonEmpty && day3Before.nonEmpty)
+
+    // Merge touches ONLY 2024-01-02: update one key, insert another.
+    val b1 = Seq(("2024-01-02", "a", 99L), ("2024-01-02", "z", 7L)).toDF("d", "k", "v")
+    graft.streaming.StreamingUpsert.upsertBatch(b1, dir, Seq("d", "k"), "d", 1L)
+
+    // The 100 TB claim (SURVEY §7): untouched partitions are not read,
+    // not rewritten — their files are the SAME files, byte for byte.
+    assert(files("2024-01-01") == day1Before)
+    assert(files("2024-01-03") == day3Before)
+    val back = spark.read.parquet(dir)
+      .select(col("d").cast("string"), col("k"), col("v"))
+      .as[(String, String, Long)].collect().toSet
+    assert(back == Set(
+      ("2024-01-01", "a", 1L), ("2024-01-01", "b", 2L),
+      ("2024-01-02", "a", 99L), ("2024-01-02", "z", 7L),
+      ("2024-01-03", "c", 5L)))
+  }
+
   test("putBatched accounts stored vs failed per batch (K4)") {
     val df = (1 to 9).map(i => (i.toLong, s"item$i")).toDF("id", "payload")
       .repartition(1)
