@@ -19,7 +19,8 @@ object SparkEntry {
       operators.CurationQueries.all ++
       operators.PipelineQueries.all ++
       operators.MediaQueries.all ++
-      operators.AdvancedQueries.all
+      operators.AdvancedQueries.all ++
+      operators.JdbcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The E1 pipeline restated (SURVEY.md §3): daily windowed metrics →
