@@ -430,6 +430,33 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .presented("change_type")
+    },
+
+    // ----- Deterministic per-domain DOWNSAMPLING: the rate-based
+    // sibling of q62's exact-quota mixture — each language keeps a
+    // fixed Bernoulli fraction, decided by hash(doc_id) % 100 < rate.
+    // Re-derivable anywhere (no state, no rand()): appending new docs
+    // or re-running a failed stage never reshuffles past keep/drop
+    // decisions, which is what makes rate-sampling safe in an
+    // incremental 100 TB pipeline. One scan, no shuffle at all until
+    // the presentation sort — the filter is embarrassingly parallel.
+    q("q83_domain_sample",
+      "X4: deterministic per-lang Bernoulli downsampling by key hash",
+      s"""SELECT doc_id, lang, source, ($hashSql % 100) AS bucket
+         |FROM documents
+         |WHERE ($hashSql % 100) <
+         |  CASE lang WHEN 'en' THEN 90 WHEN 'de' THEN 60 WHEN 'es' THEN 40
+         |            WHEN 'fr' THEN 25 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
+      val rate = when(col("lang") === "en", 90).when(col("lang") === "de", 60)
+        .when(col("lang") === "es", 40).when(col("lang") === "fr", 25)
+        .otherwise(10)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"), rate.as("rate"))
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "lang", "source", "bucket")
+        .orderBy("doc_id") // row-per-kept-doc output: parallel range sort
     }
   )
 }

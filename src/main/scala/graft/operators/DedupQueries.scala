@@ -503,6 +503,67 @@ object DedupQueries {
         .localCheckpoint(false) // exact probe, band probe, and verdict all read it
       graft.pipeline.DedupIndex.triage(s, indexPath, batchSigs)
         .orderBy("doc_id")
+    },
+
+    // ----- X3 exact n-gram Jaccard: the DETERMINISTIC near-dup tier —
+    // no MinHash approximation, guaranteed recall at the τ threshold.
+    // Inverted index on the hashed shingle (one shuffle keyed by h),
+    // bucket pre-aggregation kills singleton postings before any pair
+    // exists, then |A∩B| falls out of a pair-count aggregate and |A|,
+    // |B| join back from per-doc totals — candidate work scales with
+    // Σ df(h)², never corpus². At 100 TB the guard on that sum is a
+    // df cap (drop stop-shingles shared by thousands of docs — they
+    // can't push a pair over τ anyway) or positional prefix filtering;
+    // the synthetic corpus needs neither, so the result here is exact.
+    q("q81_ngram_jaccard",
+      "X3: exact n-gram Jaccard near-dup join (inverted index, no approximation)",
+      s"""WITH u AS (${plantedSql(11, 50000, dropFirstTokSql)}),
+         |     sh AS (SELECT doc_id,
+         |              unnest(list_distinct(list_transform(
+         |                ${shinglesSql(tokensSql("text"))}, t -> ${hash60Sql("t")}))) AS h
+         |            FROM u),
+         |     n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+         |               FROM sh a JOIN sh b USING (h)
+         |               WHERE a.doc_id < b.doc_id
+         |               GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |       ROUND(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
+         |FROM pairs
+         |JOIN n na ON na.doc_id = id_a
+         |JOIN n nb ON nb.doc_id = id_b
+         |WHERE ROUND(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) >= $JaccardThresh
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      // Spread the single-row-group corpus before the shingle+md5 stage
+      // (the dominant compute), same as q28/q32.
+      val u = withPlanted(base, 11, 50000, dropFirstTok).repartition(col("doc_id"))
+      // Hashed-shingle postings, distinct per doc — the md5 runs once per
+      // shingle and everything downstream joins on a compact long.
+      val sh = shingleRows(u, 3)
+        .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
+        .distinct() // (doc_id, h): hash-fold safety, mirrored by list_distinct
+        .localCheckpoint(false) // feeds the index AND the per-doc totals
+      val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // Posting-list pre-aggregation: one shuffle keyed by h; singleton
+      // postings (the overwhelming majority) die before pairs explode.
+      val shared = sh.groupBy(col("h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared")) // = |A ∩ B|, exactly
+      shared
+        .join(totals.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(totals.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .withColumn("jaccard",
+          round(col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")), 6))
+        .filter(col("jaccard") >= JaccardThresh)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+        .orderBy("id_a", "id_b")
     }
   )
 }

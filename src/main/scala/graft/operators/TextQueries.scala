@@ -380,6 +380,47 @@ object TextQueries {
             ((col("ca").cast("double") / col("ntok")) *
               (col("cb").cast("double") / col("ntok")))), 6).as("pmi"))
         .orderBy("w1", "w2")
+    },
+
+    // ----- X4 (salience): top-3 TF-IDF terms per document — the
+    // keyword-extraction pass behind corpus tagging and retrieval-index
+    // enrichment. Two vocabulary-sized aggregates (tf, df) + one
+    // broadcast scalar (N); ranking is per-doc (partition count scales
+    // with the corpus, each group is one doc's vocabulary — no global
+    // window). Rank order is INTEGER-deterministic (tf desc, df asc,
+    // tok asc): the float score is display output, never the sort key,
+    // so libm ULP differences cannot reorder engines; ln runs on
+    // identical count ratios and rounds to 6dp (the q60/q69 recipe).
+    q("q82_tfidf_terms",
+      "X4: per-doc top-3 TF-IDF salient terms (integer-deterministic rank)",
+      s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |  dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |  nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |  scored AS (SELECT doc_id, tok, tf, df,
+         |               ROUND(tf * ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS tfidf,
+         |               ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                 ORDER BY tf DESC, df ASC, tok ASC) AS rnk
+         |             FROM tf JOIN dfreq USING (tok) CROSS JOIN nd)
+         |SELECT doc_id, rnk, tok, tf, df, tfidf FROM scored
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("tf") * round(log(col("n_docs").cast("double") / col("df")), 6), 6)
+            .as("tfidf"))
+        .withColumn("rnk", row_number().over(w).cast("long")) // DuckDB ROW_NUMBER is BIGINT
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rnk") // row-per-doc output: parallel range sort
     }
   )
 }
