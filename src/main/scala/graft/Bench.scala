@@ -52,7 +52,15 @@ object Bench {
           Some(e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160))
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Release this query's localCheckpoint blocks before the next one
+      // runs: 80+ queries' worth of retained checkpoint storage otherwise
+      // accumulates block-manager pressure that inflates LATER queries'
+      // timings by 2-3x (suite-order noise, not plan cost). Dropping
+      // storage after materialization changes nothing semantically —
+      // each query's lifetime ends at its noop save.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

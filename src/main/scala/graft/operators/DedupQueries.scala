@@ -564,6 +564,74 @@ object DedupQueries {
         .filter(col("jaccard") >= JaccardThresh)
         .select("id_a", "id_b", "n_shared", "jaccard")
         .orderBy("id_a", "id_b")
+    },
+
+    // ----- X3 (cross-corpus, bloom-accelerated): the SCALE form of the
+    // q58 decontamination sweep. The eval side's distinct 6-gram hashes
+    // are sketched into a native Bloom filter (one tiny binary row,
+    // inlined as a literal — the explicit form of a materialized runtime
+    // filter), and might_contain() drops non-matching TRAIN grams
+    // map-side BEFORE the join exchange. At 100 TB that pre-filter is
+    // the difference between shuffling the full train gram stream and
+    // shuffling only grams that can possibly matter. Bloom filters have
+    // NO false negatives and the exact equi-join removes the false
+    // positives, so the result is bit-identical to the unfiltered sweep
+    // — which is exactly what the (bloom-free) oracle checks.
+    q("q84_bloom_decontam",
+      "X3: bloom-prefiltered 6-gram containment decontamination (exact result)",
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+         |     train AS (SELECT doc_id, text FROM documents
+         |               UNION ALL
+         |               SELECT doc_id + 60000, $dropFirstTokSql FROM documents
+         |               WHERE doc_id % 40 = 0),
+         |     eg AS (SELECT doc_id AS eval_id,
+         |              unnest(list_distinct(list_transform(
+         |                ${ngramsSql(tokensSql("text"), 6)}, t -> ${hash60Sql("t")}))) AS h
+         |            FROM ev),
+         |     tg AS (SELECT doc_id AS train_id,
+         |              unnest(list_distinct(list_transform(
+         |                ${ngramsSql(tokensSql("text"), 6)}, t -> ${hash60Sql("t")}))) AS h
+         |            FROM train),
+         |     shared AS (SELECT eval_id, train_id, COUNT(*) AS n_shared
+         |                FROM eg JOIN tg USING (h)
+         |                WHERE eval_id <> train_id
+         |                GROUP BY 1, 2),
+         |     totals AS (SELECT eval_id, COUNT(*) AS n_eval FROM eg GROUP BY 1)
+         |SELECT s.eval_id, s.train_id, s.n_shared,
+         |       ROUND(CAST(s.n_shared AS DOUBLE) / t.n_eval, 6) AS containment
+         |FROM shared s JOIN totals t USING (eval_id)
+         |WHERE ROUND(CAST(s.n_shared AS DOUBLE) / t.n_eval, 6) >= $ContamThresh
+         |ORDER BY eval_id, train_id""".stripMargin) { (s, dir) =>
+      import graft.functions.BloomOps
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val evalDocs = base.filter(col("doc_id") % 40 === 0)
+      val train = base.unionAll(
+        evalDocs.select((col("doc_id") + 60000).as("doc_id"),
+          dropFirstTok(col("text")).as("text")))
+      // Distinct hashed 6-grams per side (join key = the compact long).
+      val eg = shingleRows(evalDocs, 6)
+        .select(col("doc_id").as("eval_id"), TextOps.hash60(col("t")).as("h"))
+        .distinct()
+        .localCheckpoint(false) // sketch, join, and totals all read it
+      // One binary sketch row crosses the driver; the corpus does not.
+      val bloom = BloomOps.build(eg, "h", estimatedItems = 1 << 18)
+      // Probe BEFORE the distinct: the sketch kills non-candidate grams
+      // map-side, so even the dedup exchange carries only survivors.
+      val tg = shingleRows(train.repartition(col("doc_id")), 6, dedup = false)
+        .select(col("doc_id").as("train_id"), TextOps.hash60(col("t")).as("h"))
+        .filter(BloomOps.mightContain(bloom, col("h")))
+        .distinct()
+      val shared = eg.join(tg, "h")
+        .filter(col("eval_id") =!= col("train_id"))
+        .groupBy(col("eval_id"), col("train_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val totals = eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+      shared.join(totals, "eval_id")
+        .withColumn("containment",
+          round(col("n_shared").cast("double") / col("n_eval"), 6))
+        .filter(col("containment") >= ContamThresh)
+        .select("eval_id", "train_id", "n_shared", "containment")
+        .orderBy("eval_id", "train_id")
     }
   )
 }

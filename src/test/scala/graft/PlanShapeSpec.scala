@@ -80,7 +80,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q50_chunking", "q52_asof_enrich", "q58_contamination",
       "q59_dup_clusters", "q60_bm25", "q63_pii_scrub",
       "q64_repetition_filter", "q67_sq8_quantize", "q68_incremental_dedup",
-      "q69_pmi_bigrams", "q70_sequence_packing", "q75_ship_manifest")
+      "q69_pmi_bigrams", "q70_sequence_packing", "q75_ship_manifest",
+      "q80_jdbc_upsert", "q81_ngram_jaccard", "q82_tfidf_terms",
+      "q83_domain_sample")
     unbounded.foreach { q =>
       resultFunnel(plan(q)).foreach { e =>
         assert(e.outputPartitioning.numPartitions > 1,
