@@ -65,6 +65,19 @@ object JdbcSink {
       st.close()
     }
 
+  /** Create `table` only if absent (the reference's
+    * `CREATE TABLE IF NOT EXISTS`, pgvector_storage.py:86-96) — the
+    * standing-pipeline form, where re-runs must find prior state. */
+  def ensureTable(url: String, table: String, colsDdl: String): Unit =
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $table ($colsDdl)")
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+      }
+      st.close()
+    }
+
   /** K2: distributed batch insert into an EXISTING table (append mode —
     * Spark batches PreparedStatement rows per partition). */
   def insert(df: DataFrame, url: String, table: String): Unit =
