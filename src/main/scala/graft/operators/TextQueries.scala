@@ -421,6 +421,48 @@ object TextQueries {
         .filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "tok", "tf", "df", "tfidf")
         .orderBy("doc_id", "rnk") // row-per-doc output: parallel range sort
+    },
+
+    // ----- X4 (index build): impact-ordered posting lists — the
+    // materialized retrieval-index artifact behind q60's BM25 scoring,
+    // with static index pruning: only each term's top-8 highest-tf
+    // postings ship (the classic impact-ordered truncation). The top-k
+    // per term runs through CollectTopK (map-side k-heaps — the shuffle
+    // carries ≤ vocab·k candidate pairs), NOT a ranking window: at
+    // 100 TB a stopword's posting list is the size of the corpus, and a
+    // per-term sort of that list is exactly the skewed-window tail this
+    // engine avoids everywhere else. df/total_tf aggregate beside the
+    // heap in the same exchange.
+    q("q85_posting_lists",
+      "X4: impact-ordered posting lists w/ top-8 static pruning (CollectTopK)",
+      s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |  stats AS (SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+         |            FROM tf GROUP BY 1),
+         |  ranked AS (SELECT tok, doc_id, tf,
+         |               ROW_NUMBER() OVER (PARTITION BY tok
+         |                 ORDER BY tf DESC, doc_id ASC) AS rnk
+         |             FROM tf)
+         |SELECT r.tok, s.df, s.total_tf, r.rnk, r.doc_id, r.tf
+         |FROM ranked r JOIN stats s USING (tok)
+         |WHERE r.rnk <= 8 ORDER BY tok, rnk""".stripMargin) { (s, dir) =>
+      import graft.plans.CollectTopK
+      val toks = docs(s, dir).select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      // One exchange keyed by term: the pruned heap and the full-list
+      // stats aggregate together (CollectTopK's best-first order is
+      // exactly (tf desc, doc_id asc), matching the oracle's window).
+      tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          CollectTopK.topk(col("tf").cast("double"), col("doc_id"), 8).as("top"))
+        .select(col("tok"), col("df"), col("total_tf"),
+          posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("tok"), col("df"), col("total_tf"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("p.vec_id").as("doc_id"), col("p.sim").cast("long").as("tf"))
+        .orderBy("tok", "rnk") // row-per-(term,posting): parallel range sort
     }
   )
 }

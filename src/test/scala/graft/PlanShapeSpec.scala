@@ -82,7 +82,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q64_repetition_filter", "q67_sq8_quantize", "q68_incremental_dedup",
       "q69_pmi_bigrams", "q70_sequence_packing", "q75_ship_manifest",
       "q80_jdbc_upsert", "q81_ngram_jaccard", "q82_tfidf_terms",
-      "q83_domain_sample")
+      "q83_domain_sample", "q84_bloom_decontam", "q85_posting_lists")
     unbounded.foreach { q =>
       resultFunnel(plan(q)).foreach { e =>
         assert(e.outputPartitioning.numPartitions > 1,
