@@ -115,15 +115,22 @@ object JdbcSink {
           conn.setAutoCommit(false)
           val up = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
+          // NULL needs setNull with the column's declared JDBC type —
+          // setObject(i, null) is driver-undefined (Derby rejects it).
+          val upTypes = (1 to cols.size).map(up.getParameterMetaData.getParameterType)
+          val insTypes = (1 to cols.size).map(ins.getParameterMetaData.getParameterType)
+          def set(ps: java.sql.PreparedStatement, types: Seq[Int],
+              pos: Int, v: Any): Unit =
+            if (v == null) ps.setNull(pos, types(pos - 1)) else ps.setObject(pos, v)
           rows.grouped(batchSize).foreach { batch =>
             batch.foreach { row =>
               valIdx.zipWithIndex.foreach { case (src, j) =>
-                up.setObject(j + 1, row.get(src))
+                set(up, upTypes, j + 1, row.get(src))
               }
-              up.setObject(valCols.size + 1, row.get(keyIdx))
+              set(up, upTypes, valCols.size + 1, row.get(keyIdx))
               if (up.executeUpdate() > 0) updated.add(1)
               else {
-                cols.indices.foreach(j => ins.setObject(j + 1, row.get(j)))
+                cols.indices.foreach(j => set(ins, insTypes, j + 1, row.get(j)))
                 ins.executeUpdate()
                 inserted.add(1)
               }

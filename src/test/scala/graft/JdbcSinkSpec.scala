@@ -51,6 +51,20 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0)))
   }
 
+  test("upsert carries NULL values through both the update and insert paths") {
+    val url = freshUrl("nulls")
+    JdbcSink.recreateTable(url, "t", "k BIGINT NOT NULL PRIMARY KEY, v DOUBLE, s VARCHAR(32)")
+    JdbcSink.insert(Seq((1L, Some(1.0), Some("a"))).toDF("k", "v", "s"), url, "t")
+    val stats = JdbcSink.upsert(
+      Seq((1L, None, Some("A")), (2L, Some(2.0), None))
+        .toDF("k", "v", "s"), url, "t", "k")
+    assert(stats == JdbcSink.UpsertStats(updated = 1, inserted = 1))
+    val got = JdbcSink.read(spark, url, "t", "k", 1L, 3L, 1)
+      .select($"K".as("k"), $"V".as("v"), $"S".as("s"))
+      .as[(Long, Option[Double], Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, None, Some("A")), (2L, Some(2.0), None)))
+  }
+
   test("recreateTable is idempotent and drops prior state") {
     val url = freshUrl("ddl")
     JdbcSink.recreateTable(url, "t", "k BIGINT NOT NULL PRIMARY KEY, v DOUBLE")
