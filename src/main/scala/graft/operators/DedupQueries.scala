@@ -127,6 +127,59 @@ object DedupQueries {
   private val HammingThresh = 10
   private val ContamThresh = 0.5
 
+  /** Blocking edges: two normalization keys per doc (content md5 and
+    * md5 minus the leading token — a drop-a-token chain collides on
+    * adjacent keys), bucket pre-aggregation (identical plan shape to
+    * q28's band buckets — singleton buckets die before any pair
+    * exists), pairs only within a bucket. Checkpointed: the CC loop
+    * re-reads the edge list every round. */
+  private def blockingEdges(u: DataFrame): DataFrame =
+    u.select(col("doc_id"), explode(array(
+        md5(col("text")), md5(dropFirstTok(col("text"))))).as("k"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+  /** Distributed connected components over `(a, b)` edges by iterative
+    * min-label propagation: each round is one equi-join + one
+    * min-aggregate, both keyed on the vertex id; rounds ∝ component
+    * DIAMETER, not corpus size. Labels are re-checkpointed per round —
+    * truncates the iterative lineage AND gives the convergence count an
+    * action to ride on. Returns `(id, lbl)`; a component wider than the
+    * round cap FAILS loudly (a partially-merged labeling would silently
+    * diverge from the recursive-CTE oracle). */
+  private def connectedComponents(edges: DataFrame, maxRounds: Int = 20,
+      tag: String): DataFrame = {
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nbr_lbl")), "b")
+        .groupBy(col("a")).agg(min(col("nbr_lbl")).as("nbr"))
+        .withColumnRenamed("a", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl2"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl2") < col("lbl")).count()
+      labels = next.select(col("id"), col("lbl2").as("lbl"))
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"$tag: label propagation did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — raise the round cap")
+    labels
+  }
+
   /** Universal-hash permutation constants for MinHash: minhash_j =
     * (a_j·h31 + b_j) mod p over h31 = hash60(t) & (2^31−1). One md5 per
     * shingle total (not per seed) — the k permutations are integer ops.
@@ -385,49 +438,8 @@ object DedupQueries {
         .unionAll(base.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 80000).as("doc_id"),
             dropFirstTok(dropFirstTok(col("text"))).as("text")))
-      // Blocking: two normalization keys per doc, bucket pre-aggregation
-      // (identical plan shape to q28's band buckets — singleton buckets
-      // die before any pair exists), pairs only within a bucket.
-      val keyed = u.select(col("doc_id"), explode(array(
-          md5(col("text")), md5(dropFirstTok(col("text"))))).as("k"))
-      val edges = keyed.groupBy(col("k"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint() // the loop below re-reads it every round
-      // Min-label propagation to fixpoint. Labels are re-checkpointed
-      // per round: truncates the iterative lineage AND gives the loop's
-      // convergence count an action to ride on.
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      val maxRounds = 20
-      while (changed > 0 && rounds < maxRounds) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("b"), col("lbl").as("nbr_lbl")), "b")
-          .groupBy(col("a")).agg(min(col("nbr_lbl")).as("nbr"))
-          .withColumnRenamed("a", "id")
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("lbl"),
-            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl2"))
-          .localCheckpoint()
-        changed = next.filter(col("lbl2") < col("lbl")).count()
-        labels = next.select(col("id"), col("lbl2").as("lbl"))
-        rounds += 1
-      }
-      // Rounds ∝ component diameter; the cap is a runaway guard, not an
-      // answer. A component wider than the cap must FAIL loudly — a
-      // partially-merged labeling would silently diverge from the
-      // recursive-CTE oracle.
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"q59: label propagation did not converge in $maxRounds rounds " +
-            s"($changed labels still changing) — raise the round cap")
+      val edges = blockingEdges(u)
+      val labels = connectedComponents(edges, tag = "q59")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "lbl")
         .select(col("lbl").as("cluster_id"), col("id").as("doc_id"),
@@ -632,6 +644,63 @@ object DedupQueries {
         .filter(col("containment") >= ContamThresh)
         .select("eval_id", "train_id", "n_shared", "containment")
         .orderBy("eval_id", "train_id")
+    },
+
+    // ----- X3 (cluster resolution, step 2): CANONICAL SURVIVOR
+    // selection — after transitive clusters exist (q59's machinery,
+    // shared via connectedComponents), exactly one doc per cluster
+    // ships and the rest drop. The survivor rule is INTEGER-
+    // deterministic (longest text, then lowest id), so every engine and
+    // every retry picks the same winner. Selection is a per-cluster
+    // window over the clustered docs only (cluster-sized partitions —
+    // dup clusters stay tiny at any corpus scale). Planted: every 20th
+    // doc minus one token (id+40000), every 60th additionally minus two
+    // (id+80000) — the originals are longest, so they must all survive.
+    q("q86_canonical_pick",
+      "X3: canonical survivor per dup cluster (longest text, lowest id)",
+      s"""WITH RECURSIVE
+         |  u AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 40000, $dropFirstTokSql FROM documents WHERE doc_id % 20 = 0
+         |        UNION ALL
+         |        SELECT doc_id + 80000, ${dropFirstTokSql.replace("text", dropFirstTokSql)}
+         |        FROM documents WHERE doc_id % 60 = 0),
+         |  keys AS (SELECT doc_id, unnest([md5(text), md5($dropFirstTokSql)]) AS k FROM u),
+         |  e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |        FROM keys a JOIN keys b USING (k) WHERE a.doc_id <> b.doc_id),
+         |  walk(id, r) AS (
+         |    SELECT DISTINCT a, a FROM e
+         |    UNION
+         |    SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id),
+         |  comp AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id),
+         |  ranked AS (SELECT c.cluster_id, c.id, len(u.text) AS n_chars,
+         |               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |                 ORDER BY len(u.text) DESC, c.id ASC) AS rnk,
+         |               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |             FROM comp c JOIN u ON u.doc_id = c.id)
+         |SELECT cluster_id, id AS keep_id, CAST(n_chars AS BIGINT) AS keep_chars,
+         |       n_members
+         |FROM ranked WHERE rnk = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val u = base
+        .unionAll(base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            dropFirstTok(col("text")).as("text")))
+        .unionAll(base.filter(col("doc_id") % 60 === 0)
+          .select((col("doc_id") + 80000).as("doc_id"),
+            dropFirstTok(dropFirstTok(col("text"))).as("text")))
+      val labels = connectedComponents(blockingEdges(u), tag = "q86")
+      val withLen = labels
+        .join(u.select(col("doc_id").as("id"), length(col("text")).cast("long").as("n_chars")), "id")
+      val w = Window.partitionBy("lbl")
+      val ranked = withLen
+        .withColumn("rnk", row_number().over(
+          w.orderBy(col("n_chars").desc, col("id").asc)))
+        .withColumn("n_members", count(lit(1)).over(w))
+      ranked.filter(col("rnk") === 1)
+        .select(col("lbl").as("cluster_id"), col("id").as("keep_id"),
+          col("n_chars").as("keep_chars"), col("n_members"))
+        .orderBy("cluster_id")
     }
   )
 }

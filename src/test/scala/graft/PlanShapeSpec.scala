@@ -38,7 +38,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dedup/similarity candidate generation never plans a cross product") {
     Seq("q28_minhash_pairs", "q32_simhash_bands", "q31_embedding_neardup",
-      "q59_dup_clusters", "q68_incremental_dedup").foreach { q =>
+      "q59_dup_clusters", "q68_incremental_dedup", "q86_canonical_pick").foreach { q =>
       val ns = nodes(plan(q))
       assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
         s"$q plans a CartesianProduct")
@@ -82,7 +82,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q64_repetition_filter", "q67_sq8_quantize", "q68_incremental_dedup",
       "q69_pmi_bigrams", "q70_sequence_packing", "q75_ship_manifest",
       "q80_jdbc_upsert", "q81_ngram_jaccard", "q82_tfidf_terms",
-      "q83_domain_sample", "q84_bloom_decontam", "q85_posting_lists")
+      "q83_domain_sample", "q84_bloom_decontam", "q85_posting_lists",
+      "q86_canonical_pick")
     unbounded.foreach { q =>
       resultFunnel(plan(q)).foreach { e =>
         assert(e.outputPartitioning.numPartitions > 1,
