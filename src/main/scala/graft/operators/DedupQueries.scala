@@ -153,7 +153,7 @@ object DedupQueries {
     * action to ride on. Returns `(id, lbl)`; a component wider than the
     * round cap FAILS loudly (a partially-merged labeling would silently
     * diverge from the recursive-CTE oracle). */
-  private def connectedComponents(edges: DataFrame, maxRounds: Int = 20,
+  private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 20,
       tag: String): DataFrame = {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
