@@ -562,6 +562,90 @@ object AdvancedQueries {
         .select(col("k"), col("n"), col("guaranteed"),
           (!col("guaranteed") || col("found")).as("sketch_ok"))
         .presented("k")
+    },
+
+    // ----- W2/F4 (time-series repair): date-spine GAP FILLING with
+    // linear interpolation — the sensor-feed cleanup the reference's
+    // weather path needs the moment a station skips a day (meteostat
+    // returns NaN days, meteostat_weather.py:46-50 just skips them).
+    // Gaps are PLANTED deterministically (drop ~30% of (type, day)
+    // observations by key hash). Interior gaps interpolate between the
+    // nearest observed neighbors via running last/first-non-null
+    // windows; spine days before a type's first / after its last
+    // observation stay NULL and are flagged 'edge' (no extrapolation).
+    // Scale shape: per-type windows over the date spine — partitions
+    // scale with the type count, each one is #days long, and the spine
+    // join is a broadcast of days × types. The interpolation weight is
+    // integer day arithmetic; doubles enter only at the final blend,
+    // rounded 6dp (the libm-parity recipe).
+    q("q87_gap_interpolate",
+      "W2/F4: date-spine gap fill + linear interpolation (planted gaps)",
+      s"""WITH spine AS (SELECT CAST(gs AS DATE) AS d
+         |               FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+         |                                    INTERVAL 1 DAY) t(gs)),
+         |  obs AS (SELECT event_type, CAST(ts AS DATE) AS d,
+         |            ${ExactSql.davg("value")} AS v
+         |          FROM events GROUP BY 1, 2),
+         |  kept AS (SELECT * FROM obs
+         |           WHERE CAST(CONCAT('0x', substr(md5(CONCAT(event_type, CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 10 < 7),
+         |  grid AS (SELECT et.event_type, s.d, k.v
+         |           FROM spine s
+         |           CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+         |           LEFT JOIN kept k ON k.event_type = et.event_type AND k.d = s.d),
+         |  walled AS (SELECT event_type, d, v,
+         |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY d
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |    FROM grid)
+         |SELECT event_type, d,
+         |  CASE WHEN v IS NOT NULL THEN ROUND(CAST(v AS DOUBLE), 6)
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |         ROUND(CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+         |           CAST(date_diff('day', pd, d) AS DOUBLE) / date_diff('day', pd, nd), 6)
+         |       ELSE NULL END AS value,
+         |  CASE WHEN v IS NOT NULL THEN 'observed'
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+         |       ELSE 'edge' END AS status
+         |FROM walled ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val events = Tables.load(s, dir, "events")
+      val obs = events
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(Exact.davg(col("value")).as("v"))
+      val kept = obs.filter(
+        graft.functions.TextOps.hash60(
+          concat(col("event_type"), col("d").cast("string"))) % 10 < 7)
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d"))
+      val types = events.select(col("event_type")).distinct()
+      val grid = spine.crossJoin(broadcast(types))
+        .join(kept, Seq("event_type", "d"), "left_outer")
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val walled = grid
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(fwd))
+      val interp = col("pv").cast("double") +
+        (col("nv").cast("double") - col("pv").cast("double")) *
+          datediff(col("d"), col("pd")).cast("double") / datediff(col("nd"), col("pd"))
+      walled.select(col("event_type"), col("d"),
+          when(col("v").isNotNull, round(col("v").cast("double"), 6))
+            .when(col("pv").isNotNull && col("nv").isNotNull, round(interp, 6))
+            .otherwise(lit(null).cast("double")).as("value"),
+          when(col("v").isNotNull, "observed")
+            .when(col("pv").isNotNull && col("nv").isNotNull, "interpolated")
+            .otherwise("edge").as("status"))
+        .orderBy("event_type", "d") // row-per-(type,day): parallel range sort
     }
   )
 }
