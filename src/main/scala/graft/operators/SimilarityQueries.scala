@@ -74,6 +74,8 @@ object SimilarityQueries {
   private val NdBits = 4     // 16 buckets for pair mining (wider candidates)
   private val NdThresh = 0.3 // near-dup cosine threshold (testdata is random
   private val IvfCells = 16  // coarse centroids (first ids, a k-means stand-in)
+  private val PqM = 4        // PQ subspaces (64 dims → 4×16)
+  private val PqK = 4        // PQ codes per subspace (seed centroids)
   private val IvfProbes = 2  // cells probed per query
   private val IvfK = 5
 
@@ -516,6 +518,51 @@ object SimilarityQueries {
         .select(col("anchor_id"), (col("anchor_id") + 40000).as("pos_id"),
           col("t.vec_id").as("neg_id"), col("t.sim").as("neg_sim"))
         .presented("anchor_id")
+    },
+
+    // ----- X2 (index compression, vector-quantized): PRODUCT
+    // quantization encode — the M·log2(K)-bit-per-vector storage path
+    // (vs SQ8's byte-per-dim, q67): split each vector into M=4
+    // subvectors of 16 dims, one tiny per-subspace codebook (K=4 seed
+    // centroids — first ids, the k-means stand-in q42/q65 also use),
+    // assign every subvector to its nearest code by exact L2. Plan
+    // shape: subvectors ride a 4-row explode of the corpus scan, the
+    // 16-row codebook broadcasts, assignment is one min_by aggregate
+    // keyed (vec_id, m) — no ranking window, no corpus self-join; the
+    // residual d is the per-subspace quantization error a PQ recall
+    // model consumes. Ties broken by code id in both engines.
+    q("q88_pq_encode",
+      "X2: product-quantization encode (M=4 subspaces, K=4 codes, min_by assign)",
+      {
+        val S = Embedder.Dim / PqM
+        s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           |  sub AS (SELECT vec_id, m.m,
+           |            list_slice(ev, m.m * $S + 1, m.m * $S + $S) AS sv
+           |          FROM es CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
+           |  cents AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
+           |  assign AS (SELECT vec_id, m, code, d FROM (
+           |    SELECT s.vec_id, s.m, c.code,
+           |      ROUND(list_distance(s.sv, c.cv), 6) AS d,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |        ROUND(list_distance(s.sv, c.cv), 6) ASC, c.code) AS rn
+           |    FROM sub s JOIN cents c USING (m)) WHERE rn = 1)
+           |SELECT vec_id, m, code, d FROM assign ORDER BY vec_id, m""".stripMargin
+      }) { (s, dir) =>
+      val S = Embedder.Dim / PqM
+      val sub = emb(s, dir)
+        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ev"))
+        .select(col("vec_id"), col("m"),
+          slice(col("ev"), col("m") * S + 1, lit(S)).as("sv"))
+      val cents = sub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+      sub.join(broadcast(cents), "m")
+        .withColumn("d", round(VectorOps.l2(col("sv"), col("cv")), 6))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("code"), col("d")),
+          struct(col("d"), col("code"))).as("a"))
+        .select(col("vec_id"), col("m").cast("long").as("m"), // DuckDB range is BIGINT
+          col("a.code").as("code"), col("a.d").as("d"))
+        .orderBy("vec_id", "m") // row-per-(vec,subspace): parallel range sort
     }
   )
 }

@@ -29,8 +29,8 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q42/q65: ANN cell assignment plans with NO ranking window") {
-    Seq("q42_ivf_knn", "q65_kmeans_step").foreach { q =>
+  test("q42/q65/q88: ANN cell assignment plans with NO ranking window") {
+    Seq("q42_ivf_knn", "q65_kmeans_step", "q88_pq_encode").foreach { q =>
       assert(!nodes(plan(q)).exists(_.isInstanceOf[WindowExec]),
         s"$q plans a Window — assignment must be an aggregate")
     }
@@ -83,7 +83,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q69_pmi_bigrams", "q70_sequence_packing", "q75_ship_manifest",
       "q80_jdbc_upsert", "q81_ngram_jaccard", "q82_tfidf_terms",
       "q83_domain_sample", "q84_bloom_decontam", "q85_posting_lists",
-      "q86_canonical_pick", "q87_gap_interpolate")
+      "q86_canonical_pick", "q87_gap_interpolate", "q88_pq_encode")
     unbounded.foreach { q =>
       resultFunnel(plan(q)).foreach { e =>
         assert(e.outputPartitioning.numPartitions > 1,
