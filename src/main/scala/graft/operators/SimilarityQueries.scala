@@ -563,6 +563,95 @@ object SimilarityQueries {
         .select(col("vec_id"), col("m").cast("long").as("m"), // DuckDB range is BIGINT
           col("a.code").as("code"), col("a.d").as("d"))
         .orderBy("vec_id", "m") // row-per-(vec,subspace): parallel range sort
+    },
+
+    // ----- X2 (PQ retrieval): ASYMMETRIC-DISTANCE (ADC) approximate
+    // kNN over the q88 codes, audited by recall@k against exact L2 —
+    // the query-time half of product quantization. The query computes a
+    // distance TABLE (M·K = 16 rounded entries per query — tiny,
+    // broadcast); every database vector's approximate distance is then
+    // a table LOOKUP join on its (m, code) pairs plus one exact-decimal
+    // sum — the corpus is never rescanned against raw query floats.
+    // Per-subspace terms are rounded before the order-independent
+    // decimal sum (the q65 recipe), so the ADC ranking is
+    // partitioning-invariant; both top-k sides run through CollectTopK
+    // heaps (score = −distance), never a ranking window.
+    q("q89_pq_adc",
+      "X2: PQ asymmetric-distance kNN + recall@k vs exact (distance-table lookup)",
+      {
+        val S = Embedder.Dim / PqM
+        s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           |  sub AS (SELECT vec_id, m.m,
+           |            list_slice(ev, m.m * $S + 1, m.m * $S + $S) AS sv
+           |          FROM es CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
+           |  cents AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
+           |  assign AS (SELECT vec_id, m, code FROM (
+           |    SELECT s.vec_id, s.m, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |        ROUND(list_distance(s.sv, c.cv), 6) ASC, c.code) AS rn
+           |    FROM sub s JOIN cents c USING (m)) WHERE rn = 1),
+           |  qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
+           |  dts AS (SELECT q.query_id, c.m, c.code,
+           |            ROUND(list_distance(list_slice(q.qv, c.m * $S + 1, c.m * $S + $S), c.cv), 6) AS t
+           |          FROM qs q CROSS JOIN cents c),
+           |  dt AS (SELECT query_id, m, code, ROUND(t * t, 6) AS d2 FROM dts),
+           |  adc AS (SELECT d.query_id, a.vec_id,
+           |            ROUND(sqrt(${ExactSql.dsum("d.d2")}), 6) AS ad
+           |          FROM assign a JOIN dt d USING (m, code)
+           |          GROUP BY 1, 2),
+           |  topa AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY ad ASC, vec_id) AS rn FROM adc) WHERE rn <= $IvfK),
+           |  topx AS (SELECT query_id, vec_id FROM (
+           |    SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ROUND(list_distance(e.ev, q.qv), 6) ASC, e.vec_id) AS rn
+           |    FROM es e CROSS JOIN qs q) WHERE rn <= $IvfK),
+           |  hit AS (SELECT x.query_id, COUNT(*) AS n_overlap
+           |          FROM topx x JOIN topa a USING (query_id, vec_id) GROUP BY 1)
+           |SELECT q.query_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+           |       ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / $IvfK, 6) AS recall
+           |FROM qs q LEFT JOIN hit h USING (query_id)
+           |ORDER BY query_id""".stripMargin
+      }) { (s, dir) =>
+      import graft.plans.CollectTopK
+      val S = Embedder.Dim / PqM
+      val base = emb(s, dir)
+      val sub = base
+        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ev"))
+        .select(col("vec_id"), col("m"),
+          slice(col("ev"), col("m") * S + 1, lit(S)).as("sv"))
+        .localCheckpoint(false) // codebook, assignment, and queries read it
+      val cents = sub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+      val assign = sub.join(broadcast(cents), "m")
+        .withColumn("d", round(VectorOps.l2(col("sv"), col("cv")), 6))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      val qs = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+      // 16-entry distance table per query, rounded per term then squared.
+      val dt = qs.crossJoin(broadcast(cents))
+        .withColumn("t", round(VectorOps.l2(
+          slice(col("qv"), col("m") * S + 1, lit(S)), col("cv")), 6))
+        .select(col("query_id"), col("m"), col("code"), round(col("t") * col("t"), 6).as("d2"))
+      val adc = assign.join(broadcast(dt), Seq("m", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("ad"))
+      val topa = adc.groupBy(col("query_id"))
+        .agg(CollectTopK.topk(-col("ad"), col("vec_id"), IvfK).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+      val topx = base.crossJoin(broadcast(qs))
+        .withColumn("xd", round(VectorOps.l2(col("ev"), col("qv")), 6))
+        .groupBy(col("query_id"))
+        .agg(CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+      val hit = topx.join(topa, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      qs.select(col("query_id")).join(hit, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / IvfK, 6).as("recall"))
+        .presented("query_id")
     }
   )
 }

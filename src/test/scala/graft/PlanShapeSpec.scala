@@ -30,7 +30,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q42/q65/q88: ANN cell assignment plans with NO ranking window") {
-    Seq("q42_ivf_knn", "q65_kmeans_step", "q88_pq_encode").foreach { q =>
+    Seq("q42_ivf_knn", "q65_kmeans_step", "q88_pq_encode", "q89_pq_adc").foreach { q =>
       assert(!nodes(plan(q)).exists(_.isInstanceOf[WindowExec]),
         s"$q plans a Window — assignment must be an aggregate")
     }
