@@ -457,6 +457,50 @@ object CurationQueries {
         .filter(col("bucket") < col("rate"))
         .select("doc_id", "lang", "source", "bucket")
         .orderBy("doc_id") // row-per-kept-doc output: parallel range sort
+    },
+
+    // ----- Equi-DEPTH length binning: quartile edges of n_chars (exact
+    // interpolated percentiles, the q57 cross-engine recipe) broadcast
+    // back as bin boundaries — the distribution-aware sibling of q29's
+    // fixed power-of-two buckets. This is how a curation pipeline builds
+    // balanced length strata for mixture/packing decisions: bin
+    // populations stay ~N/4 regardless of how skewed the length
+    // distribution is. One percentile aggregate (a few rows) + one
+    // stateless CASE over the corpus — no sort of the data itself; at
+    // 100 TB the edges come from approx_percentile with the same plan.
+    q("q90_equidepth_bins",
+      "A8/X4: equi-depth quartile binning by interpolated n_chars edges",
+      """WITH e AS (SELECT ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS p25,
+        |                  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 6) AS p50,
+        |                  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS p75
+        |           FROM documents),
+        |  b AS (SELECT d.n_chars,
+        |          CASE WHEN d.n_chars <= e.p25 THEN 'q1'
+        |               WHEN d.n_chars <= e.p50 THEN 'q2'
+        |               WHEN d.n_chars <= e.p75 THEN 'q3'
+        |               ELSE 'q4' END AS bucket,
+        |          e.p25, e.p50, e.p75
+        |        FROM documents d CROSS JOIN e)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |       MIN(p25) AS p25, MIN(p50) AS p50, MIN(p75) AS p75
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val edges = docs(s, dir).agg(
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.25)"), 6).as("p25"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.50)"), 6).as("p50"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.75)"), 6).as("p75"))
+      docs(s, dir).crossJoin(broadcast(edges))
+        .select(col("n_chars"),
+          when(col("n_chars") <= col("p25"), "q1")
+            .when(col("n_chars") <= col("p50"), "q2")
+            .when(col("n_chars") <= col("p75"), "q3")
+            .otherwise("q4").as("bucket"),
+          col("p25"), col("p50"), col("p75"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+          min(col("p25")).as("p25"), min(col("p50")).as("p50"), min(col("p75")).as("p75"))
+        .presented("bucket")
     }
   )
 }
