@@ -20,11 +20,15 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
 
-  /** Collect over the plan INCLUDING inside AQE wrappers. */
+  /** Collect over the plan INCLUDING inside AQE wrappers and
+    * materialized query stages (a ReusedExchange lives inside a
+    * ShuffleQueryStage, which `collect` treats as a leaf). */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val self = p.collect { case n => n }
     self.flatMap {
       case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        qs +: nodes(qs.plan)
       case n => Seq(n)
     }
   }
@@ -64,6 +68,23 @@ class PlanShapeSpec extends AnyFunSuite {
     case e: ShuffleExchangeExec => Some(e)
     case n if n.children.size == 1 => resultFunnel(n.children.head)
     case _ => None // hit a join/agg/scan first — no presentation funnel
+  }
+
+  test("a diamond plan reuses its exchange instead of recomputing the subtree") {
+    // Self-join over one aggregate: the shuffle is paid once and the
+    // second consumer reads a ReusedExchange — the engine-level dedup
+    // that makes shared CTE subtrees affordable at scale.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+    val agg = ev.groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+    val joined = agg.join(
+      agg.select(col("event_type"), (col("s") * 2).as("s2")), "event_type")
+    joined.collect() // AQE finalizes reuse at execution
+    val ns = nodes(joined.queryExecution.executedPlan)
+    assert(ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+      "no ReusedExchangeExec in the diamond plan:\n" +
+        joined.queryExecution.executedPlan)
   }
 
   test("unbounded (row-per-input) outputs never funnel through one partition") {
