@@ -652,6 +652,57 @@ object SimilarityQueries {
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
           round(coalesce(col("n_overlap"), lit(0L)).cast("double") / IvfK, 6).as("recall"))
         .presented("query_id")
+    },
+
+    // ----- X1/X2 capstone: RAG CONTEXT ASSEMBLY — the reference's
+    // actual downstream use (its pgvector rows exist so a sibling RAG
+    // service can retrieve them, README.md:25-28): per query, cosine
+    // top-3 OTHER documents, their text fetched by id and rendered as
+    // one numbered context block in rank order. Retrieval is the q26
+    // CollectTopK path (map-side k-heaps, broadcast queries); the doc
+    // fetch is an equi-join of Q·k ids against the documents table
+    // (broadcastable side is the id list, NOT the corpus); the block
+    // render is sort_array over a k-sized array — columnar end to end,
+    // no UDFs. Line truncation is the reference's own log-trunc idiom
+    // (O3, main.py:114).
+    q("q91_rag_context",
+      "X1/X2: RAG context assembly — top-3 retrieve, doc fetch, ordered block render",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |  qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
+         |  scored AS (SELECT query_id, vec_id, $cosineSql AS sim
+         |             FROM es CROSS JOIN qs WHERE vec_id <> query_id),
+         |  topk AS (SELECT query_id, vec_id, sim, rn FROM (
+         |    SELECT query_id, vec_id, sim,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 3),
+         |  lines AS (SELECT t.query_id, t.rn,
+         |              '[' || CAST(t.rn AS VARCHAR) || '] ' || substring(d.text, 1, 80) AS line
+         |            FROM topk t JOIN documents d ON d.doc_id = t.vec_id)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |       string_agg(line, chr(10) ORDER BY rn) AS context
+         |FROM lines GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, dir) =>
+      import graft.plans.CollectTopK
+      val base = emb(s, dir)
+      val qs = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+      val topk = base.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", VectorOps.cosine6(col("ev"), col("qv")))
+        .groupBy(col("query_id"))
+        .agg(CollectTopK.topk(col("sim"), col("vec_id"), 3).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
+          col("t.vec_id").as("doc_id"))
+      val docsT = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      topk.join(docsT, "doc_id")
+        .select(col("query_id"), col("rn"),
+          concat(lit("["), col("rn").cast("string"), lit("] "),
+            substring(col("text"), 1, 80)).as("line"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          array_join(sort_array(collect_list(struct(col("rn"), col("line"))))
+            .getField("line"), "\n").as("context"))
+        .presented("query_id")
     }
   )
 }
