@@ -79,6 +79,31 @@ object SimilarityQueries {
   private val IvfProbes = 2  // cells probed per query
   private val IvfK = 5
 
+  /** PQ encode recipe, shared by q88 (emits the codes) and q89 (consumes
+    * them for ADC): split each vector into M contiguous subspaces. */
+  private def pqSplit(base: DataFrame): DataFrame = {
+    val S = Embedder.Dim / PqM
+    base.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ev"))
+      .select(col("vec_id"), col("m"),
+        slice(col("ev"), col("m") * S + 1, lit(S)).as("sv"))
+  }
+
+  /** Per-subspace codebook: the first PqK vectors' slices (seed
+    * centroids — deterministic, mirrored in the oracle). 16 rows. */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+
+  /** min_by code assignment with the cross-engine (d, code) tie-break;
+    * keeps the residual distance d for the q88 output. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), "m")
+      .withColumn("d", round(VectorOps.l2(col("sv"), col("cv")), 6))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code"), col("d")),
+        struct(col("d"), col("code"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.code").as("code"), col("a.d").as("d"))
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- X1/X2/F14: exact brute-force kNN, broadcast query side,
@@ -548,20 +573,10 @@ object SimilarityQueries {
            |    FROM sub s JOIN cents c USING (m)) WHERE rn = 1)
            |SELECT vec_id, m, code, d FROM assign ORDER BY vec_id, m""".stripMargin
       }) { (s, dir) =>
-      val S = Embedder.Dim / PqM
-      val sub = emb(s, dir)
-        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ev"))
-        .select(col("vec_id"), col("m"),
-          slice(col("ev"), col("m") * S + 1, lit(S)).as("sv"))
-      val cents = sub.filter(col("vec_id") < PqK)
-        .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
-      sub.join(broadcast(cents), "m")
-        .withColumn("d", round(VectorOps.l2(col("sv"), col("cv")), 6))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(struct(col("code"), col("d")),
-          struct(col("d"), col("code"))).as("a"))
+      val sub = pqSplit(emb(s, dir))
+      pqAssign(sub, pqCodebook(sub))
         .select(col("vec_id"), col("m").cast("long").as("m"), // DuckDB range is BIGINT
-          col("a.code").as("code"), col("a.d").as("d"))
+          col("code"), col("d"))
         .orderBy("vec_id", "m") // row-per-(vec,subspace): parallel range sort
     },
 
@@ -616,17 +631,10 @@ object SimilarityQueries {
       import graft.plans.CollectTopK
       val S = Embedder.Dim / PqM
       val base = emb(s, dir)
-      val sub = base
-        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ev"))
-        .select(col("vec_id"), col("m"),
-          slice(col("ev"), col("m") * S + 1, lit(S)).as("sv"))
+      val sub = pqSplit(base)
         .localCheckpoint(false) // codebook, assignment, and queries read it
-      val cents = sub.filter(col("vec_id") < PqK)
-        .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
-      val assign = sub.join(broadcast(cents), "m")
-        .withColumn("d", round(VectorOps.l2(col("sv"), col("cv")), 6))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      val cents = pqCodebook(sub)
+      val assign = pqAssign(sub, cents).select(col("vec_id"), col("m"), col("code"))
       val qs = base.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("ev").as("qv"))
       // 16-entry distance table per query, rounded per term then squared.

@@ -24,24 +24,53 @@ object DedupIndex {
 
   private val HammingThresh = 10
 
-  /** One-time per-corpus index build, memoized per (sfDir) within the
-    * JVM and reused across JVMs via an on-disk completion marker. This
+  /** One-time per-corpus index build, memoized per corpus FINGERPRINT
+    * (not dir name) within the JVM and reused across JVMs via an
+    * on-disk completion marker under the same fingerprint. This
     * is the production precondition of an append: the signature table
     * already EXISTS (written by prior appends / the initial bulk build),
     * so a triage pays only the batch's signature compute plus two
     * equi-join probes — never O(corpus). q68 reads this. */
+  /** Cache key = md5 over the source table's file listing (name, length,
+    * mtime) plus the dir path — NOT a hash of the dir string alone:
+    * regenerating the testdata changes the key, so a cached index can
+    * never be served against data it wasn't built from, and distinct
+    * dirs can't collide. The listing probe is one driver-side
+    * listStatus, cheap enough to pay on every call. */
+  private def fingerprint(spark: SparkSession, sfDir: String): String = {
+    val srcDir = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val srcFs = srcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing = srcFs.listStatus(srcDir).toSeq
+      .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
+      .sorted.mkString(s"$sfDir\n", "\n", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private val preparedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def prepared(spark: SparkSession, sfDir: String): String =
-    preparedPaths.computeIfAbsent(sfDir, { _ =>
-      val key = java.lang.Long.toHexString(
-        java.util.Objects.hashCode(sfDir).toLong & 0xffffffffL)
+    preparedPaths.computeIfAbsent(fingerprint(spark, sfDir), { key =>
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index_$key"
-      val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(done)) {
+      val finalPath = new org.apache.hadoop.fs.Path(path)
+      val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      if (!fs.exists(success)) {
+        // Build into a private temp dir, then publish with a rename: a
+        // concurrent JVM building the same key either wins the publish
+        // or discards its copy — readers never see a half-written dir.
+        // (Identical key ⇒ identical content, so either copy is valid.)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}")
         val docs = graft.Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"), col("text"))
-        build(docs, path)
+        build(docs, tmp.toString)
+        if (fs.exists(finalPath) && !fs.exists(success))
+          fs.delete(finalPath, true) // clear a crashed partial build
+        // Re-check right before publishing: local-FS rename onto an
+        // existing dir degrades to copy-INTO-it, so never rename when a
+        // winner already published.
+        if (fs.exists(success) || !fs.rename(tmp, finalPath))
+          fs.delete(tmp, true)
       }
       path
     })

@@ -92,9 +92,22 @@ object JdbcSink {
     * `keyCol`; 0 rows hit → INSERT. Batches of `batchSize` rows commit
     * together (the reference's 100-row pages); each partition holds one
     * connection. Column order follows `df.columns`; `keyCol` must be one
-    * of them. */
-  def upsert(df: DataFrame, url: String, table: String, keyCol: String,
+    * of them.
+    *
+    * Update-else-insert is not atomic, so two writers of the same key can
+    * both observe "absent" and race to INSERT. Two guards make the whole
+    * operation safe anyway: the frame is hash-repartitioned on `keyCol`
+    * (duplicate keys within one upsert land in the same partition and are
+    * applied serially), and an INSERT that still hits a duplicate-key
+    * violation (a concurrent external writer, or a task retry re-running
+    * rows whose page already committed) falls back to UPDATE — the
+    * ON CONFLICT DO UPDATE outcome either way. `UpsertStats` is exact
+    * absent task retries; a retried partition may report rows it inserted
+    * before the failure as updates. */
+  def upsert(df0: DataFrame, url: String, table: String, keyCol: String,
       batchSize: Int = 100): UpsertStats = {
+    import org.apache.spark.sql.functions.col
+    val df = df0.repartition(col(keyCol))
     val cols = df.columns.toSeq
     require(cols.contains(keyCol), s"key column $keyCol not in ${cols.mkString(",")}")
     val valCols = cols.filterNot(_ == keyCol)
@@ -131,8 +144,15 @@ object JdbcSink {
               if (up.executeUpdate() > 0) updated.add(1)
               else {
                 cols.indices.foreach(j => set(ins, insTypes, j + 1, row.get(j)))
-                ins.executeUpdate()
-                inserted.add(1)
+                try { ins.executeUpdate(); inserted.add(1) }
+                catch {
+                  // SQLState class 23 = integrity constraint violation:
+                  // the key appeared between our UPDATE and INSERT. Last
+                  // write wins — apply as an update.
+                  case e: java.sql.SQLException
+                      if String.valueOf(e.getSQLState).startsWith("23") =>
+                    up.executeUpdate(); updated.add(1)
+                }
               }
             }
             conn.commit() // one transaction per page, like execute_values

@@ -59,6 +59,11 @@ object StatefulCounter {
       .flatMapGroupsWithState[UserState, UserTotals](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(updateUser)
 
+    // One-time layout check per stream start, not per micro-batch: the
+    // probe reads the target table's footers, which is wasted driver I/O
+    // repeated inside a long catch-up cycle's foreachBatch.
+    migrateLegacyLayout(spark, targetDir)
+
     val query = totals.toDF().writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -82,7 +87,6 @@ object StatefulCounter {
     * as the partition column — the same touched-partitions-only
     * dynamic-overwrite path the daily upsert uses. */
   private def mergeTotals(batch: DataFrame, targetDir: String, version: Long): Unit = {
-    migrateLegacyLayout(batch.sparkSession, targetDir)
     val bucketed = batch.withColumn("bucket", pmod(col("user_id"), lit(TotalsBuckets.toLong)))
     StreamingUpsert.upsertBatch(bucketed, targetDir, Seq("user_id"), "bucket", version)
   }

@@ -48,6 +48,24 @@ class DedupIndexSpec extends AnyFunSuite {
       s"only $recovered of ${nearClass.size} near-dups recovered")
   }
 
+  test("prepared() keys the cached index on corpus content, not the dir name") {
+    // Regenerating a dataset in place must invalidate the cached index:
+    // same dir string, different file content → a DIFFERENT index path,
+    // so no JVM can triage new data against stale signatures.
+    val root = Files.createTempDirectory("graft_dedup_prep").toFile.getAbsolutePath
+    corpus.limit(50).write.parquet(s"$root/documents.parquet")
+    val first = DedupIndex.prepared(spark, root)
+    assert(new java.io.File(first, "_SUCCESS").exists())
+    // Regenerate with different content (and byte size, so the listing
+    // fingerprint changes even on coarse-mtime filesystems).
+    corpus.limit(80).write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val second = DedupIndex.prepared(spark, root)
+    assert(second != first, "regenerated corpus served a stale cached index")
+    assert(new java.io.File(second, "_SUCCESS").exists())
+    // Same content again → same cached path, no rebuild churn.
+    assert(DedupIndex.prepared(spark, root) == second)
+  }
+
   test("append converges: a re-triaged batch is never 'new' twice") {
     val root = Files.createTempDirectory("graft_dedup_idx2").toFile.getAbsolutePath
     val idx = s"$root/index"

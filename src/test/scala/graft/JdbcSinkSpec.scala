@@ -65,6 +65,21 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, None, Some("A")), (2L, Some(2.0), None)))
   }
 
+  test("upsert tolerates the same key twice in one batch, across input partitions") {
+    // The reference's 1-day-overlap reprocessing can emit one key twice in
+    // a batch. Landing those rows in different writer partitions must not
+    // race to a duplicate-key violation: upsert co-locates each key, so
+    // the copies apply serially (insert, then update) and one row remains.
+    val url = freshUrl("dupkey")
+    JdbcSink.recreateTable(url, "t", "k BIGINT NOT NULL PRIMARY KEY, v DOUBLE")
+    val dup = Seq((42L, 7.0), (42L, 7.0), (1L, 1.0)).toDF("k", "v").repartition(3)
+    val stats = JdbcSink.upsert(dup, url, "t", "k")
+    assert(stats.updated + stats.inserted == 3) // every row applied, none aborted
+    val got = JdbcSink.read(spark, url, "t", "k", 1L, 43L, 1)
+      .select($"K", $"V").as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1.0), (42L, 7.0)))
+  }
+
   test("recreateTable is idempotent and drops prior state") {
     val url = freshUrl("ddl")
     JdbcSink.recreateTable(url, "t", "k BIGINT NOT NULL PRIMARY KEY, v DOUBLE")
