@@ -646,6 +646,50 @@ object AdvancedQueries {
             .when(col("pv").isNotNull && col("nv").isNotNull, "interpolated")
             .otherwise("edge").as("status"))
         .orderBy("event_type", "d") // row-per-(type,day): parallel range sort
+    },
+
+    // ----- Incremental aggregate maintenance: MERGE mergeable partial
+    // states instead of recomputing from raw data — the only viable way
+    // to keep a daily metrics table current over a 100 TB fact history.
+    // A maintained BASE of per-(type, day) partials (count, decimal sum,
+    // min, max) absorbs a DELTA batch's partials with one key-wise merge
+    // (sum the counts and decimal sums, min/max the bounds); avg derives
+    // at read time from merged sum/count. Decimal addition is
+    // associative, so merged == full recompute EXACTLY — the oracle IS
+    // the one-pass recompute over everything, proving the maintenance
+    // path loses nothing. Per refresh the cluster touches only the delta
+    // scan + one partial-state shuffle (state rows = |keys|, not |facts|);
+    // the base raw data is never rescanned. The delta here is a
+    // deterministic slice of events standing in for "yesterday's batch".
+    q("q92_partial_agg_merge",
+      "T1/A8: incremental aggregate maintenance — partial-state merge ≡ full recompute",
+      s"""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         |  ROUND(${ExactSql.dsum("value")}, 6) AS sum_value,
+         |  ROUND(${ExactSql.davg("value")}, 6) AS avg_value,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("value"),
+          (col("event_id") % 8 === 0).as("is_delta"))
+      // Partial state: everything needed to merge later — no avg here
+      // (avg is not mergeable; sum and count are).
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(Exact.Dec)).as("psum"), // decimal: exact merge
+            min(col("value")).as("pmin"), max(col("value")).as("pmax"))
+      val base = partials(ev.filter(!col("is_delta")))
+      val delta = partials(ev.filter(col("is_delta")))
+      base.unionByName(delta)
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("psum")).as("msum"),
+          min(col("pmin")).as("min_value"), max(col("pmax")).as("max_value"))
+        .select(col("event_type"), col("d"), col("n"),
+          round(col("msum").cast("double"), 6).as("sum_value"),
+          round(col("msum").cast("double") / col("n"), 6).as("avg_value"),
+          col("min_value"), col("max_value"))
+        .presented("event_type", "d")
     }
   )
 }

@@ -78,6 +78,7 @@ object SimilarityQueries {
   private val PqK = 4        // PQ codes per subspace (seed centroids)
   private val IvfProbes = 2  // cells probed per query
   private val IvfK = 5
+  private val KmIters = 3    // q93 training-loop iterations
 
   /** PQ encode recipe, shared by q88 (emits the codes) and q89 (consumes
     * them for ADC): split each vector into M contiguous subspaces. */
@@ -711,6 +712,73 @@ object SimilarityQueries {
           array_join(sort_array(collect_list(struct(col("rn"), col("line"))))
             .getField("line"), "\n").as("context"))
         .presented("query_id")
+    },
+
+    // ----- X2 (training loop): MULTI-ITERATION Lloyd k-means — q65 is
+    // one step; this is the driver loop a real IVF index build runs.
+    // Three fixed iterations, each = one broadcast-join assignment (the
+    // 16-row centroid table ships to the data, never the reverse) and
+    // one (cell, dim)-keyed mean: per iteration the exchanges carry
+    // |corpus| assignment rows and cells×dims partial sums — the raw
+    // vectors cross the wire ZERO times, and nothing ever lands on the
+    // driver. New centroids are rounded 6dp before feeding the next
+    // assignment, so the trajectory is bit-identical cross-engine (the
+    // q65 recipe, chained). Output: per-iteration cluster census with
+    // inertia — the falling-inertia trace that says training converges.
+    q("q93_kmeans_train", {
+      "X2: 3-iteration k-means training loop (inertia trajectory, exact means)"
+    }, {
+      val iterSql = (1 to KmIters).map { i =>
+        s"""assign$i AS (SELECT vec_id, cell_id, d FROM (
+           |    SELECT es.vec_id, c.cell_id, ROUND(list_distance(es.ev, c.cv), 6) AS d,
+           |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
+           |        ROUND(list_distance(es.ev, c.cv), 6) ASC, c.cell_id) AS rn
+           |    FROM es, cents${i - 1} c) WHERE rn = 1),
+           |  stats$i AS (SELECT $i AS iter, cell_id, COUNT(*) AS n_members,
+           |                ${ExactSql.davgRound("d", 6)} AS inertia
+           |              FROM assign$i GROUP BY 1, 2),
+           |  mem$i AS (SELECT a.cell_id, dm.dim, es.ev[dm.dim] AS val
+           |            FROM assign$i a JOIN es USING (vec_id) CROSS JOIN dims dm),
+           |  means$i AS (SELECT cell_id, dim, ${ExactSql.davgRound("val", 6)} AS m
+           |              FROM mem$i GROUP BY 1, 2),
+           |  cents$i AS (SELECT cell_id, list(m ORDER BY dim) AS cv
+           |              FROM means$i GROUP BY 1)""".stripMargin
+      }.mkString(",\n  ")
+      val unionSql = (1 to KmIters).map(i => s"SELECT * FROM stats$i")
+        .mkString(" UNION ALL ")
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |  cents0 AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells),
+         |  dims AS (SELECT unnest(range(1, ${Embedder.Dim + 1})) AS dim),
+         |  $iterSql
+         |SELECT iter, cell_id, n_members, inertia FROM ($unionSql)
+         |ORDER BY iter, cell_id""".stripMargin
+    }) { (s, dir) =>
+      val base = emb(s, dir).localCheckpoint(false) // read twice per iteration
+      var cents = base.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      var statsAll: Option[DataFrame] = None
+      for (i <- 1 to KmIters) {
+        val assign = base.crossJoin(broadcast(cents))
+          .withColumn("d", round(VectorOps.l2(col("ev"), col("cv")), 6))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cell_id"), col("d")),
+            struct(col("d"), col("cell_id"))).as("a"))
+          .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("a.d").as("d"))
+          .localCheckpoint(false) // census and the new means both read it
+        val stats = assign.groupBy(col("cell_id"))
+          .agg(count(lit(1)).as("n_members"), Exact.davgRound(col("d"), 6).as("inertia"))
+          .select(lit(i).as("iter"), col("cell_id"), col("n_members"), col("inertia"))
+        statsAll = Some(statsAll.fold(stats)(_.unionByName(stats)))
+        if (i < KmIters) cents = assign.join(base, "vec_id")
+          .select(col("cell_id"), posexplode(col("ev")).as(Seq("pos", "val")))
+          .select(col("cell_id"), (col("pos") + 1).as("dim"), col("val"))
+          .groupBy(col("cell_id"), col("dim"))
+          .agg(Exact.davgRound(col("val"), 6).as("m"))
+          .groupBy(col("cell_id"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("cell_id"), col("dm").getField("m").as("cv"))
+      }
+      statsAll.get.presented("iter", "cell_id")
     }
   )
 }

@@ -34,7 +34,8 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q42/q65/q88: ANN cell assignment plans with NO ranking window") {
-    Seq("q42_ivf_knn", "q65_kmeans_step", "q88_pq_encode", "q89_pq_adc").foreach { q =>
+    Seq("q42_ivf_knn", "q65_kmeans_step", "q88_pq_encode", "q89_pq_adc",
+      "q93_kmeans_train").foreach { q =>
       assert(!nodes(plan(q)).exists(_.isInstanceOf[WindowExec]),
         s"$q plans a Window — assignment must be an aggregate")
     }
