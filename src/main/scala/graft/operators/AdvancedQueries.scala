@@ -225,6 +225,52 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
+    // ----- T6, stream-stream LEFT OUTER: q53's join with null-emission
+    // semantics — a purchase with no click in its preceding day is NOT
+    // dropped; it waits in state until the watermark PROVES no
+    // qualifying click can still arrive, then emits once with a null
+    // click id. The proof requires watermark movement, which requires
+    // later data: two far-future flush deliveries (synthetic ids < 0,
+    // filtered from the result) are drained one file per micro-batch,
+    // so the first advances the watermark past every real purchase and
+    // the second triggers the eviction scan — the streamed table then
+    // equals DuckDB's batch LEFT JOIN exactly. At scale this is how an
+    // attribution feed distinguishes "no conversion" from "not yet":
+    // state per key stays one sliding day, finality is watermark-driven.
+    q("q94_stream_outer_join",
+      "T6: stream-stream left-outer interval join ≡ batch left join (watermark-finalized nulls)",
+      """SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id
+        |FROM events p LEFT JOIN events c ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p_event_id, c_event_id""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_q94").toFile.getAbsolutePath
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+        .coalesce(1) // one real-data file → flush files land in LATER batches
+      ev.write.parquet(src)
+      val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def flush(ids: (Long, Long), daysAhead: Int): Unit = {
+        val ts = new java.sql.Timestamp(mx.getTime + daysAhead * 86400000L)
+        s.range(1).select(lit(ids._1).as("event_id"), lit(-1L).as("user_id"),
+            lit("click").as("event_type"), lit(ts).as("ts"))
+          .unionByName(s.range(1).select(lit(ids._2).as("event_id"),
+            lit(-1L).as("user_id"), lit("purchase").as("event_type"), lit(ts).as("ts")))
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      flush((-1L, -2L), 40) // advances the watermark past every real event
+      flush((-3L, -4L), 41) // next batch: eviction runs, outer nulls emit
+      graft.streaming.StreamIntervalJoin.runLeftOuterAvailableNow(
+        s, src, ev.schema, target, ckpt,
+        statePartitions = Some(8), maxFilesPerTrigger = Some(1))
+      s.read.parquet(target)
+        .filter(col("p_event_id") >= 0) // synthetic flush rows are harness, not data
+        .select("p_event_id", "c_event_id", "user_id")
+        .orderBy("p_event_id", "c_event_id")
+    },
+
     // ----- A8 completion: CUBE — all four grouping sets of two dims in
     // one pass (one Expand, one hash aggregate; same Catalyst machinery
     // as q21's ROLLUP but the full lattice).

@@ -49,4 +49,43 @@ class StreamIntervalJoinSpec extends AnyFunSuite {
       (10L, 20L), (10L, 23L),            // late click reached old purchase
       (11L, 20L), (11L, 23L)))           // new purchase saw stated clicks
   }
+
+  test("left outer: an unmatched purchase emits a null exactly once, only on watermark proof") {
+    val root = Files.createTempDirectory("graft_ssoj").toFile.getAbsolutePath
+    val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+
+    val cycle1 = Seq(
+      (10L, 1L, "purchase", ts("2024-01-02 10:00:00")),  // has a click → pair
+      (20L, 1L, "click", ts("2024-01-02 09:00:00")),
+      (11L, 2L, "purchase", ts("2024-01-02 11:00:00")))  // NO click in window
+      .toDF("event_id", "user_id", "event_type", "ts")
+    cycle1.write.mode("append").parquet(src)
+    StreamIntervalJoin.runLeftOuterAvailableNow(
+      spark, src, cycle1.schema, target, ckpt)
+
+    // The unmatched purchase must NOT have emitted yet: the watermark
+    // hasn't passed its window, so "no conversion" is still "not yet".
+    val after1 = spark.read.parquet(target)
+      .select("p_event_id", "c_event_id").as[(Long, Option[Long])].collect().toSet
+    assert(after1 == Set((10L, Some(20L))))
+
+    // Far-future traffic advances the watermark (first file) and then
+    // triggers the eviction scan (second file). Each side's watermark
+    // only moves on its OWN event class and the query watermark is the
+    // min of the two, so a flush must carry one of EACH class.
+    def flushFile(clickId: Long, purchId: Long, day: String): Unit =
+      Seq((clickId, -9L, "click", ts(day)), (purchId, -9L, "purchase", ts(day)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("append").parquet(src)
+    flushFile(-1L, -2L, "2024-03-01 00:00:00")
+    flushFile(-3L, -4L, "2024-03-02 00:00:00")
+    StreamIntervalJoin.runLeftOuterAvailableNow(
+      spark, src, cycle1.schema, target, ckpt, maxFilesPerTrigger = Some(1))
+
+    val after2 = spark.read.parquet(target)
+      .filter($"p_event_id" >= 0) // synthetic flush rows are harness, not data
+      .select("p_event_id", "c_event_id").as[(Long, Option[Long])].collect().toList
+    assert(after2.size == after2.toSet.size) // exactly once, no re-emission
+    assert(after2.toSet == Set((10L, Some(20L)), (11L, None)))
+  }
 }
