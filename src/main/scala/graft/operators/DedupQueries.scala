@@ -124,6 +124,7 @@ object DedupQueries {
     }.mkString("(", " +\n ", ")")
 
   private val JaccardThresh = 0.6
+  private val DupSpanW = 8 // q95 rolling-window length, in tokens
   private val HammingThresh = 10
   private val ContamThresh = 0.5
 
@@ -701,6 +702,73 @@ object DedupQueries {
         .select(col("lbl").as("cluster_id"), col("id").as("keep_id"),
           col("n_chars").as("keep_chars"), col("n_members"))
         .orderBy("cluster_id")
+    },
+
+    // ----- X3, SPAN granularity: duplicated-SUBSTRING detection — the
+    // tier document-level dedup can't see. A doc that copies a long
+    // passage from another (planted here: every 7th doc re-emitted
+    // minus its first word) is not a doc-level duplicate, but training
+    // on it still memorizes the shared span. Method: one rolling
+    // 8-token window per position (positional, NOT distinct), windows
+    // hashed to longs; a window whose hash occurs in ≥2 distinct docs
+    // is flagged; adjacent flagged positions merge into maximal spans
+    // with the islands trick (pos − row_number is constant within a
+    // run). Scale shape: doc rows shuffle once (doc_id) for the lead()
+    // window build; (h, doc_id, pos) window rows shuffle twice on the
+    // 60-bit hash (share-count aggregate, then the flag equi-join
+    // against the duplicated-hash set — which is small, the duplicated
+    // fraction only); flagged positions (small) shuffle once more for
+    // the islands ranking. No pair of documents is ever joined — cost
+    // is linear in corpus tokens, never quadratic in docs. Span output
+    // is row-per-span → parallel orderBy.
+    q("q95_dup_spans",
+      "X3: duplicated-substring spans (rolling 8-token windows, cross-doc share, islands merge)", {
+      val W = DupSpanW
+      s"""WITH u AS (${plantedSql(7, 70000, dropFirstTokSql)}),
+         |  tkl AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM u),
+         |  wins AS (SELECT doc_id, x - 1 AS pos,
+         |             ${hash60Sql(s"array_to_string(list_slice(tk, x, x + ${W - 1}), ' ')")} AS h
+         |           FROM tkl, unnest(range(1, len(tk) - ${W - 2})) t(x)),
+         |  shared AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |  fl AS (SELECT doc_id, pos FROM wins JOIN shared USING (h)),
+         |  isl AS (SELECT doc_id, pos,
+         |            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |          FROM fl)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${W - 1} AS span_end,
+         |       COUNT(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    }) { (s, dir) =>
+      val W = DupSpanW
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val u = withPlanted(base, 7, 70000, dropFirstTok).repartition(col("doc_id"))
+      val toks = u.select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("p0", "tok")))
+        .filter(col("tok") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("p0")
+      // Clean consecutive position over the FILTERED token sequence
+      // (posexplode indices have gaps where empties fell out).
+      val posd = toks.withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      val withNext = (1 until W).foldLeft(posd) { (df, k) =>
+        df.withColumn(s"t$k", lead(col("tok"), k).over(w))
+      }
+      val wins = withNext.filter(col(s"t${W - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          TextOps.hash60(concat_ws(" ",
+            col("tok") +: (1 until W).map(k => col(s"t$k")): _*)).as("h"))
+        .localCheckpoint(false) // share-count and flag join both read it
+      val shared = wins.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("h")
+      val w2 = Window.partitionBy("doc_id").orderBy("pos")
+      wins.join(shared, "h")
+        .withColumn("grp", col("pos") - row_number().over(w2))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (W - 1)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+        .orderBy("doc_id", "span_start") // row-per-span: parallel range sort
     }
   )
 }

@@ -43,7 +43,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dedup/similarity candidate generation never plans a cross product") {
     Seq("q28_minhash_pairs", "q32_simhash_bands", "q31_embedding_neardup",
-      "q59_dup_clusters", "q68_incremental_dedup", "q86_canonical_pick").foreach { q =>
+      "q59_dup_clusters", "q68_incremental_dedup", "q86_canonical_pick",
+      "q95_dup_spans").foreach { q =>
       val ns = nodes(plan(q))
       assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
         s"$q plans a CartesianProduct")
