@@ -1,0 +1,84 @@
+package graft
+
+import graft.sinks.SinkOps
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout claims, measured rather than asserted by fiat.
+  *
+  * The census below reads each output file's (min, max) of both key
+  * columns — exactly the footer stats a table format (Iceberg/Delta) or
+  * the parquet reader's row-group index consults — and counts how many
+  * files a predicate box intersects. That count IS the scan cost at
+  * 100 TB: files whose stat-box misses the predicate are never opened.
+  *
+  * Claims: (1) on a query constraining ONLY the second dimension, the
+  * single-column layout must touch every file while Z-order skips most;
+  * (2) on a 2-D box, Z-order touches no more than the single-column
+  * layout; (3) both layouts return identical rows — layout is never
+  * allowed to change semantics.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Dim = 1024 // both keys uniform in [0, Dim)
+  private val NFiles = 16
+
+  /** Deterministic 2-D uniform points (hash-derived, no RNG state). */
+  private def points: DataFrame =
+    spark.range(100000).select(
+      pmod(hash(col("id")), lit(Dim)).as("a"),
+      pmod(hash(col("id") * 31 + 7), lit(Dim)).as("b"),
+      col("id").as("payload"))
+
+  /** Files whose [min,max]×[min,max] stats box intersects the query box. */
+  private def filesTouched(dir: String,
+      aLo: Int, aHi: Int, bLo: Int, bHi: Int): Int = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == NFiles, s"expected $NFiles files, got ${files.length}")
+    files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).head()
+      val (na, xa, nb, xb) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      xa >= aLo && na <= aHi && xb >= bLo && nb <= bHi
+    }
+  }
+
+  test("z-order files cover rectangles: a b-only predicate skips most files") {
+    val root = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    val zDir = s"$root/z"; val linDir = s"$root/lin"
+    SinkOps.writeZOrdered(points, zDir, "a", "b", files = NFiles, bits = 10)
+    SinkOps.writeRangeSorted(points, linDir, "a", files = NFiles)
+
+    // Predicate on b only: the a-sorted layout has every b in every
+    // file — zero skipping. Z-order quadrants make b ranges narrow too.
+    val zB = filesTouched(zDir, 0, Dim - 1, 200, 263)
+    val linB = filesTouched(linDir, 0, Dim - 1, 200, 263)
+    assert(linB == NFiles, s"a-sorted layout should touch all files, got $linB")
+    assert(zB * 2 <= NFiles, s"z-order should skip at least half, touched $zB/$NFiles")
+
+    // 2-D box: z-order never worse than the single-column layout.
+    val z2 = filesTouched(zDir, 100, 163, 200, 263)
+    val lin2 = filesTouched(linDir, 100, 163, 200, 263)
+    assert(z2 <= lin2, s"z-order touched $z2 > linear $lin2 on a 2-D box")
+
+    // Layout must not change semantics: same rows under both.
+    val q = (df: DataFrame) => df
+      .filter(col("a").between(100, 163) && col("b").between(200, 263))
+      .select("payload").collect().map(_.getLong(0)).sorted.toSeq
+    assert(q(spark.read.parquet(zDir)) == q(spark.read.parquet(linDir)))
+  }
+
+  test("zValue interleaves bits: known codes, and curve locality holds") {
+    import spark.implicits._
+    val got = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (7, 5))
+      .toDF("a", "b")
+      .select(SinkOps.zValue(col("a"), col("b"), 4).as("z"))
+      .as[Long].collect().toSeq
+    // Morton codes: interleave(a bits even, b bits odd).
+    assert(got == Seq(0L, 1L, 2L, 3L, 14L, 55L))
+  }
+}
