@@ -501,6 +501,65 @@ object CurationQueries {
           min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
           min(col("p25")).as("p25"), min(col("p50")).as("p50"), min(col("p75")).as("p75"))
         .presented("bucket")
+    },
+
+    // ----- SCD TYPE 2 history maintenance: q78 classifies the diff
+    // between two corpus versions; this APPLIES it — every key carries
+    // its full version history as immutable validity intervals.
+    // A v1 row whose content survives v2 stays open (is_current);
+    // deleted or changed keys get their interval CLOSED at version 2;
+    // changed and added keys OPEN a new current row. Per batch the
+    // maintenance is ONE co-partitioned full-outer join between the
+    // current slice and the new snapshot (the q78 shape — exchange-free
+    // when both sides are bucketed on the key); closed rows are never
+    // rewritten, so the history table is append-only — the property
+    // that makes SCD2 viable on a 100 TB dimension. Output is
+    // row-per-(key, version) → parallel orderBy.
+    q("q96_scd2_history",
+      "X4+/K1: SCD Type-2 history from a two-version snapshot diff (validity intervals)",
+      s"""WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |  v2 AS (SELECT doc_id,
+         |           md5(CASE WHEN doc_id % 5 = 0
+         |               THEN regexp_replace(text, '^[a-z0-9]+ ', '') ELSE text END) AS h
+         |         FROM documents WHERE doc_id % 9 <> 0
+         |         UNION ALL
+         |         SELECT doc_id + 70000, md5(text) FROM documents WHERE doc_id % 10 = 0),
+         |  j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         |          v1.h AS h1, v2.h AS h2,
+         |          v1.doc_id IS NOT NULL AS in1, v2.doc_id IS NOT NULL AS in2
+         |        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT doc_id, h1 AS h, 1 AS valid_from,
+         |       CASE WHEN NOT in2 OR h1 <> h2 THEN 2 END AS valid_to,
+         |       (in2 AND h1 = h2) AS is_current
+         |FROM j WHERE in1
+         |UNION ALL
+         |SELECT doc_id, h2, 2, NULL, TRUE
+         |FROM j WHERE in2 AND (NOT in1 OR h1 <> h2)
+         |ORDER BY doc_id, valid_from""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val v1 = base.select(col("doc_id"), md5(col("text")).as("h"))
+      val dropTok = regexp_replace(col("text"), "^[a-z0-9]+ ", "")
+      val v2 = base.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, dropTok).otherwise(col("text"))).as("h"))
+        .unionAll(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 70000).as("doc_id"), md5(col("text")).as("h")))
+      val j = v1.select(col("doc_id").as("id1"), col("h").as("h1"))
+        .join(v2.select(col("doc_id").as("id2"), col("h").as("h2")),
+          col("id1") === col("id2"), "full_outer")
+        .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+          col("h1"), col("h2"),
+          col("id1").isNotNull.as("in1"), col("id2").isNotNull.as("in2"))
+        .localCheckpoint(false) // both history branches read it
+      val closedOrOpen = j.filter(col("in1"))
+        .select(col("doc_id"), col("h1").as("h"), lit(1).as("valid_from"),
+          when(!col("in2") || col("h1") =!= col("h2"), lit(2)).as("valid_to"),
+          (col("in2") && col("h1") === col("h2")).as("is_current"))
+      val opened = j.filter(col("in2") && (!col("in1") || col("h1") =!= col("h2")))
+        .select(col("doc_id"), col("h2").as("h"), lit(2).as("valid_from"),
+          lit(null).cast("int").as("valid_to"), lit(true).as("is_current"))
+      closedOrOpen.unionByName(opened)
+        .orderBy("doc_id", "valid_from") // row-per-(key, version): parallel sort
     }
   )
 }
