@@ -16,6 +16,7 @@ object AdvancedQueries {
 
   private val SessionGap = "30 minutes"
   private val SaltBuckets = 8
+  private val CompactMinDelta = 5.0 // q97 change-point threshold
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -736,6 +737,39 @@ object AdvancedQueries {
           round(col("msum").cast("double") / col("n"), 6).as("avg_value"),
           col("min_value"), col("max_value"))
         .presented("event_type", "d")
+    },
+
+    // ----- Telemetry DELTA COMPACTION: store change points only — a
+    // reading is kept iff it is the first of its stream or moved at
+    // least MinDelta from the PREVIOUS KEPT... approximated here by the
+    // previous RAW reading (the one-lag form both engines express
+    // identically; the exact carry-forward form is a stateful stream,
+    // StatefulCounter's shape). On a 15-minute telemetry feed where
+    // most readings repeat, this is the ingest-side storage reduction
+    // that keeps a 100 TB history queryable — downstream consumers
+    // reconstruct the full series with a last-non-null window (q87's
+    // machinery). One window over (event_type, ts, event_id) — the
+    // unique id breaks timestamp ties so the lag is total-ordered and
+    // cross-engine deterministic; cost is one exchange keyed on the
+    // stream id. Output is row-per-kept-reading → parallel orderBy.
+    q("q97_delta_compaction",
+      "O/F + T1: change-point compaction of a telemetry stream (lag filter, total-ordered)",
+      s"""WITH lagged AS (SELECT event_id, event_type, ts, value,
+         |    LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pv
+         |  FROM events)
+         |SELECT event_id, event_type, value
+         |FROM lagged
+         |WHERE pv IS NULL OR ABS(value - pv) >= $CompactMinDelta
+         |ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      ev.withColumn("pv", lag(col("value"), 1).over(w))
+        .filter(col("pv").isNull ||
+          abs(col("value") - col("pv")) >= CompactMinDelta)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_type", "event_id") // row-per-kept: parallel range sort
     }
   )
 }
