@@ -128,6 +128,103 @@ object DedupQueries {
   private val HammingThresh = 10
   private val ContamThresh = 0.5
 
+  /** q81's df cap: posting lists longer than this never explode into
+    * candidate pairs (pair work from one list is df², so the cap bounds
+    * per-shingle candidate cost at dfCap² regardless of how many docs
+    * share a stop-shingle). Pairs whose EVERY shared shingle is hotter
+    * than the cap are recovered losslessly by the prefix tier — see
+    * [[jaccardSelfJoin]]. (private[graft]: PlanShapeSpec pins the cap
+    * filter's presence beneath the pair explode.) */
+  private[graft] val JaccardDfCap = 64
+
+  /** Exact n-gram Jaccard self-join with the 100 TB guard: a df-capped
+    * posting index plus a positional-prefix rescue tier for hot
+    * shingles, then exact per-candidate verification. Returns
+    * `(id_a, id_b, n_shared, jaccard)` for pairs with
+    * `round(jaccard, 6) >= tau` — bit-identical to the uncapped
+    * inverted-index join for ANY `dfCap >= 1`:
+    *
+    *  - COLD tier: posting lists with `1 < df <= dfCap` explode into
+    *    candidate pairs (the overwhelming majority of shingles; pair
+    *    cost per list is bounded by dfCap²). A qualifying pair whose
+    *    RAREST shared shingle is cold is generated here.
+    *  - HOT rescue tier (the standard positional-prefix-filter
+    *    argument): order all shingles globally by `(df, h)` ascending.
+    *    A pair with J >= tau shares >= ceil(tau·|A|) shingles, so if
+    *    none of A's first |A| − ceil(tau·|A|) + 1 shingles in that
+    *    order were shared, the <= ceil(tau·|A|) − 1 remaining slots
+    *    could not hold them all — contradiction. Hence the pair's
+    *    globally-rarest shared shingle sits inside BOTH docs' prefixes.
+    *    If that rarest shared shingle is still hotter than the cap
+    *    (the only way a pair escapes the cold tier), indexing prefix
+    *    entries of hot shingles regenerates the pair. Prefix postings
+    *    for a stop-shingle are tiny: the shingle lands in a doc's
+    *    prefix only when it is among that doc's rarest — essentially
+    *    never for boilerplate, and when a corpus degenerates to
+    *    mostly-boilerplate docs the output itself is quadratic, so no
+    *    candidate generator could do better.
+    *  - VERIFY: candidates (a superset of the answer, deduplicated)
+    *    join back to the full shingle rows for the exact |A∩B|; totals
+    *    give |A|,|B|; the tau filter runs on the exact rounded Jaccard.
+    *
+    * Candidate generation uses `tau − 1e-6`: the output filter compares
+    * ROUND(j, 6) >= tau, so a pair at j = tau − 5e-7 must still be a
+    * candidate. Shuffles: shingle distinct + postings (h), prefix rank
+    * (doc_id, reusing the shingle distribution), candidate dedup, and
+    * the verification equi-joins — all bucketed, never all-pairs. */
+  private[graft] def jaccardSelfJoin(u: DataFrame, tau: Double, dfCap: Int): DataFrame = {
+    val tauGen = tau - 1e-6 // candidate recall must survive ROUND(j, 6)
+    val sh = shingleRows(u, 3)
+      .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
+      .distinct() // (doc_id, h): hash-fold safety, mirrored by list_distinct
+      .localCheckpoint(false) // postings, prefix rank, verification all read it
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Posting-list pre-aggregation: one shuffle keyed by h; singleton
+    // postings (the overwhelming majority) die before pairs explode.
+    val postings = sh.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("df", size(col("ids")))
+      .localCheckpoint(false) // cold pairs, hot set, prefix df all read it
+    val coldPairs = postings.filter(col("df") <= dfCap)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // Prefix rank: singleton shingles carry df = 1 (absent from the
+    // pre-agg — left join + fill). floor(tauGen·n) instead of
+    // ceil(tau·n) − 1 keeps the prefix a token longer than the bound
+    // needs, absorbing float error on the safe side.
+    val ranked = sh
+      .join(postings.select(col("h"), col("df")), Seq("h"), "left")
+      .na.fill(1, Seq("df"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .join(totals, "doc_id")
+      .filter(col("pos") <= col("n") - floor(lit(tauGen) * col("n")) + 1)
+      .select("doc_id", "h")
+    val hotPrefix = ranked.join(postings.filter(col("df") > dfCap).select("h"), "h")
+      .localCheckpoint(false) // both sides of the rescue self-join
+    val hotPairs = hotPrefix.select(col("h"), col("doc_id").as("id_a"))
+      .join(hotPrefix.select(col("h"), col("doc_id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cand = coldPairs.union(hotPairs).distinct()
+    val nShared = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared")) // = |A ∩ B|, exactly
+    nShared
+      .join(totals.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(totals.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "n_shared", "jaccard")
+  }
+
   /** Blocking edges: two normalization keys per doc (content md5 and
     * md5 minus the leading token — a drop-a-token chain collides on
     * adjacent keys), bucket pre-aggregation (identical plan shape to
@@ -522,12 +619,13 @@ object DedupQueries {
     // no MinHash approximation, guaranteed recall at the τ threshold.
     // Inverted index on the hashed shingle (one shuffle keyed by h),
     // bucket pre-aggregation kills singleton postings before any pair
-    // exists, then |A∩B| falls out of a pair-count aggregate and |A|,
-    // |B| join back from per-doc totals — candidate work scales with
-    // Σ df(h)², never corpus². At 100 TB the guard on that sum is a
-    // df cap (drop stop-shingles shared by thousands of docs — they
-    // can't push a pair over τ anyway) or positional prefix filtering;
-    // the synthetic corpus needs neither, so the result here is exact.
+    // exists. Uncapped, candidate work scales with Σ df(h)² — a single
+    // stop-shingle shared by 10⁵ docs would mint 5·10⁹ pairs from one
+    // posting list. The guard is [[jaccardSelfJoin]]'s df cap + prefix
+    // rescue: hot posting lists never explode, escaped pairs come back
+    // through the positional-prefix tier, and per-candidate exact
+    // verification keeps the result bit-identical to the uncapped join
+    // (DedupLawsSpec proves both laws on a planted hot stop-shingle).
     q("q81_ngram_jaccard",
       "X3: exact n-gram Jaccard near-dup join (inverted index, no approximation)",
       s"""WITH u AS (${plantedSql(11, 50000, dropFirstTokSql)}),
@@ -551,31 +649,7 @@ object DedupQueries {
       // Spread the single-row-group corpus before the shingle+md5 stage
       // (the dominant compute), same as q28/q32.
       val u = withPlanted(base, 11, 50000, dropFirstTok).repartition(col("doc_id"))
-      // Hashed-shingle postings, distinct per doc — the md5 runs once per
-      // shingle and everything downstream joins on a compact long.
-      val sh = shingleRows(u, 3)
-        .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
-        .distinct() // (doc_id, h): hash-fold safety, mirrored by list_distinct
-        .localCheckpoint(false) // feeds the index AND the per-doc totals
-      val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // Posting-list pre-aggregation: one shuffle keyed by h; singleton
-      // postings (the overwhelming majority) die before pairs explode.
-      val shared = sh.groupBy(col("h"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("id_a"), col("ids"))
-        .select(col("id_a"), explode(col("ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("n_shared")) // = |A ∩ B|, exactly
-      shared
-        .join(totals.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-        .join(totals.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-        .withColumn("jaccard",
-          round(col("n_shared").cast("double") /
-            (col("n_a") + col("n_b") - col("n_shared")), 6))
-        .filter(col("jaccard") >= JaccardThresh)
-        .select("id_a", "id_b", "n_shared", "jaccard")
+      jaccardSelfJoin(u, JaccardThresh, JaccardDfCap)
         .orderBy("id_a", "id_b")
     },
 
@@ -738,37 +812,50 @@ object DedupQueries {
          |       COUNT(*) AS n_windows
          |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
     }) { (s, dir) =>
-      val W = DupSpanW
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       val u = withPlanted(base, 7, 70000, dropFirstTok).repartition(col("doc_id"))
-      val toks = u.select(col("doc_id"),
-          posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("p0", "tok")))
-        .filter(col("tok") =!= "")
-      val w = Window.partitionBy("doc_id").orderBy("p0")
-      // Clean consecutive position over the FILTERED token sequence
-      // (posexplode indices have gaps where empties fell out).
-      val posd = toks.withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      val withNext = (1 until W).foldLeft(posd) { (df, k) =>
-        df.withColumn(s"t$k", lead(col("tok"), k).over(w))
-      }
-      val wins = withNext.filter(col(s"t${W - 1}").isNotNull)
-        .select(col("doc_id"), col("pos"),
-          TextOps.hash60(concat_ws(" ",
-            col("tok") +: (1 until W).map(k => col(s"t$k")): _*)).as("h"))
-        .localCheckpoint(false) // share-count and flag join both read it
-      val shared = wins.groupBy(col("h"))
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .select("h")
-      val w2 = Window.partitionBy("doc_id").orderBy("pos")
-      wins.join(shared, "h")
-        .withColumn("grp", col("pos") - row_number().over(w2))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + (W - 1)).as("span_end"),
-          count(lit(1)).as("n_windows"))
-        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      dupSpans(u, DupSpanW)
         .orderBy("doc_id", "span_start") // row-per-span: parallel range sort
     }
   )
+
+  /** q95's core: duplicated-substring spans over rolling `w`-token
+    * windows. Returns `(doc_id, span_start, span_end, n_windows)`. */
+  private[graft] def dupSpans(u: DataFrame, w: Int): DataFrame = {
+    val toks = u.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("p0", "tok")))
+      .filter(col("tok") =!= "")
+    val wd = Window.partitionBy("doc_id").orderBy("p0")
+    // Clean consecutive position over the FILTERED token sequence
+    // (posexplode indices have gaps where empties fell out).
+    val posd = toks.withColumn("pos", (row_number().over(wd) - 1).cast("long"))
+    val withNext = (1 until w).foldLeft(posd) { (df, k) =>
+      df.withColumn(s"t$k", lead(col("tok"), k).over(wd))
+    }
+    val wins = withNext.filter(col(s"t${w - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        TextOps.hash60(concat_ws(" ",
+          col("tok") +: (1 until w).map(k => col(s"t$k")): _*)).as("h"))
+      .localCheckpoint(false) // share test and flag join both read it
+    // Hot-span guard: the cross-doc test is "≥ 2 distinct docs", which
+    // is exactly min(doc_id) < max(doc_id) — two longs of fully
+    // map-side-combinable aggregate state per hash instead of a
+    // distinct-id set. A corpus-wide boilerplate span (one h shared by
+    // millions of rows — q81's hot-key blowup one level down) costs the
+    // reducer two longs, not a set of every carrier's id. Same
+    // predicate, no cap, no approximation (DedupLawsSpec plants a
+    // corpus-wide banner and checks spans against brute force).
+    val shared = wins.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .select("h")
+    val w2 = Window.partitionBy("doc_id").orderBy("pos")
+    wins.join(shared, "h")
+      .withColumn("grp", col("pos") - row_number().over(w2))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
 }

@@ -84,4 +84,104 @@ class DedupLawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Driver-side reference for [[DedupQueries.jaccardSelfJoin]]: word
+    * 3-shingle sets, all-pairs exact Jaccard, round(j,6) >= tau. */
+  private def bruteJaccard(docs: Seq[(Long, String)], tau: Double)
+      : Map[(Long, Long), (Int, Double)] = {
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+      j = BigDecimal(inter.toDouble / (sa | sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= tau
+    } yield (a, b) -> (inter, j)).toMap
+  }
+
+  /** The q81 scale guard (df cap + positional-prefix rescue) is
+    * LOSSLESS: a corpus with a planted hot stop-shingle — boilerplate
+    * banner shingles shared by every doc, df far above the cap — yields
+    * bit-identical pairs under an aggressive cap, including a pair
+    * whose ONLY shared shingles are hot (the case a bare df cap would
+    * silently drop, recovered by the prefix tier). */
+  test("df-capped Jaccard join ≡ brute force under a planted hot stop-shingle") {
+    val rnd = new scala.util.Random(13)
+    val banner = "legal notice all rights reserved by the publisher" // 8 toks → 6 hot shingles
+    // 60 docs: hot banner + a unique 12-token tail (tail shingles df=1).
+    val base = (0 until 60).map { i =>
+      (i.toLong, banner + " " + Seq.fill(12)(s"u${i}x${rnd.nextInt(1000)}").mkString(" "))
+    }
+    // A qualifying pair found through COLD shingles: shared tails (df=2).
+    val coldPair = Seq(
+      (200L, banner + " alpha beta gamma delta epsilon zeta eta theta"),
+      (201L, banner + " alpha beta gamma delta epsilon zeta eta iota"))
+    // A qualifying pair whose EVERY shared shingle is HOT: banner-only
+    // docs (their shingles are exactly the banner's, df = 62 > cap).
+    val hotOnlyPair = Seq((300L, banner), (301L, banner))
+    val docs = base ++ coldPair ++ hotOnlyPair
+    val u = docs.toDF("doc_id", "text")
+    val tau = 0.6
+    val want = bruteJaccard(docs, tau)
+    assert(want.contains((300L, 301L)), "fixture: hot-only pair must qualify")
+    assert(want.contains((200L, 201L)), "fixture: cold pair must qualify")
+
+    // Cap of 8 with banner-df = 62: every banner shingle is hot.
+    val dfCap = 8
+    val got = DedupQueries.jaccardSelfJoin(u, tau, dfCap)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, n, j) => (a, b) -> (n.toInt, j) }.toMap
+    assert(got == want,
+      s"capped join diverges: missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+
+    // Cap-invariance law: an effectively-uncapped run returns the same.
+    val uncapped = DedupQueries.jaccardSelfJoin(u, tau, Int.MaxValue)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, n, j) => (a, b) -> (n.toInt, j) }.toMap
+    assert(uncapped == got, "df cap changed the result set")
+  }
+
+  /** q95's hot-span guard (min<max share test) finds a corpus-wide
+    * planted banner line — the exact hot-key shape the old
+    * count_distinct aggregate would have built a giant set for — and
+    * agrees with a brute-force span reference. */
+  test("dupSpans: corpus-wide banner line detected; spans match brute force") {
+    val w = 4
+    val banner = "this document is confidential and proprietary to acme" // 8 toks
+    val rnd = new scala.util.Random(29)
+    val docs = (0 until 30).map { i =>
+      // banner prefix + unique 10-token tail: the flagged region is the
+      // banner's windows only (tail windows are unique per doc).
+      (i.toLong, banner + " " + Seq.fill(10)(s"t${i}q${rnd.nextInt(1000)}").mkString(" "))
+    }
+    val got = DedupQueries.dupSpans(docs.toDF("doc_id", "text"), w)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Brute force: hash windows driver-side, flag those in >= 2 docs,
+    // merge adjacent flagged positions into maximal spans.
+    val wins = docs.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(w).filter(_.length == w).zipWithIndex
+        .map { case (win, p) => (id, p.toLong, win.mkString(" ")) }
+    }
+    val sharedW = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = wins.filter(x => sharedW(x._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, xs) =>
+        val ps = xs.map(_._2).sorted
+        // islands: consecutive positions merge
+        val runs = ps.foldLeft(List.empty[List[Long]]) {
+          case ((run @ (last :: _)) :: rest, p) if p == last + 1 =>
+            (p :: run) :: rest
+          case (acc, p) => List(p) :: acc
+        }
+        runs.map(r => (id, r.min, r.max + (w - 1), r.size.toLong))
+    }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // Every doc carries the banner, so every doc must flag exactly one
+    // span covering the banner's windows: positions 0..(9-w).
+    assert(got.count(_._2 == 0L) == 30)
+  }
 }

@@ -43,14 +43,44 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dedup/similarity candidate generation never plans a cross product") {
     Seq("q28_minhash_pairs", "q32_simhash_bands", "q31_embedding_neardup",
-      "q59_dup_clusters", "q68_incremental_dedup", "q86_canonical_pick",
-      "q95_dup_spans").foreach { q =>
+      "q59_dup_clusters", "q68_incremental_dedup", "q81_ngram_jaccard",
+      "q86_canonical_pick", "q95_dup_spans").foreach { q =>
       val ns = nodes(plan(q))
       assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
         s"$q plans a CartesianProduct")
       assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$q plans a BroadcastNestedLoopJoin")
     }
+  }
+
+  /** The candidate-generation contract of the two hot-key-guarded dedup
+    * queries, pinned so future edits can't silently regress it:
+    * q81's pair explode only ever runs behind the df-cap filter, and
+    * q95's cross-doc share test stays a plain min/max aggregate (never
+    * a distinct-set build on the window hash). */
+  test("q81 pair explode is df-capped; q95 share test plans no distinct agg") {
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val ns81 = nodes(plan("q81_ngram_jaccard"))
+    // Pair-minting Generates are the ones that introduce id_a/id_b.
+    val pairGens = ns81.collect {
+      case g: GenerateExec
+        if g.generatorOutput.exists(a => a.name == "id_a" || a.name == "id_b") => g
+    }
+    assert(pairGens.nonEmpty, "q81 lost its posting-list pair explode")
+    pairGens.foreach { g =>
+      val conds = nodes(g).collect { case f: FilterExec => f.condition.toString }
+      assert(conds.exists(c =>
+          c.contains(s"<= ${operators.DedupQueries.JaccardDfCap}")),
+        s"q81 pair explode runs uncapped — no df <= cap filter beneath it:\n$conds")
+    }
+    val ns95 = nodes(plan("q95_dup_spans"))
+    val distinctAggs = ns95.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(_.isDistinct) => a
+    }
+    assert(distinctAggs.isEmpty,
+      s"q95 share test plans a distinct aggregate (hot-key set build): $distinctAggs")
   }
 
   test("claimed broadcasts are real: q60 stats/dfreq, q26 query side") {
