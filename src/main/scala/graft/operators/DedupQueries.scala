@@ -163,21 +163,30 @@ object DedupQueries {
     *    never for boilerplate, and when a corpus degenerates to
     *    mostly-boilerplate docs the output itself is quadratic, so no
     *    candidate generator could do better.
-    *  - VERIFY: candidates (a superset of the answer, deduplicated)
-    *    join back to the full shingle rows for the exact |A∩B|; totals
-    *    give |A|,|B|; the tau filter runs on the exact rounded Jaccard.
+    *  - EXACT COUNTS: n_shared = (shared cold shingles — the cold
+    *    tier's pair aggregate counts them exactly) + (shared hot
+    *    shingles — |hotSet(A) ∩ hotSet(B)| over per-doc hot-shingle
+    *    arrays); totals give |A|,|B|; the tau filter runs on the exact
+    *    rounded Jaccard. No approximation anywhere.
     *
-    * Candidate generation uses `tau − 1e-6`: the output filter compares
-    * ROUND(j, 6) >= tau, so a pair at j = tau − 5e-7 must still be a
-    * candidate. Shuffles: shingle distinct + postings (h), prefix rank
-    * (doc_id, reusing the shingle distribution), candidate dedup, and
-    * the verification equi-joins — all bucketed, never all-pairs. */
+    * Prefix-length computation uses `tau − 1e-6`: the output filter
+    * compares ROUND(j, 6) >= tau, so a pair at j = tau − 5e-7 must
+    * still be a candidate.
+    *
+    * Cost shape: the cold tier is exactly the uncapped plan minus hot
+    * lists. Everything hot-related is sized by the HOT subset — docs
+    * carrying no hot shingle never enter the rescue ranking, and in a
+    * corpus with no hot shingles at all the whole rescue path collapses
+    * to zero rows after one semi-join probe. n_shared splits exactly as
+    * (cold shared count from the pair aggregate) + (hot shared count
+    * via per-doc hot-shingle arrays and array_intersect — columnar, no
+    * re-verification explode). */
   private[graft] def jaccardSelfJoin(u: DataFrame, tau: Double, dfCap: Int): DataFrame = {
     val tauGen = tau - 1e-6 // candidate recall must survive ROUND(j, 6)
     val sh = shingleRows(u, 3)
       .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
       .distinct() // (doc_id, h): hash-fold safety, mirrored by list_distinct
-      .localCheckpoint(false) // postings, prefix rank, verification all read it
+      .localCheckpoint(false) // postings, totals, hot probes all read it
     val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Posting-list pre-aggregation: one shuffle keyed by h; singleton
     // postings (the overwhelming majority) die before pairs explode.
@@ -185,17 +194,35 @@ object DedupQueries {
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .withColumn("df", size(col("ids")))
-      .localCheckpoint(false) // cold pairs, hot set, prefix df all read it
-    val coldPairs = postings.filter(col("df") <= dfCap)
+      .localCheckpoint(false) // cold pairs + hot set both read it
+    // COLD tier: capped posting lists explode into pairs; the count is
+    // the pair's EXACT number of shared cold shingles.
+    val coldCounts = postings.filter(col("df") <= dfCap)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    // Prefix rank: singleton shingles carry df = 1 (absent from the
-    // pre-agg — left join + fill). floor(tauGen·n) instead of
-    // ceil(tau·n) − 1 keeps the prefix a token longer than the bound
-    // needs, absorbing float error on the safe side.
-    val ranked = sh
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_cold"))
+    // HOT subset: distinct hot shingles are few by construction (each
+    // accounts for > dfCap postings), so the per-doc hot sets are small
+    // arrays and every hot-side frame below is tiny unless the corpus
+    // itself is wall-to-wall boilerplate.
+    val hotH = postings.filter(col("df") > dfCap).select("h")
+    val shHot = sh.join(hotH, "h") // (doc_id, h) carrying a hot shingle
+      .localCheckpoint(false) // hot arrays + rescue ranking both read it
+    val hotSets = shHot.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hot_arr"))
+      .localCheckpoint(false) // joined twice (id_a / id_b sides)
+    // HOT rescue: only docs that CARRY a hot shingle can be in a pair
+    // whose every shared shingle is hot, so the prefix ranking runs on
+    // that restricted sub-corpus (each doc still ranks its FULL shingle
+    // set — restriction is per doc, not per row). Singleton shingles
+    // carry df = 1 (absent from the pre-agg — left join + fill).
+    // floor(tauGen·n) instead of ceil(tau·n) − 1 keeps the prefix a
+    // token longer than the bound needs, absorbing float error on the
+    // safe side.
+    val shOfHotDocs = sh.join(hotSets.select("doc_id"), "doc_id")
+    val prefix = shOfHotDocs
       .join(postings.select(col("h"), col("df")), Seq("h"), "left")
       .na.fill(1, Seq("df"))
       .withColumn("pos",
@@ -203,18 +230,27 @@ object DedupQueries {
       .join(totals, "doc_id")
       .filter(col("pos") <= col("n") - floor(lit(tauGen) * col("n")) + 1)
       .select("doc_id", "h")
-    val hotPrefix = ranked.join(postings.filter(col("df") > dfCap).select("h"), "h")
+    val hotPrefix = prefix.join(hotH, "h")
       .localCheckpoint(false) // both sides of the rescue self-join
     val hotPairs = hotPrefix.select(col("h"), col("doc_id").as("id_a"))
       .join(hotPrefix.select(col("h"), col("doc_id").as("id_b")), "h")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val cand = coldPairs.union(hotPairs).distinct()
+      .select("id_a", "id_b").distinct()
+    // Candidates = cold-sharing pairs ∪ rescued hot-only pairs; exact
+    // n_shared = n_cold + |hotSet(a) ∩ hotSet(b)| (array_intersect over
+    // the small per-doc hot arrays — columnar, no explode).
+    val cand = coldCounts
+      .join(hotPairs, Seq("id_a", "id_b"), "full_outer")
+      .na.fill(0L, Seq("n_cold"))
     val nShared = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared")) // = |A ∩ B|, exactly
+      .join(hotSets.select(col("doc_id").as("id_a"), col("hot_arr").as("hot_a")),
+        Seq("id_a"), "left")
+      .join(hotSets.select(col("doc_id").as("id_b"), col("hot_arr").as("hot_b")),
+        Seq("id_b"), "left")
+      .withColumn("n_shared",
+        col("n_cold") + when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
+          .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
+      .select("id_a", "id_b", "n_shared")
     nShared
       .join(totals.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(totals.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")

@@ -22,11 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorStore {
 
+  /** Bucket count for `key_hash`, the numeric split column stored
+    * alongside the VARCHAR key: vanilla JDBC partitioning can't range-
+    * split a string, so the writer persists `hash(vector_id) mod 1024`
+    * and the reader issues one range query per split over it — N
+    * parallel cursors instead of one cursor streaming the whole table
+    * (a production Postgres read would compute the same split from
+    * `hashtext(vector_id)`; persisting it keeps the read portable). */
+  private val KeyHashBuckets = 1024
+
   private val Ddl =
-    """vector_id VARCHAR(64) NOT NULL PRIMARY KEY,
+    s"""vector_id VARCHAR(64) NOT NULL PRIMARY KEY,
       |embedding VARCHAR(32672) NOT NULL,
       |semantic_sentence VARCHAR(32672) NOT NULL,
-      |updated_at DATE NOT NULL""".stripMargin.replace("\n", " ")
+      |updated_at DATE NOT NULL,
+      |key_hash BIGINT NOT NULL""".stripMargin.replace("\n", " ")
 
   /** Serialize `(vector_id, semantic_sentence, embedding[], updated_at)`
     * to the storage row shape. */
@@ -35,7 +45,8 @@ object VectorStore {
       col("vector_id"),
       concat(lit("["), array_join(col("embedding"), ","), lit("]")).as("embedding"),
       col("semantic_sentence"),
-      col("updated_at"))
+      col("updated_at"),
+      pmod(xxhash64(col("vector_id")), lit(KeyHashBuckets.toLong)).as("key_hash"))
 
   /** Upsert a batch of daily summaries; creates the table on first use.
     * Returns the update/insert split. */
@@ -45,13 +56,12 @@ object VectorStore {
     JdbcSink.upsert(toRows(summaries), url, table, "vector_id", batchSize = 100)
   }
 
-  /** Partitioned read-back of the stored table (split on the id hash is
-    * unavailable on a VARCHAR key in vanilla JDBC partitioning, so the
-    * spec-scale read uses a single split; a production Postgres read
-    * would pass predicates or use `hashtext`). */
-  def load(spark: SparkSession, url: String, table: String = "document_embeddings")
-      : DataFrame =
-    spark.read.jdbc(url, table, JdbcSink.connectionProps)
+  /** Partitioned read-back of the stored table: `numPartitions`
+    * parallel range queries over the persisted `key_hash` column, so
+    * the scan never degrades to one global cursor. */
+  def load(spark: SparkSession, url: String, table: String = "document_embeddings",
+      numPartitions: Int = 8): DataFrame =
+    JdbcSink.read(spark, url, table, "KEY_HASH", 0L, KeyHashBuckets.toLong, numPartitions)
       .select(col("VECTOR_ID").as("vector_id"), col("EMBEDDING").as("embedding"),
         col("SEMANTIC_SENTENCE").as("semantic_sentence"),
         col("UPDATED_AT").as("updated_at"))

@@ -35,6 +35,28 @@ class VectorStoreSpec extends AnyFunSuite {
       split(regexp_replace(col("embedding"), "^\\[|\\]$", ""), ",")
         .cast("array<double>").as("got_vec"), col("want_vec"))
     assert(reparsed.filter(col("got_vec") =!= col("want_vec")).count() == 0)
+    // Wire-format invariant: the stored literal is exactly the form a
+    // real Postgres `CAST(... AS VECTOR)` consumes — bracket-delimited,
+    // comma-separated numbers, no whitespace.
+    assert(back.filter(!col("embedding")
+      .rlike("^\\[-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?(,-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?)*\\]$"))
+      .count() == 0, "stored embedding literal deviates from pgvector wire format")
+  }
+
+  test("read-back plans N parallel JDBC range splits on the persisted key hash") {
+    val url = JdbcSink.memoryUrl("graft_vstore_split")
+    val summaries = DailySummary.run(spark, sfDir).localCheckpoint()
+    val n = summaries.count()
+    VectorStore.store(summaries, url)
+    val back = VectorStore.load(spark, url, numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4,
+      s"load collapsed to ${back.rdd.getNumPartitions} cursor(s)")
+    assert(back.count() == n)
+    // The splits carry real data spread, not one hot split + empties
+    // (xxhash64 over 1024 buckets: 30 keys in one 256-bucket range is
+    // astronomically unlikely).
+    val perSplit = back.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perSplit.count(_ > 0) > 1, s"all rows in one split: ${perSplit.toSeq}")
   }
 
   test("replaying the same batch is idempotent; an overlap re-run updates in place") {
