@@ -33,8 +33,33 @@ object SentenceOps {
     Exact.davg(when(col("event_type") === t, col("value")))
 
   /** Daily metrics → one multi-line semantic sentence per day. */
-  def dailySentences(events: DataFrame): DataFrame = {
-    val daily = events
+  def dailySentences(events: DataFrame): DataFrame =
+    renderDaily(dailyMetrics(events)
+      .withColumn("temp_c", col("temp_c_inline")))
+
+  /** The daily weather dimension `(d, temp_c)` the reference keeps as a
+    * separate source (meteostat daily mean, main.py:290-303) — derived
+    * here from the same telemetry the inline path folds, so the joined
+    * and inline renders are bit-identical. */
+  def dailyWeatherDim(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("d"))
+      .agg((Exact.davg(col("value")) / 10).as("temp_c"))
+
+  /** E1's structurally-faithful form: daily metrics LEFT-joined to a
+    * broadcast weather dimension before the sentence render (the
+    * reference attaches the day's weather scalar to the summary dict,
+    * main.py:290-303, and the builder renders it,
+    * sentence_builder.py:126-127). A missing day in the dim renders
+    * "N/A" — the reference's None → N/A rule. */
+  def dailySentencesWithWeather(events: DataFrame, weatherDim: DataFrame): DataFrame =
+    renderDaily(dailyMetrics(events)
+      .join(broadcast(weatherDim), Seq("d"), "left"))
+
+  /** Shared daily aggregate (everything but the weather column; the
+    * inline temperature travels as `temp_c_inline` so the two entry
+    * paths pick their source explicitly). */
+  private def dailyMetrics(events: DataFrame): DataFrame =
+    events
       .groupBy(to_date(col("ts")).as("d"))
       .agg(
         typedAvg("view").as("load_mw"),
@@ -43,11 +68,12 @@ object SentenceOps {
         typedAvg("click").as("wind_mw"),
         typedAvg("error").as("solar_mw"),
         max(when(col("value") > 320, col("value"))).as("max_offer"),
-        (Exact.davg(col("value")) / 10).as("temp_c"))
+        (Exact.davg(col("value")) / 10).as("temp_c_inline"))
       .withColumn("renew_pct",
         when(col("gen_mw") > 0,
           (col("wind_mw") + col("solar_mw")) / col("gen_mw") * 100))
 
+  private def renderDaily(daily: DataFrame): DataFrame = {
     daily.select(
       date_format(col("d"), "yyyy-MM-dd").as("date_str"),
       concat(lit("daily_summary_"), date_format(col("d"), "yyyy-MM-dd")).as("vector_id"),

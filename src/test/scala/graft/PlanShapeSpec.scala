@@ -90,6 +90,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("the flagship pipeline broadcast-joins its weather dimension (J2)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = pipeline.DailySummary.run(spark, dir).queryExecution.executedPlan
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"flagship plans no BroadcastHashJoin for the weather dim:\n$p")
+  }
+
   /** Walk the unary presentation chain from the root (sorts, projects,
     * limits, AQE wrappers) to the first exchange: that is the exchange
     * the final result funnels through. Deeper single-partition exchanges

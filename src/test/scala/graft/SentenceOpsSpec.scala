@@ -41,6 +41,28 @@ class SentenceOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("semantic_sentence") == expected)
   }
 
+  test("weather-dim join render ≡ inline render; missing day renders N/A") {
+    val events = Seq(
+      (ts("2024-01-02 12:00:00"), "view", 100.0),
+      (ts("2024-01-02 12:05:00"), "signup", 200.0),
+      (ts("2024-01-03 09:00:00"), "view", 50.0),
+      (ts("2024-01-03 10:00:00"), "purchase", 61.5)
+    ).toDF("ts", "event_type", "value")
+    val inline = SentenceOps.dailySentences(events)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val joined = SentenceOps
+      .dailySentencesWithWeather(events, SentenceOps.dailyWeatherDim(events))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(joined == inline, "joined render diverges from the inline render")
+    // A day absent from the dimension renders the reference's N/A.
+    val partialDim = SentenceOps.dailyWeatherDim(
+      events.filter(col("ts") < lit("2024-01-03").cast("timestamp")))
+    val withGap = SentenceOps.dailySentencesWithWeather(events, partialDim)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(withGap("2024-01-03").contains("Avg Texas temperature: N/A"))
+    assert(withGap("2024-01-02") == inline("2024-01-02"))
+  }
+
   test("renderer is total: a day with only one event type still renders") {
     val events = Seq((ts("2024-03-05 01:00:00"), "view", 12.5))
       .toDF("ts", "event_type", "value")
