@@ -61,6 +61,10 @@ object Bench {
     // initial bulk build / prior appends), so its one-time construction
     // is not part of the measured append cost.
     pipeline.DedupIndex.prepared(spark, sfDir)
+    // Likewise the shared normalized stream source (the landed files a
+    // production catch-up drains already exist): built once per SF here
+    // so the first streaming query measured doesn't absorb it.
+    streaming.NormalizedEvents.sourceDir(spark, sfDir)
     // SPARK_GRAFT_ONLY=q28_minhash_pairs,q32_simhash_bands — iterate on a
     // subset without paying for the whole suite. Unset = run everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -79,8 +83,10 @@ object Bench {
     // but still a complete record.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      try pipeline.DedupIndex.prepared(spark, warmDir)
-      catch { case _: Throwable => () }
+      try {
+        pipeline.DedupIndex.prepared(spark, warmDir)
+        streaming.NormalizedEvents.sourceDir(spark, warmDir)
+      } catch { case scala.util.control.NonFatal(_) => () }
       selected.foreach { case (_, fn) =>
         // NonFatal only: an OOM/VM error here means the JVM is already
         // corrupted — poisoning every measured number that follows is

@@ -54,7 +54,11 @@ final class ConfigResolver(
   def group(keys: Seq[String],
       gate: Map[String, String] => Boolean = _ => true): Option[Map[String, String]] = {
     val resolved = keys.flatMap(k => get(k).map(k -> _)).toMap
-    if (resolved.size == keys.size && gate(resolved)) Some(resolved) else None
+    // Compare against the DISTINCT key count: `resolved` is a Map, so a
+    // duplicated key in the request would otherwise make a fully-
+    // configured group read as unusable.
+    if (resolved.size == keys.distinct.size && gate(resolved)) Some(resolved)
+    else None
   }
 }
 

@@ -92,16 +92,16 @@ object AdvancedQueries {
          |  ${ExactSql.dsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft_q49").toFile.getAbsolutePath
-      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
-      // Normalize the NANOS source once (what Tables.load does for batch),
-      // then stream the normalized files — a parquet file stream cannot
-      // apply the legacy-nanos rewrite itself.
-      // Watermarks require TIMESTAMP (LTZ); the session TZ is pinned UTC
-      // so the NTZ→LTZ cast is instant-preserving.
-      val ev = Tables.load(s, dir, "events")
-        .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
-      ev.write.parquet(src)
-      graft.streaming.StreamingUpsert.runAvailableNow(s, src, ev.schema, target, ckpt,
+      val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      // The shared pre-normalized source (NANOS→micros once per SF dir,
+      // memoized — a parquet file stream cannot apply the legacy-nanos
+      // rewrite itself). Watermarks require TIMESTAMP (LTZ); the session
+      // TZ is pinned UTC so the NTZ→LTZ cast is instant-preserving.
+      // Checkpoints stay per-run, so the read-only source is shareable.
+      import graft.streaming.NormalizedEvents
+      val src = NormalizedEvents.sourceDir(s, dir)
+      graft.streaming.StreamingUpsert.runAvailableNow(s, src,
+        NormalizedEvents.schema, target, ckpt,
         statePartitions = Some(8)) // ~40 (day, type) keys: 8 stores, not 32
       s.read.parquet(target)
         .select(col("d").cast("date").as("d"), col("event_type"),
@@ -188,14 +188,13 @@ object AdvancedQueries {
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
         |ORDER BY p_event_id, c_event_id""".stripMargin) { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft_q53").toFile.getAbsolutePath
-      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
-      // Same normalization as q49: NANOS→timestamp once, then stream.
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts").cast("timestamp").as("ts"))
-      ev.write.parquet(src)
+      val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      // Shared normalized source (see q49) — this query never mutates
+      // its source dir, so it streams the memoized copy directly.
+      import graft.streaming.NormalizedEvents
+      val src = NormalizedEvents.sourceDir(s, dir)
       graft.streaming.StreamIntervalJoin.runAvailableNow(
-        s, src, ev.schema, target, ckpt, statePartitions = Some(8))
+        s, src, NormalizedEvents.schema, target, ckpt, statePartitions = Some(8))
       s.read.parquet(target)
         .select("p_event_id", "c_event_id", "user_id")
         .orderBy("p_event_id", "c_event_id")
@@ -212,15 +211,15 @@ object AdvancedQueries {
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft_q54").toFile.getAbsolutePath
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts").cast("timestamp").as("ts"))
-        .coalesce(1) // one file per delivery → exactly two micro-batches
-      ev.write.parquet(src)
-      ev.write.mode("append").parquet(src) // the duplicate delivery
+      // Two deliveries = two filesystem copies of the shared sharded
+      // source, delivery-level mtimes + a delivery-sized trigger, so the
+      // re-delivery lands in the LATER micro-batch deterministically.
+      import graft.streaming.NormalizedEvents
+      NormalizedEvents.deliverCopies(s, dir, src, copies = 2)
       graft.streaming.StreamDedup.runAvailableNow(
-        s, src, ev.schema, "event_id", target, ckpt,
-        maxFilesPerTrigger = Some(1), statePartitions = Some(8))
+        s, src, NormalizedEvents.schema, "event_id", target, ckpt,
+        maxFilesPerTrigger = Some(NormalizedEvents.SourceFiles),
+        statePartitions = Some(8))
       s.read.parquet(target)
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
@@ -247,11 +246,22 @@ object AdvancedQueries {
         |ORDER BY p_event_id, c_event_id""".stripMargin) { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft_q94").toFile.getAbsolutePath
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      // Private source dir: this query appends flush files, and each
+      // must land ALONE in a later micro-batch, so the real data stays
+      // one file (maxFilesPerTrigger = 1 gives per-file batches). Every
+      // delivery gets a STRICTLY INCREASING mtime — FileStreamSource
+      // orders unseen files by mtime, and a coarse-granularity tie that
+      // drained a flush file FIRST would jump the watermark ahead and
+      // silently drop every real event as late.
+      import graft.streaming.NormalizedEvents
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"))
         .coalesce(1) // one real-data file → flush files land in LATER batches
       ev.write.parquet(src)
+      val stamped = scala.collection.mutable.Set[String]()
+      var stamp = System.currentTimeMillis() - 3600000L // firmly in the past
+      NormalizedEvents.stampNewFiles(src, stamped, stamp)
       val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
       def flush(ids: (Long, Long), daysAhead: Int): Unit = {
         val ts = new java.sql.Timestamp(mx.getTime + daysAhead * 86400000L)
@@ -260,6 +270,8 @@ object AdvancedQueries {
           .unionByName(s.range(1).select(lit(ids._2).as("event_id"),
             lit(-1L).as("user_id"), lit("purchase").as("event_type"), lit(ts).as("ts")))
           .coalesce(1).write.mode("append").parquet(src)
+        stamp += 60000L
+        NormalizedEvents.stampNewFiles(src, stamped, stamp)
       }
       flush((-1L, -2L), 40) // advances the watermark past every real event
       flush((-3L, -4L), 41) // next batch: eviction runs, outer nulls emit

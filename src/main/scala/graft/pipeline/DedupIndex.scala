@@ -71,6 +71,13 @@ object DedupIndex {
         // winner already published.
         if (fs.exists(success) || !fs.rename(tmp, finalPath))
           fs.delete(tmp, true)
+        // The check-then-rename above is still a TOCTOU window: a
+        // concurrent JVM publishing between the exists() and the
+        // rename() turns our rename into a move INTO the published dir
+        // (rename returns true, leaving a stray nested build dir that
+        // would pollute later reads). Post-verify and remove it.
+        val nested = new org.apache.hadoop.fs.Path(finalPath, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
       path
     })

@@ -57,4 +57,12 @@ class ConfigResolverSpec extends AnyFunSuite {
     assert(full.group(keys, gate = m => m("password").nonEmpty)
       .contains(Map("host" -> "h", "port" -> "5432", "password" -> "s3cret")))
   }
+
+  test("group() tolerates a duplicated key in the request") {
+    val r = resolver(env = Map("host" -> "h", "port" -> "5432"))
+    // A fully-resolved group must not read as unusable just because the
+    // caller listed a key twice (the resolved Map dedups it).
+    assert(r.group(Seq("host", "port", "host"))
+      .contains(Map("host" -> "h", "port" -> "5432")))
+  }
 }

@@ -16,8 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Claims: (1) on a query constraining ONLY the second dimension, the
   * single-column layout must touch every file while Z-order skips most;
-  * (2) on a 2-D box, Z-order touches no more than the single-column
-  * layout; (3) both layouts return identical rows — layout is never
+  * (2) a small 2-D box touches a bounded handful of files (quadrant
+  * geometry); (3) both layouts return identical rows — layout is never
   * allowed to change semantics.
   */
 class ZOrderSpec extends AnyFunSuite {
@@ -60,10 +60,14 @@ class ZOrderSpec extends AnyFunSuite {
     assert(linB == NFiles, s"a-sorted layout should touch all files, got $linB")
     assert(zB * 2 <= NFiles, s"z-order should skip at least half, touched $zB/$NFiles")
 
-    // 2-D box: z-order never worse than the single-column layout.
+    // 2-D box: bounded absolutely. A 64×64 box straddles at most two
+    // 256-wide quadrant boundaries per dimension, so it can intersect
+    // at most 4 of the 16 z-files. (No comparison against the a-sorted
+    // layout here: an a-tight box legitimately favors a-sorting, and
+    // repartitionByRange's sampled boundaries jitter with RDD-id
+    // seeding, which made a z2 <= lin2 assertion order-flaky.)
     val z2 = filesTouched(zDir, 100, 163, 200, 263)
-    val lin2 = filesTouched(linDir, 100, 163, 200, 263)
-    assert(z2 <= lin2, s"z-order touched $z2 > linear $lin2 on a 2-D box")
+    assert(z2 <= 4, s"z-order touched $z2/$NFiles on a 64x64 box (bound: 4)")
 
     // Layout must not change semantics: same rows under both.
     val q = (df: DataFrame) => df
