@@ -145,6 +145,33 @@ class DedupLawsSpec extends AnyFunSuite {
     assert(uncapped == got, "df cap changed the result set")
   }
 
+  /** Randomized law: for corpora drawn over a SMALL shared vocabulary
+    * (dense shingle sharing — many posting lists of every size, so the
+    * cold/hot boundary lands in the thick of real data) the capped join
+    * equals brute force for EVERY cap, including caps aggressive enough
+    * to force most recall through the prefix tier. */
+  test("df-capped Jaccard join ≡ brute force on random corpora, any cap") {
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(100 + trial)
+      // 35 docs, 8-14 tokens from a 12-word vocabulary: heavy overlap.
+      val docs = (0 until 35).map { i =>
+        val n = 8 + rnd.nextInt(7)
+        (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(12)}").mkString(" "))
+      }
+      val u = docs.toDF("doc_id", "text")
+      val tau = 0.35 + 0.1 * trial // sweep thresholds across trials
+      val want = bruteJaccard(docs, tau)
+      for (dfCap <- Seq(1, 2, 4, 16)) {
+        val got = DedupQueries.jaccardSelfJoin(u, tau, dfCap)
+          .as[(Long, Long, Long, Double)].collect()
+          .map { case (a, b, n, j) => (a, b) -> (n.toInt, j) }.toMap
+        assert(got == want,
+          s"trial $trial cap $dfCap tau $tau: " +
+            s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+      }
+    }
+  }
+
   /** q95's hot-span guard (min<max share test) finds a corpus-wide
     * planted banner line — the exact hot-key shape the old
     * count_distinct aggregate would have built a giant set for — and
