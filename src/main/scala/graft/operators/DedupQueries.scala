@@ -852,8 +852,55 @@ object DedupQueries {
       val u = withPlanted(base, 7, 70000, dropFirstTok).repartition(col("doc_id"))
       dupSpans(u, DupSpanW)
         .orderBy("doc_id", "span_start") // row-per-span: parallel range sort
+    },
+
+    // ----- X3/X4: first-occurrence NOVELTY scoring — the data-valuation
+    // signal dedup-aware pruning ranks by: per doc, the fraction of its
+    // distinct shingles whose global FIRST carrier (min doc_id over all
+    // carriers) is the doc itself. A verbatim or near copy of an earlier
+    // doc scores ~0 (every shingle already seen); the planted mod-9
+    // copies exhibit exactly that. Scale shape: the first-carrier table
+    // is a min aggregate keyed on the shingle hash — two longs of
+    // map-side-combinable state per key, hot-shingle safe like q95's
+    // share test — then one per-doc fold; one shuffle on h, one on
+    // doc_id, no pair of documents ever joined.
+    q("q98_novelty_score",
+      "X3/X4: first-occurrence novelty scoring (content-contribution valuation)",
+      s"""WITH u AS (${plantedSql(9, 45000, dropFirstTokSql)}),
+         |     sh AS (SELECT doc_id,
+         |              unnest(list_distinct(list_transform(
+         |                ${shinglesSql(tokensSql("text"))}, t -> ${hash60Sql("t")}))) AS h
+         |            FROM u),
+         |     fo AS (SELECT h, MIN(doc_id) AS first_id FROM sh GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |       COUNT(CASE WHEN first_id = doc_id THEN 1 END) AS n_novel,
+         |       ROUND(CAST(COUNT(CASE WHEN first_id = doc_id THEN 1 END) AS DOUBLE)
+         |             / COUNT(*), 6) AS novelty
+         |FROM sh JOIN fo USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val u = withPlanted(base, 9, 45000, dropFirstTok).repartition(col("doc_id"))
+      noveltyScores(u)
+        .orderBy("doc_id") // row-per-doc: parallel range sort
     }
   )
+
+  /** q98's core: per-doc first-occurrence novelty over distinct word
+    * 3-shingles. Returns `(doc_id, n_shingles, n_novel, novelty)`. */
+  private[graft] def noveltyScores(u: DataFrame): DataFrame = {
+    val sh = shingleRows(u, 3)
+      .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
+      .distinct()
+      .localCheckpoint(false) // first-carrier agg + per-doc fold both read it
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_id") === col("doc_id"), lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+  }
 
   /** q95's core: duplicated-substring spans over rolling `w`-token
     * windows. Returns `(doc_id, span_start, span_end, n_windows)`. */

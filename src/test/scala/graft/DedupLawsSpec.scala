@@ -172,6 +172,26 @@ class DedupLawsSpec extends AnyFunSuite {
     }
   }
 
+  /** The novelty score's semantic contract: the first carrier of
+    * content owns it; later verbatim copies score zero; partial copies
+    * score exactly their unshared fraction. */
+  test("noveltyScores: copies score 0, originals 1, partial copies in between") {
+    val a = "alpha beta gamma delta epsilon zeta" // 6 toks → 4 shingles
+    val docs = Seq(
+      (1L, a),                                  // original: novelty 1
+      (2L, a),                                  // verbatim copy: 0
+      (3L, "one two three four five six"),      // unrelated: 1
+      (4L, a + " omega psi chi phi"))           // superset: only the tail is new
+    val got = DedupQueries.noveltyScores(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, nov, s) => id -> ((n, nov, s)) }.toMap
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((4L, 0L, 0.0)))
+    assert(got(3L) == ((4L, 4L, 1.0)))
+    // doc 4: 10 toks → 8 shingles; 4 inherited from doc 1, 4 new.
+    assert(got(4L) == ((8L, 4L, 0.5)))
+  }
+
   /** q95's hot-span guard (min<max share test) finds a corpus-wide
     * planted banner line — the exact hot-key shape the old
     * count_distinct aggregate would have built a giant set for — and

@@ -143,7 +143,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q69_pmi_bigrams", "q70_sequence_packing", "q75_ship_manifest",
       "q80_jdbc_upsert", "q81_ngram_jaccard", "q82_tfidf_terms",
       "q83_domain_sample", "q84_bloom_decontam", "q85_posting_lists",
-      "q86_canonical_pick", "q87_gap_interpolate", "q88_pq_encode")
+      "q86_canonical_pick", "q87_gap_interpolate", "q88_pq_encode",
+      "q98_novelty_score")
     unbounded.foreach { q =>
       resultFunnel(plan(q)).foreach { e =>
         assert(e.outputPartitioning.numPartitions > 1,
