@@ -78,6 +78,8 @@ object SimilarityQueries {
   private val PqK = 4        // PQ codes per subspace (seed centroids)
   private val IvfProbes = 2  // cells probed per query
   private val IvfK = 5
+  private val SemCells = 64  // q99 blocking cells: within-cell pair cost
+                             // is Σ cell², so more cells = the guard
   private val KmIters = 3    // q93 training-loop iterations
 
   /** PQ encode recipe, shared by q88 (emits the codes) and q89 (consumes
@@ -779,6 +781,63 @@ object SimilarityQueries {
           .select(col("cell_id"), col("dm").getField("m").as("cv"))
       }
       statsAll.get.presented("iter", "cell_id")
+    },
+
+    // ----- X2+X3 composite: SEMANTIC pruning (the SemDeDup shape) —
+    // embedding-space dedup where candidate generation is IVF-CELL
+    // blocking instead of sign buckets: every vector argmin-assigns to
+    // its nearest of $SemCells seed centroids (the q42 min_by aggregate
+    // — map-side combine, no ranking window), pairs form only WITHIN a
+    // cell (equi-join on cell_id, never all-pairs), and the exact
+    // cosine verifies. Each doc matched at tau to a LOWER id is
+    // dropped, recording its best-evidence partner (max sim, ties to
+    // the lowest id). Survivors are the docs never dropped; the
+    // partner is evidence, not necessarily itself a survivor —
+    // transitive chains terminate at an undropped doc, exactly q59's
+    // min-label argument one hop at a time. Scale shape: centroids
+    // broadcast; one shuffle keys the corpus by cell; within-cell pair
+    // cost is sum of cell² — the cell count is the knob, and a trained
+    // q93 codebook balances the cells.
+    q("q99_semantic_prune",
+      "X2/X3: SemDeDup-style semantic pruning (IVF-cell blocking + cosine verify + canonical drop)",
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |  cents AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $SemCells),
+         |  assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT es.vec_id, cents.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
+         |        ROUND(list_distance(ev, cv), 6) ASC, cents.cell_id) AS rn
+         |    FROM es, cents) WHERE rn = 1),
+         |  wc AS (SELECT es.vec_id, es.ev, a.cell_id FROM es JOIN assign a USING (vec_id)),
+         |  pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell_id,
+         |       ROUND(list_inner_product(a.ev, b.ev) /
+         |             NULLIF(sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev)), 0), 6) AS sim
+         |     FROM wc a JOIN wc b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |     WHERE ROUND(list_inner_product(a.ev, b.ev) /
+         |             NULLIF(sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev)), 0), 6) >= $NdThresh)
+         |SELECT id_b AS drop_id, id_a AS keep_id, cell_id, sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn
+         |  FROM pairs) WHERE rn = 1
+         |ORDER BY drop_id""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir).localCheckpoint(false) // assignment + both pair sides
+      val cents = base.filter(col("vec_id") < SemCells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("d", round(VectorOps.l2(col("ev"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell_id"), struct(col("d"), col("cell_id"))).as("cell_id"))
+      val withCell = base.join(assign, "vec_id")
+      val a = withCell.select(col("vec_id").as("id_a"), col("ev").as("av"), col("cell_id"))
+      val b = withCell.select(col("vec_id").as("id_b"), col("ev").as("bv"), col("cell_id"))
+      val pairs = a.join(b, Seq("cell_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", VectorOps.cosine6(col("av"), col("bv")))
+        .filter(col("sim") >= NdThresh)
+      val w = Window.partitionBy("id_b").orderBy(col("sim").desc, col("id_a"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_b").as("drop_id"), col("id_a").as("keep_id"),
+          col("cell_id"), col("sim"))
+        .orderBy("drop_id") // row-per-dropped-doc: parallel range sort
     }
   )
 }
