@@ -83,8 +83,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q95 share test plans a distinct aggregate (hot-key set build): $distinctAggs")
   }
 
-  test("claimed broadcasts are real: q60 stats/dfreq, q26 query side") {
-    Seq("q60_bm25", "q26_knn_topk").foreach { q =>
+  test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids") {
+    Seq("q60_bm25", "q26_knn_topk", "q99_semantic_prune").foreach { q =>
       assert(nodes(plan(q)).exists(_.isInstanceOf[BroadcastExchangeExec]),
         s"$q plans no broadcast exchange")
     }
