@@ -143,6 +143,15 @@ class DedupLawsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect()
       .map { case (a, b, n, j) => (a, b) -> (n.toInt, j) }.toMap
     assert(uncapped == got, "df cap changed the result set")
+
+    // Degenerate corpus: EVERY doc identical (every shingle hot, every
+    // pair qualifying — the output itself is quadratic). The hot-prefix
+    // rescue must still return the complete pair set.
+    val same = (0 until 20).map(i => (i.toLong, banner)).toDF("doc_id", "text")
+    val allPairs = DedupQueries.jaccardSelfJoin(same, tau, dfCap)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(allPairs.length == 20 * 19 / 2, s"got ${allPairs.length} of 190 pairs")
+    assert(allPairs.forall { case (_, _, n, j) => n == 6 && j == 1.0 })
   }
 
   /** Randomized law: for corpora drawn over a SMALL shared vocabulary
