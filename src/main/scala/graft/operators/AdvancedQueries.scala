@@ -246,37 +246,19 @@ object AdvancedQueries {
         |ORDER BY p_event_id, c_event_id""".stripMargin) { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft_q94").toFile.getAbsolutePath
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
-      // Private source dir: this query appends flush files, and each
-      // must land ALONE in a later micro-batch, so the real data stays
-      // one file (maxFilesPerTrigger = 1 gives per-file batches). Every
-      // delivery gets a STRICTLY INCREASING mtime — FileStreamSource
-      // orders unseen files by mtime, and a coarse-granularity tie that
-      // drained a flush file FIRST would jump the watermark ahead and
-      // silently drop every real event as late.
+      // Private source dir assembled by FILESYSTEM COPY from the
+      // memoized per-corpus fixture: the one-file real delivery, then
+      // the two far-future flush deliveries, with STRICTLY INCREASING
+      // mtimes (FileStreamSource orders unseen files by mtime; a
+      // coarse-granularity tie that drained a flush file FIRST would
+      // jump the watermark ahead and silently drop every real event as
+      // late). maxFilesPerTrigger = 1 gives per-file batches: flush one
+      // advances the watermark past every real purchase's window,
+      // flush two triggers the eviction scan that emits outer nulls.
       import graft.streaming.NormalizedEvents
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts").cast("timestamp").as("ts"))
-        .coalesce(1) // one real-data file → flush files land in LATER batches
-      ev.write.parquet(src)
-      val stamped = scala.collection.mutable.Set[String]()
-      var stamp = System.currentTimeMillis() - 3600000L // firmly in the past
-      NormalizedEvents.stampNewFiles(src, stamped, stamp)
-      val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      def flush(ids: (Long, Long), daysAhead: Int): Unit = {
-        val ts = new java.sql.Timestamp(mx.getTime + daysAhead * 86400000L)
-        s.range(1).select(lit(ids._1).as("event_id"), lit(-1L).as("user_id"),
-            lit("click").as("event_type"), lit(ts).as("ts"))
-          .unionByName(s.range(1).select(lit(ids._2).as("event_id"),
-            lit(-1L).as("user_id"), lit("purchase").as("event_type"), lit(ts).as("ts")))
-          .coalesce(1).write.mode("append").parquet(src)
-        stamp += 60000L
-        NormalizedEvents.stampNewFiles(src, stamped, stamp)
-      }
-      flush((-1L, -2L), 40) // advances the watermark past every real event
-      flush((-3L, -4L), 41) // next batch: eviction runs, outer nulls emit
+      NormalizedEvents.deliverOuterJoinFixture(s, dir, src)
       graft.streaming.StreamIntervalJoin.runLeftOuterAvailableNow(
-        s, src, ev.schema, target, ckpt,
+        s, src, NormalizedEvents.schema, target, ckpt,
         statePartitions = Some(8), maxFilesPerTrigger = Some(1))
       s.read.parquet(target)
         .filter(col("p_event_id") >= 0) // synthetic flush rows are harness, not data

@@ -104,13 +104,83 @@ object NormalizedEvents {
     t0 + copies * 60000L
   }
 
-  /** Stamp every not-yet-stamped data file in `dir` with `mtime` —
-    * callers appending flush deliveries use increasing stamps so each
-    * append lands in its own (ordered) micro-batch. */
-  def stampNewFiles(dir: String, stamped: scala.collection.mutable.Set[String],
-      mtime: Long): Unit =
-    new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !stamped(f.getName))
-      .sortBy(_.getName)
-      .foreach { f => f.setLastModified(mtime); stamped += f.getName }
+  /** Write `df` as exactly one parquet FILE at `dest` (Spark writes a
+    * directory; the single part file is renamed out of it). */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      scratch: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    df.coalesce(1).write.parquet(scratch.toString)
+    val part = fs.listStatus(scratch)
+      .find(_.getPath.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $scratch")).getPath
+    fs.rename(part, dest)
+    fs.delete(scratch, true)
+  }
+
+  /** q94's fixture, built once per corpus: the ONE-file normalized
+    * source (per-file batch boundaries — the outer join's flush files
+    * must each land alone in a later batch) plus the two far-future
+    * flush deliveries (one click + one purchase each, at max(ts)+40d
+    * and +41d: the first advances the min-of-both-sides watermark past
+    * every real purchase's window, the second triggers the eviction
+    * scan that emits the outer nulls). Previously each q94 run paid
+    * three Spark write jobs and a max-scan; now they are filesystem
+    * copies of this fixture. */
+  def outerJoinFixture(spark: SparkSession, sfDir: String): String =
+    prepared.computeIfAbsent("q94_" + fingerprint(spark, sfDir), { key =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$key"
+      val finalPath = new org.apache.hadoop.fs.Path(path)
+      val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      if (!fs.exists(success)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}")
+        fs.mkdirs(tmp)
+        val ev = graft.Tables.load(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts").cast("timestamp").as("ts"))
+        writeOneFile(ev, fs, new org.apache.hadoop.fs.Path(tmp, "scratch"),
+          new org.apache.hadoop.fs.Path(tmp, "delivery-00.parquet"))
+        val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        Seq((1, -1L, -2L, 40), (2, -3L, -4L, 41)).foreach {
+          case (i, clickId, purchaseId, daysAhead) =>
+            val ts = new java.sql.Timestamp(mx.getTime + daysAhead * 86400000L)
+            val flush = spark.range(1).select(lit(clickId).as("event_id"),
+                lit(-1L).as("user_id"), lit("click").as("event_type"),
+                lit(null).cast("double").as("value"), lit(ts).as("ts"))
+              .unionByName(spark.range(1).select(lit(purchaseId).as("event_id"),
+                lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+                lit(null).cast("double").as("value"), lit(ts).as("ts")))
+            writeOneFile(flush, fs, new org.apache.hadoop.fs.Path(tmp, "scratch"),
+              new org.apache.hadoop.fs.Path(tmp, f"flush-$i%02d.parquet"))
+        }
+        fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+        if (fs.exists(finalPath) && !fs.exists(success))
+          fs.delete(finalPath, true)
+        if (fs.exists(success) || !fs.rename(tmp, finalPath))
+          fs.delete(tmp, true)
+        val nested = new org.apache.hadoop.fs.Path(finalPath, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
+      path
+    })
+
+  /** Copy the fixture's files into `destDir` with STRICTLY INCREASING
+    * mtimes in name order (delivery first, then the two flushes) — the
+    * delivery-order guarantee the outer join's watermark progression
+    * depends on. */
+  def deliverOuterJoinFixture(spark: SparkSession, sfDir: String,
+      destDir: String): Unit = {
+    val fix = new java.io.File(outerJoinFixture(spark, sfDir))
+    val dest = new java.io.File(destDir)
+    dest.mkdirs()
+    val t0 = System.currentTimeMillis() - 3600000L
+    fix.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        val c = new java.io.File(dest, f.getName)
+        java.nio.file.Files.copy(f.toPath, c.toPath)
+        c.setLastModified(t0 + i * 60000L)
+      }
+  }
 }
