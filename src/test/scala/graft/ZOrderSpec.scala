@@ -60,14 +60,17 @@ class ZOrderSpec extends AnyFunSuite {
     assert(linB == NFiles, s"a-sorted layout should touch all files, got $linB")
     assert(zB * 2 <= NFiles, s"z-order should skip at least half, touched $zB/$NFiles")
 
-    // 2-D box: bounded absolutely. A 64×64 box straddles at most two
-    // 256-wide quadrant boundaries per dimension, so it can intersect
-    // at most 4 of the 16 z-files. (No comparison against the a-sorted
-    // layout here: an a-tight box legitimately favors a-sorting, and
-    // repartitionByRange's sampled boundaries jitter with RDD-id
-    // seeding, which made a z2 <= lin2 assertion order-flaky.)
+    // 2-D box: bounded absolutely. This 64×64 box touches exactly two
+    // of the sixteen 256×256 quadrants; with exact file boundaries
+    // that is <= 4 files (each quadrant's z-span split at most once),
+    // and the bound carries headroom because repartitionByRange SAMPLES
+    // its boundaries (~1600 samples here), so a quadrant's span can
+    // land across an extra file. (No comparison against the a-sorted
+    // layout: an a-tight box legitimately favors a-sorting, and the
+    // sampled boundaries jitter with RDD-id seeding, which made a
+    // z2 <= lin2 assertion order-flaky.)
     val z2 = filesTouched(zDir, 100, 163, 200, 263)
-    assert(z2 <= 4, s"z-order touched $z2/$NFiles on a 64x64 box (bound: 4)")
+    assert(z2 <= 6, s"z-order touched $z2/$NFiles on a 64x64 box (bound: 6)")
 
     // Layout must not change semantics: same rows under both.
     val q = (df: DataFrame) => df
