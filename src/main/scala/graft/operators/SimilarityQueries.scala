@@ -820,13 +820,13 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn
          |  FROM pairs) WHERE rn = 1
          |ORDER BY drop_id""".stripMargin) { (s, dir) =>
+      import graft.pipeline.VectorIndex
       val base = emb(s, dir).localCheckpoint(false) // assignment + both pair sides
-      val cents = base.filter(col("vec_id") < SemCells)
-        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
-      val assign = base.crossJoin(broadcast(cents))
-        .withColumn("d", round(VectorOps.l2(col("ev"), col("cv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cell_id"), struct(col("d"), col("cell_id"))).as("cell_id"))
+      // Same argmin-assignment contract as q42/q100 (rounding and
+      // tie-break are oracle-pinned) — shared, not re-implemented.
+      val assign = VectorIndex
+        .assign(base, VectorIndex.seedCentroids(base, SemCells))
+        .select("vec_id", "cell_id")
       val withCell = base.join(assign, "vec_id")
       val a = withCell.select(col("vec_id").as("id_a"), col("ev").as("av"), col("cell_id"))
       val b = withCell.select(col("vec_id").as("id_b"), col("ev").as("bv"), col("cell_id"))

@@ -31,56 +31,16 @@ object DedupIndex {
     * already EXISTS (written by prior appends / the initial bulk build),
     * so a triage pays only the batch's signature compute plus two
     * equi-join probes — never O(corpus). q68 reads this. */
-  /** Cache key = md5 over the source table's file listing (name, length,
-    * mtime) plus the dir path — NOT a hash of the dir string alone:
-    * regenerating the testdata changes the key, so a cached index can
-    * never be served against data it wasn't built from, and distinct
-    * dirs can't collide. The listing probe is one driver-side
-    * listStatus, cheap enough to pay on every call. */
-  private def fingerprint(spark: SparkSession, sfDir: String): String = {
-    val srcDir = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-    val srcFs = srcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listing = srcFs.listStatus(srcDir).toSeq
-      .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
-      .sorted.mkString(s"$sfDir\n", "\n", "")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-
-  private val preparedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Cache key + publish discipline live in [[PreparedArtifact]]
+    * (fingerprint of the documents table's file listing; build-into-tmp
+    * + rename publish, concurrent-builder and TOCTOU safe). */
   def prepared(spark: SparkSession, sfDir: String): String =
-    preparedPaths.computeIfAbsent(fingerprint(spark, sfDir), { key =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index_$key"
-      val finalPath = new org.apache.hadoop.fs.Path(path)
-      val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (!fs.exists(success)) {
-        // Build into a private temp dir, then publish with a rename: a
-        // concurrent JVM building the same key either wins the publish
-        // or discards its copy — readers never see a half-written dir.
-        // (Identical key ⇒ identical content, so either copy is valid.)
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}")
-        val docs = graft.Tables.load(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text"))
-        build(docs, tmp.toString)
-        if (fs.exists(finalPath) && !fs.exists(success))
-          fs.delete(finalPath, true) // clear a crashed partial build
-        // Re-check right before publishing: local-FS rename onto an
-        // existing dir degrades to copy-INTO-it, so never rename when a
-        // winner already published.
-        if (fs.exists(success) || !fs.rename(tmp, finalPath))
-          fs.delete(tmp, true)
-        // The check-then-rename above is still a TOCTOU window: a
-        // concurrent JVM publishing between the exists() and the
-        // rename() turns our rename into a move INTO the published dir
-        // (rename returns true, leaving a stray nested build dir that
-        // would pollute later reads). Post-verify and remove it.
-        val nested = new org.apache.hadoop.fs.Path(finalPath, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
-      path
-    })
+    PreparedArtifact.publishOnce(spark, "graft_dedup_index",
+        PreparedArtifact.fingerprint(spark, sfDir, "documents")) { tmp =>
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      build(docs, tmp.toString)
+    }
 
   /** Signatures for `(doc_id, text)` rows: content md5 + 60-bit SimHash. */
   def signatures(docs: DataFrame): DataFrame =

@@ -40,45 +40,14 @@ object VectorIndex {
     embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
 
-  private def fingerprint(spark: SparkSession, sfDir: String): String = {
-    val srcDir = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-    val srcFs = srcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listing = srcFs.listStatus(srcDir).toSeq
-      .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
-      .sorted.mkString(s"$sfDir\n", "\n", "")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-
-  private val preparedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** One-time per-corpus index build (memoized per corpus FINGERPRINT
-    * within the JVM, reused across JVMs via the _SUCCESS marker; the
-    * build-into-tmp + rename publish makes concurrent builders safe —
-    * same discipline as [[DedupIndex.prepared]]). `cells` participates
-    * in the path so differently-sized codebooks never collide. */
+  /** One-time per-corpus index build (memoized + published via
+    * [[PreparedArtifact]]; `cells` participates in the key so
+    * differently-sized codebooks never collide). */
   def prepared(spark: SparkSession, sfDir: String, cells: Int): String =
-    preparedPaths.computeIfAbsent(s"${fingerprint(spark, sfDir)}_$cells", { key =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vec_index_$key"
-      val finalPath = new org.apache.hadoop.fs.Path(path)
-      val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (!fs.exists(success)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}")
-        val base = graft.Tables.load(spark, sfDir, "embeddings")
-          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev"))
-        assign(base, seedCentroids(base, cells)).write.parquet(tmp.toString)
-        if (fs.exists(finalPath) && !fs.exists(success))
-          fs.delete(finalPath, true) // clear a crashed partial build
-        if (fs.exists(success) || !fs.rename(tmp, finalPath))
-          fs.delete(tmp, true)
-        // Post-verify the TOCTOU window (see DedupIndex): a concurrent
-        // winner publishing between our check and rename would nest our
-        // tmp INSIDE the published dir — remove the stray child.
-        val nested = new org.apache.hadoop.fs.Path(finalPath, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
-      path
-    })
+    PreparedArtifact.publishOnce(spark, "graft_vec_index",
+        s"${PreparedArtifact.fingerprint(spark, sfDir, "embeddings")}_$cells") { tmp =>
+      val base = graft.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev"))
+      assign(base, seedCentroids(base, cells)).write.parquet(tmp.toString)
+    }
 }

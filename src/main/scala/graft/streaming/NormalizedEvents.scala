@@ -33,47 +33,17 @@ object NormalizedEvents {
     * still waiting in a later shard). */
   val SourceFiles = 8
 
-  private def fingerprint(spark: SparkSession, sfDir: String): String = {
-    val srcDir = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
-    val srcFs = srcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listing = srcFs.listStatus(srcDir).toSeq
-      .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
-      .sorted.mkString(s"$sfDir\n", "\n", "")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-
-  private val prepared = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Path of the shared one-file source dir for `sfDir` (built on first
-    * use per JVM, reused across JVMs via the _SUCCESS marker; the
-    * build-into-tmp + rename publish makes concurrent builders safe). */
+  /** Path of the shared sharded source dir for `sfDir` (memoized +
+    * published via [[graft.pipeline.PreparedArtifact]]). */
   def sourceDir(spark: SparkSession, sfDir: String): String =
-    prepared.computeIfAbsent(fingerprint(spark, sfDir), { key =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_$key"
-      val finalPath = new org.apache.hadoop.fs.Path(path)
-      val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (!fs.exists(success)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}")
-        graft.Tables.load(spark, sfDir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("ts").cast("timestamp").as("ts"))
-          .repartition(SourceFiles) // parallel scan within one delivery
-          .write.parquet(tmp.toString)
-        if (fs.exists(finalPath) && !fs.exists(success))
-          fs.delete(finalPath, true) // clear a crashed partial build
-        if (fs.exists(success) || !fs.rename(tmp, finalPath))
-          fs.delete(tmp, true)
-        // Guard the rename race (see DedupIndex): if a concurrent winner
-        // published first, local-FS rename may have nested our tmp dir
-        // INSIDE the published one — remove the stray child.
-        val nested = new org.apache.hadoop.fs.Path(finalPath, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
-      path
-    })
+    graft.pipeline.PreparedArtifact.publishOnce(spark, "graft_stream_src",
+        graft.pipeline.PreparedArtifact.fingerprint(spark, sfDir, "events")) { tmp =>
+      graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("timestamp").as("ts"))
+        .repartition(SourceFiles) // parallel scan within one delivery
+        .write.parquet(tmp.toString)
+    }
 
   /** The shared source's data files (SourceFiles shards). */
   private def dataFiles(spark: SparkSession, sfDir: String): Seq[java.io.File] =
@@ -114,7 +84,9 @@ object NormalizedEvents {
     val part = fs.listStatus(scratch)
       .find(_.getPath.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file under $scratch")).getPath
-    fs.rename(part, dest)
+    // A silently-failed rename would publish a fixture missing this
+    // delivery file and surface as a faraway oracle mismatch — die here.
+    if (!fs.rename(part, dest)) sys.error(s"rename $part -> $dest failed")
     fs.delete(scratch, true)
   }
 
@@ -128,43 +100,30 @@ object NormalizedEvents {
     * three Spark write jobs and a max-scan; now they are filesystem
     * copies of this fixture. */
   def outerJoinFixture(spark: SparkSession, sfDir: String): String =
-    prepared.computeIfAbsent("q94_" + fingerprint(spark, sfDir), { key =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$key"
-      val finalPath = new org.apache.hadoop.fs.Path(path)
-      val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (!fs.exists(success)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}")
-        fs.mkdirs(tmp)
-        val ev = graft.Tables.load(spark, sfDir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("ts").cast("timestamp").as("ts"))
-        writeOneFile(ev, fs, new org.apache.hadoop.fs.Path(tmp, "scratch"),
-          new org.apache.hadoop.fs.Path(tmp, "delivery-00.parquet"))
-        val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
-        Seq((1, -1L, -2L, 40), (2, -3L, -4L, 41)).foreach {
-          case (i, clickId, purchaseId, daysAhead) =>
-            val ts = new java.sql.Timestamp(mx.getTime + daysAhead * 86400000L)
-            val flush = spark.range(1).select(lit(clickId).as("event_id"),
-                lit(-1L).as("user_id"), lit("click").as("event_type"),
-                lit(null).cast("double").as("value"), lit(ts).as("ts"))
-              .unionByName(spark.range(1).select(lit(purchaseId).as("event_id"),
-                lit(-1L).as("user_id"), lit("purchase").as("event_type"),
-                lit(null).cast("double").as("value"), lit(ts).as("ts")))
-            writeOneFile(flush, fs, new org.apache.hadoop.fs.Path(tmp, "scratch"),
-              new org.apache.hadoop.fs.Path(tmp, f"flush-$i%02d.parquet"))
-        }
-        fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
-        if (fs.exists(finalPath) && !fs.exists(success))
-          fs.delete(finalPath, true)
-        if (fs.exists(success) || !fs.rename(tmp, finalPath))
-          fs.delete(tmp, true)
-        val nested = new org.apache.hadoop.fs.Path(finalPath, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
+    graft.pipeline.PreparedArtifact.publishOnce(spark, "graft_stream_q94",
+        graft.pipeline.PreparedArtifact.fingerprint(spark, sfDir, "events")) { tmp =>
+      val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(tmp)
+      val ev = graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("timestamp").as("ts"))
+      writeOneFile(ev, fs, new org.apache.hadoop.fs.Path(tmp, "scratch"),
+        new org.apache.hadoop.fs.Path(tmp, "delivery-00.parquet"))
+      val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      Seq((1, -1L, -2L, 40), (2, -3L, -4L, 41)).foreach {
+        case (i, clickId, purchaseId, daysAhead) =>
+          val ts = new java.sql.Timestamp(mx.getTime + daysAhead * 86400000L)
+          val flush = spark.range(1).select(lit(clickId).as("event_id"),
+              lit(-1L).as("user_id"), lit("click").as("event_type"),
+              lit(null).cast("double").as("value"), lit(ts).as("ts"))
+            .unionByName(spark.range(1).select(lit(purchaseId).as("event_id"),
+              lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+              lit(null).cast("double").as("value"), lit(ts).as("ts")))
+          writeOneFile(flush, fs, new org.apache.hadoop.fs.Path(tmp, "scratch"),
+            new org.apache.hadoop.fs.Path(tmp, f"flush-$i%02d.parquet"))
       }
-      path
-    })
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    }
 
   /** Copy the fixture's files into `destDir` with STRICTLY INCREASING
     * mtimes in name order (delivery first, then the two flushes) — the
