@@ -43,16 +43,47 @@ class ErcotPagesSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     // properties arrive with the caller's original key case
     val opts = new CaseInsensitiveStringMap(properties)
+    val pageSize = Option(opts.get("pageSize")).map(_.toInt).getOrElse(100)
+    val retry = RetryConf(
+      maxAttempts = Option(opts.get("maxRetries")).map(_.toInt).getOrElse(3),
+      baseDelayMs = Option(opts.get("retryDelayMs")).map(_.toLong).getOrElse(0L),
+      failEveryN = Option(opts.get("failEveryN")).map(_.toInt).getOrElse(0),
+      failAttempts = Option(opts.get("failAttempts")).map(_.toInt).getOrElse(2))
+    // `endpoint` switches the scan from the deterministic generator to
+    // the LIVE HTTP transport (HttpPageClient); everything else —
+    // partition-per-page planning, pushdown, pruning, retry, the token
+    // lifecycle — is shared between the two paths.
+    val httpConf = Option(opts.get("endpoint")).map { ep =>
+      HttpConf(
+        endpoint = ep,
+        tokenUrl = Option(opts.get("tokenUrl"))
+          .getOrElse(ErcotPagesSource.DefaultAuthUrl),
+        username = Option(opts.get("username")).getOrElse(""),
+        password = Option(opts.get("password")).getOrElse(""),
+        clientId = Option(opts.get("clientId"))
+          .getOrElse(ErcotPagesSource.DefaultClientId),
+        subscriptionKey = Option(opts.get("subscriptionKey")).getOrElse(""),
+        tokenTtlMs = Option(opts.get("tokenTtlMs")).map(_.toLong).getOrElse(3600000L),
+        refreshAheadMs = Option(opts.get("refreshAheadMs")).map(_.toLong).getOrElse(300000L))
+    }
+    val pages = Option(opts.get("pages")).map(_.toInt).getOrElse {
+      httpConf match {
+        // Page count unknown up front: a driver-side 1-record probe
+        // reads `_meta.totalRecords` and sizes the scan, so callers
+        // never have to know the server's page count.
+        case Some(hc) =>
+          val total = HttpPageClient(hc).totalRecords(Map.empty, retry)
+          math.max(1, ((total + pageSize - 1) / pageSize).toInt)
+        case None => 10
+      }
+    }
     new ErcotPagesTable(
-      pages = Option(opts.get("pages")).map(_.toInt).getOrElse(10),
-      pageSize = Option(opts.get("pageSize")).map(_.toInt).getOrElse(100),
+      pages = pages,
+      pageSize = pageSize,
       startDateDays = Option(opts.get("startDate"))
         .map(java.time.LocalDate.parse(_).toEpochDay).getOrElse(19723L), // 2024-01-01
-      retry = RetryConf(
-        maxAttempts = Option(opts.get("maxRetries")).map(_.toInt).getOrElse(3),
-        baseDelayMs = Option(opts.get("retryDelayMs")).map(_.toLong).getOrElse(0L),
-        failEveryN = Option(opts.get("failEveryN")).map(_.toInt).getOrElse(0),
-        failAttempts = Option(opts.get("failAttempts")).map(_.toInt).getOrElse(2)))
+      retry = retry,
+      httpConf = httpConf)
   }
 }
 
@@ -88,26 +119,46 @@ object RetryPolicy {
   }
 }
 
-/** Auth-token lifecycle (reference auth.py:47-166): tokens live `ttlMs`;
-  * a fetch within `refreshAheadMs` of expiry mints a fresh token (the
-  * reference's T−5-minute refresh timer); otherwise the cached one is
-  * reused. One instance per JVM ([[TokenProvider.default]]) mirrors the
-  * reference's module-level singleton — executors each hold their own,
-  * which is exactly how per-worker REST credentials behave. */
-final class TokenProvider(ttlMs: Long, refreshAheadMs: Long, clock: () => Long) {
+/** Auth-token lifecycle (reference auth.py:47-166): tokens live as long
+  * as `mint` says; a fetch within `refreshAheadMs` of expiry mints a
+  * fresh token (the reference's T−5-minute refresh timer); otherwise
+  * the cached one is reused. One instance per JVM
+  * ([[TokenProvider.default]]) mirrors the reference's module-level
+  * singleton — executors each hold their own, which is exactly how
+  * per-worker REST credentials behave.
+  *
+  * `mint(n)` returns `(token, lifetimeMs)`; the default mints synthetic
+  * `token-n` values, [[HttpPageClient]] plugs in the real ROPC POST so
+  * the live transport runs the SAME spec-proven lifecycle. Minting runs
+  * under the provider's lock on purpose: when 32 local partitions (or
+  * one executor's task slots) race an expired token, exactly one
+  * network mint happens and the rest reuse it. */
+final class TokenProvider(ttlMs: Long, refreshAheadMs: Long, clock: () => Long,
+    mint: Int => (String, Long)) {
+  def this(ttlMs: Long, refreshAheadMs: Long, clock: () => Long) =
+    this(ttlMs, refreshAheadMs, clock, n => (s"token-$n", ttlMs))
+
   private var tok: Option[(String, Long)] = None // (token, expiresAtMs)
   private var minted = 0
 
   def mintCount: Int = synchronized(minted)
+
+  /** Drop `bad` if it is still the cached token — a server-side 401
+    * before our T−5 refresh (revocation, clock skew). Guarding on the
+    * exact token keeps concurrent readers from discarding a GOOD
+    * replacement a sibling already minted. */
+  def invalidate(bad: String): Unit = synchronized {
+    if (tok.exists(_._1 == bad)) tok = None
+  }
 
   def current(): String = synchronized {
     val now = clock()
     tok match {
       case Some((t, exp)) if now < exp - refreshAheadMs => t
       case _ =>
+        val (t, lifeMs) = mint(minted + 1)
         minted += 1
-        val t = s"token-$minted"
-        tok = Some((t, now + ttlMs))
+        tok = Some((t, now + lifeMs))
         t
     }
   }
@@ -120,6 +171,14 @@ object TokenProvider {
 }
 
 object ErcotPagesSource {
+  /** The reference's PUBLIC auth constants (auth.py:26-29): the B2C
+    * ROPC token endpoint and the ERCOT Public API client id. Callers
+    * override via `tokenUrl` / `clientId` options (the spec points them
+    * at a local server). */
+  val DefaultAuthUrl: String =
+    "https://ercotb2c.b2clogin.com/ercotb2c.onmicrosoft.com/B2C_1_PUBAPI-ROPC-FLOW/oauth2/v2.0/token"
+  val DefaultClientId: String = "fec253ea-0d06-4272-a5e6-b478baeecd70"
+
   val Schema: StructType = StructType(Seq(
     StructField("ts", TimestampType, nullable = false)
       .withComment("SCED 15-minute interval timestamp"),
@@ -142,18 +201,18 @@ object ErcotPagesSource {
 }
 
 class ErcotPagesTable(pages: Int, pageSize: Int, startDateDays: Long,
-    retry: RetryConf)
+    retry: RetryConf, httpConf: Option[HttpConf] = None)
   extends Table with SupportsRead {
   override def name(): String = s"ercot_pages($pages x $pageSize)"
   override def schema(): StructType = ErcotPagesSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ErcotPagesScanBuilder(pages, pageSize, startDateDays, retry)
+    new ErcotPagesScanBuilder(pages, pageSize, startDateDays, retry, httpConf)
 }
 
 class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long,
-    retry: RetryConf)
+    retry: RetryConf, httpConf: Option[HttpConf])
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -176,11 +235,13 @@ class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new ErcotPagesScan(pages, pageSize, startDateDays, required, hubFilter, retry)
+    new ErcotPagesScan(pages, pageSize, startDateDays, required, hubFilter,
+      retry, httpConf)
 }
 
 class ErcotPagesScan(pages: Int, pageSize: Int, startDateDays: Long,
-    required: StructType, hubFilter: Option[String], retry: RetryConf)
+    required: StructType, hubFilter: Option[String], retry: RetryConf,
+    httpConf: Option[HttpConf])
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -191,16 +252,63 @@ class ErcotPagesScan(pages: Int, pageSize: Int, startDateDays: Long,
     (0 until pages).map(p => ErcotPage(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ErcotPagesReaderFactory(pageSize, startDateDays,
-      required.fieldNames, hubFilter, retry)
+      required.fieldNames, hubFilter, retry, httpConf)
 }
 
 case class ErcotPage(page: Int) extends InputPartition
 
 class ErcotPagesReaderFactory(pageSize: Int, startDateDays: Long,
-    fields: Array[String], hubFilter: Option[String], retry: RetryConf)
+    fields: Array[String], hubFilter: Option[String], retry: RetryConf,
+    httpConf: Option[HttpConf] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[ErcotPage].page
+    httpConf match {
+      case Some(hc) => httpReader(page, hc)
+      case None => generatedReader(page)
+    }
+  }
+
+  /** LIVE path: one authenticated GET per page through
+    * [[HttpPageClient]], the pushed settlement_point equality encoded
+    * as the server-side `settlementPoint` request param
+    * (queries.py:260) — filtering happens where the data lives, and
+    * the reader keeps a defensive re-check. The whole fetch sits under
+    * the same RetryPolicy as the modeled path, so 429/5xx/401 faults
+    * ride the bounded exponential backoff. */
+  private def httpReader(page: Int, hc: HttpConf): PartitionReader[InternalRow] = {
+    val client = HttpPageClient(hc)
+    val params = hubFilter.map("settlementPoint" -> _).toMap
+    val payload = RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) {
+      attempt => client.fetchPage(page + 1, pageSize, params, attempt)
+    }
+    val idx = fields.map(f => payload.fieldIndex(HttpPageClient.WireNames(f)))
+    val spOrd = payload.fieldIndex(HttpPageClient.WireNames("settlement_point"))
+    new PartitionReader[InternalRow] {
+      private var r = -1
+      override def next(): Boolean = {
+        r += 1
+        while (r < payload.rows.size &&
+          hubFilter.exists(_ != payload.rows(r)(spOrd).asText())) r += 1
+        r < payload.rows.size
+      }
+      override def get(): InternalRow = {
+        val row = payload.rows(r)
+        val values = fields.indices.map { f =>
+          fields(f) match {
+            case "ts" => HttpPageClient.isoToMicros(row(idx(f)).asText())
+            case "settlement_point" => UTF8String.fromString(row(idx(f)).asText())
+            case "price" | "mw" => row(idx(f)).asDouble()
+          }
+        }
+        InternalRow.fromSeq(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
+
+  /** Deterministic generator path (the oracle-checked stand-in). */
+  private def generatedReader(page: Int): PartitionReader[InternalRow] = {
     // "Fetch" the page under the token + retry policy: acquiring the
     // (cached, auto-refreshing) auth token and surviving injected
     // transient faults stand in for the authenticated HTTP GET the
