@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * the upsert: re-running a window (the reference's 1-day-overlap
   * reprocessing, main.py:341-369) updates in place instead of
   * duplicating.
+  *
+  * Deploying against real Postgres: [[graft.sinks.PgVectorSql]]
+  * publishes the server-side statements Derby cannot execute — the
+  * `VECTOR(1536)` DDL, the `ON CONFLICT` upsert with the `?::vector`
+  * cast this store's text literal feeds, and the ivfflat/hnsw ANN
+  * index + `<=>` top-k retrieval.
   */
 object VectorStore {
 
