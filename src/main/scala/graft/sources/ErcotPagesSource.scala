@@ -95,10 +95,17 @@ class ErcotPagesSource extends TableProvider
 final case class RetryConf(maxAttempts: Int, baseDelayMs: Long,
     failEveryN: Int, failAttempts: Int)
 
+/** Marker for failures worth retrying — transient HTTP 5xx/429/timeout
+  * faults ([[TransientPageError]]) and store-side throttling
+  * ([[graft.sinks.DynamoThrottled]]). [[RetryPolicy]] retries exactly
+  * these; everything else propagates immediately. */
+trait TransientFault extends Throwable
+
 /** A retryable fetch failure — the stand-in for the transient HTTP 5xx /
   * timeout the reference client retries. */
 final class TransientPageError(page: Int, attempt: Int)
   extends RuntimeException(s"transient fault fetching page $page (attempt $attempt)")
+  with TransientFault
 
 object RetryPolicy {
   /** Run `f(attempt)` up to `maxAttempts` times, sleeping
@@ -110,7 +117,7 @@ object RetryPolicy {
     while (attempt < maxAttempts) {
       try return f(attempt)
       catch {
-        case _: TransientPageError =>
+        case _: TransientFault =>
           if (baseDelayMs > 0) Thread.sleep(baseDelayMs << (attempt - 1))
           attempt += 1
       }
