@@ -56,16 +56,20 @@ object AwsSigV4 {
   def amzDate(epochMillis: Long): String =
     AmzDateFmt.format(java.time.Instant.ofEpochMilli(epochMillis))
 
-  /** Compute the `Authorization` header for a POST / with the given
-    * signed headers. Deterministic in its inputs, so a server holding
-    * the same secret recomputes and compares. */
+  /** Compute the `Authorization` header for a POST to `path`/`query`
+    * with the given signed headers. Deterministic in its inputs, so a
+    * server holding the same secret recomputes and compares. The
+    * canonical URI/query come from the actual request target — an
+    * endpoint behind a path (a proxy, a local emulator) must sign what
+    * it sends or a real verifier rejects every request. */
   def authorization(conf: DynamoConf, amzDate: String, host: String,
-      target: String, payload: String): String = {
+      target: String, payload: String, path: String = "/",
+      query: String = ""): String = {
     val service = "dynamodb"
     val date = amzDate.substring(0, 8)
     val signedHeaders = "content-type;host;x-amz-date;x-amz-target"
     val canonical = List(
-      "POST", "/", "",
+      "POST", if (path.isEmpty) "/" else path, query,
       s"content-type:application/x-amz-json-1.0",
       s"host:$host",
       s"x-amz-date:$amzDate",
@@ -101,10 +105,12 @@ object DynamoJson {
         case StringType => av.put("S", row.getString(i))
         case BooleanType => av.put("BOOL", row.getBoolean(i))
         case _: DecimalType => av.put("N", row.getDecimal(i).stripTrailingZeros.toPlainString)
-        case IntegerType => av.put("N", row.getInt(i).toString)
-        case LongType => av.put("N", row.getLong(i).toString)
-        case DoubleType => av.put("N", row.getDouble(i).toString)
-        case DateType | TimestampType => av.put("S", row.get(i).toString)
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+          av.put("N", String.valueOf(row.get(i))) // every numeric is an N
+        // Calendar types render timezone-independently (Timestamp
+        // .toString would shift with the executor's default TZ).
+        case DateType => av.put("S", row.getDate(i).toLocalDate.toString)
+        case TimestampType => av.put("S", row.getTimestamp(i).toInstant.toString)
         case _ => av.put("S", String.valueOf(row.get(i))) // raw_json-style fallback
       }
       item.set[ObjectNode](f.name, av)
@@ -114,11 +120,30 @@ object DynamoJson {
 }
 
 object DynamoHttpClient {
+  /** Bounded waits, same rationale as [[graft.sources.HttpPageClient]]:
+    * a silent remote must fail a task, not hang it. */
+  private val ConnectTimeout = java.time.Duration.ofSeconds(10)
+  private[sinks] val RequestTimeout = java.time.Duration.ofSeconds(60)
+
   /** One pooled HTTP client per JVM (all task slots share it). */
-  private lazy val sharedHttp: HttpClient = HttpClient.newHttpClient()
+  private lazy val sharedHttp: HttpClient =
+    HttpClient.newBuilder().connectTimeout(ConnectTimeout).build()
+
+  /** Memoized per conf: the per-row/per-batch `apply` in the drivers
+    * reuses one client (and its ObjectMapper) instead of allocating on
+    * the hot put path. */
+  private val clientCache = new java.util.concurrent.ConcurrentHashMap[DynamoConf, DynamoHttpClient]()
 
   def apply(conf: DynamoConf): DynamoHttpClient =
-    new DynamoHttpClient(conf, sharedHttp)
+    clientCache.computeIfAbsent(conf, c => new DynamoHttpClient(c, sharedHttp))
+
+  /** 400-level `__type`s the service contract marks retryable — beyond
+    * per-table throughput, on-demand tables throttle as
+    * ThrottlingException and account limits as RequestLimitExceeded. */
+  private val RetryableErrors = Set(
+    "ProvisionedThroughputExceededException",
+    "ThrottlingException",
+    "RequestLimitExceeded")
 
   /** Outcome of a conditional put: stored, or rejected by the
     * condition (dynamodb.py:155-165 counts these apart from errors). */
@@ -181,14 +206,17 @@ final class DynamoHttpClient private (conf: DynamoConf, http: HttpClient) {
 
   private def post(target: String, payload: String, attempt: Int): JsonNode = {
     val date = AwsSigV4.amzDate(System.currentTimeMillis())
-    val host = URI.create(conf.endpoint).getAuthority
-    val req = HttpRequest.newBuilder(URI.create(conf.endpoint)).POST(
-        HttpRequest.BodyPublishers.ofString(payload))
+    val uri = URI.create(conf.endpoint)
+    val req = HttpRequest.newBuilder(uri)
+      .timeout(DynamoHttpClient.RequestTimeout)
+      .POST(HttpRequest.BodyPublishers.ofString(payload))
       .header("Content-Type", "application/x-amz-json-1.0")
       .header("X-Amz-Date", date)
       .header("X-Amz-Target", target)
       .header("Authorization",
-        AwsSigV4.authorization(conf, date, host, target, payload))
+        AwsSigV4.authorization(conf, date, uri.getAuthority, target, payload,
+          path = Option(uri.getPath).getOrElse("/"),
+          query = Option(uri.getQuery).getOrElse("")))
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
@@ -196,7 +224,7 @@ final class DynamoHttpClient private (conf: DynamoConf, http: HttpClient) {
       case 400 =>
         val t = Option(mapper.readTree(resp.body()).get("__type"))
           .map(_.asText()).getOrElse("")
-        if (t.endsWith("ProvisionedThroughputExceededException"))
+        if (DynamoHttpClient.RetryableErrors.exists(t.endsWith))
           throw new DynamoThrottled(attempt)
         else throw new DynamoClientError(t, resp.body())
       case 500 | 503 => throw new DynamoThrottled(attempt) // service fault: retryable
@@ -247,7 +275,16 @@ final class DynamoHttpClient private (conf: DynamoConf, http: HttpClient) {
         (0 until a.size()).map(i => a.get(i).get("PutRequest").get("Item"))
       }
     if (echoed.isEmpty) Nil
-    else items.collect { case (row, item) if echoed.exists(_ == item) => row }
+    else {
+      // Consume echoes as a MULTISET: k duplicate rows with one shed
+      // copy must re-drive one row, not all k (an exists-match would
+      // keep re-driving rows the service already stored).
+      val remaining = scala.collection.mutable.Buffer.from(echoed)
+      items.flatMap { case (row, item) =>
+        val ix = remaining.indexOf(item)
+        if (ix < 0) None else { remaining.remove(ix); Some(row) }
+      }
+    }
   }
 }
 

@@ -39,23 +39,33 @@ final case class PagePayload(fieldIndex: Map[String, Int],
     rows: IndexedSeq[IndexedSeq[JsonNode]], totalRecords: Long)
 
 object HttpPageClient {
+  /** Every live call is bounded: a remote that accepts the connection
+    * and never answers must surface as a retryable failure, not a hung
+    * task (the mint even runs under the TokenProvider lock, so an
+    * unbounded wait there would stall every reader in the JVM). */
+  private[sources] val ConnectTimeout = java.time.Duration.ofSeconds(10)
+  private[sources] val RequestTimeout = java.time.Duration.ofSeconds(60)
+
   /** One pooled client per JVM: every task slot in a local run (or in
     * one executor) shares connections instead of re-handshaking. */
-  private lazy val sharedHttp: HttpClient = HttpClient.newHttpClient()
+  private lazy val sharedHttp: HttpClient =
+    HttpClient.newBuilder().connectTimeout(ConnectTimeout).build()
 
-  /** One auto-refreshing token per (tokenUrl, user) per JVM — the
+  /** One auto-refreshing token per full conf per JVM — the
     * executor-side analog of the reference's module-level auth
-    * singleton (auth.py:169-180). */
-  private val tokenCache = new ConcurrentHashMap[String, TokenProvider]()
+    * singleton (auth.py:169-180). Keyed by the WHOLE conf (not just
+    * url+user): a re-read with corrected credentials or timing must
+    * mint through the new settings, not a provider whose closure
+    * captured the old ones. */
+  private val tokenCache = new ConcurrentHashMap[HttpConf, TokenProvider]()
 
   /** Test hook: force re-auth between scenarios. */
   private[graft] def clearTokenCache(): Unit = tokenCache.clear()
 
   def apply(conf: HttpConf): HttpPageClient = {
-    val tokens = tokenCache.computeIfAbsent(
-      s"${conf.tokenUrl}|${conf.username}",
-      _ => new TokenProvider(conf.tokenTtlMs, conf.refreshAheadMs,
-        () => System.currentTimeMillis(), mintViaPost(conf, sharedHttp)))
+    val tokens = tokenCache.computeIfAbsent(conf,
+      c => new TokenProvider(c.tokenTtlMs, c.refreshAheadMs,
+        () => System.currentTimeMillis(), mintViaPost(c, sharedHttp)))
     new HttpPageClient(conf, sharedHttp, tokens)
   }
 
@@ -85,14 +95,21 @@ object HttpPageClient {
       s"&scope=openid+${conf.clientId}+offline_access" +
       s"&client_id=${conf.clientId}&response_type=id_token")
     val resp = http.send(
-      HttpRequest.newBuilder(uri).POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpRequest.newBuilder(uri).timeout(RequestTimeout)
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new IllegalStateException(
         s"token mint failed: HTTP ${resp.statusCode()} from ${conf.tokenUrl}")
     val j = new ObjectMapper().readTree(resp.body())
-    val expiresInSec = j.get("expires_in").asText("3600").toLong
-    (j.get("access_token").asText(), expiresInSec * 1000L)
+    val token = j.path("access_token").asText("")
+    if (token.isEmpty)
+      throw new IllegalStateException(
+        s"token mint failed: no access_token in response from ${conf.tokenUrl}")
+    // expires_in is OPTIONAL (RFC 6749 §4.2.2) and may be a string —
+    // path() (never null) + asText default cover both.
+    val expiresInSec = j.path("expires_in").asText("3600").toLong
+    (token, expiresInSec * 1000L)
   }
 }
 
@@ -126,7 +143,8 @@ final class HttpPageClient private[sources] (conf: HttpConf, http: HttpClient,
     val qs = (params ++ Map("page" -> page1.toString, "size" -> size.toString))
       .map { case (k, v) => s"${HttpPageClient.enc(k)}=${HttpPageClient.enc(v)}" }
       .mkString("&")
-    val req = HttpRequest.newBuilder(URI.create(s"${conf.endpoint}?$qs")).GET()
+    val req = HttpRequest.newBuilder(URI.create(s"${conf.endpoint}?$qs"))
+      .timeout(HttpPageClient.RequestTimeout).GET()
       .header("Authorization", s"Bearer $tok")
       .header("Ocp-Apim-Subscription-Key", conf.subscriptionKey)
       .header("Accept", "application/json")

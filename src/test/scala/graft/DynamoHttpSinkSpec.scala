@@ -53,10 +53,13 @@ class DynamoHttpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       val target = Option(x.getRequestHeaders.getFirst("X-Amz-Target")).getOrElse("")
       val amzDate = Option(x.getRequestHeaders.getFirst("X-Amz-Date")).getOrElse("")
       val host = Option(x.getRequestHeaders.getFirst("Host")).getOrElse("")
-      // The server holds the same secret and RECOMPUTES the signature —
-      // a wrong key or a tampered payload must not authenticate.
+      // The server holds the same secret and RECOMPUTES the signature
+      // over the REQUEST'S OWN path — a wrong key, a tampered payload,
+      // or a signature that ignores the URI path must not authenticate.
       val want = AwsSigV4.authorization(conf.copy(secretKey = Secret),
-        amzDate, host, target, body)
+        amzDate, host, target, body,
+        path = x.getRequestURI.getPath,
+        query = Option(x.getRequestURI.getQuery).getOrElse(""))
       if (Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("") != want)
         err(x, 403, "UnrecognizedClientException")
       else if (throttleFirstN > 0 && calls.incrementAndGet() <= throttleFirstN)
@@ -161,6 +164,15 @@ class DynamoHttpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stats = DynamoHttpClient.batchStore(frame(25), "energy_data", conf, retry)
     assert(stats == SinkOps.PutStats(attempted = 25, stored = 25, failed = 0))
     assert(table.size == 25, "shed items must be re-driven to the store")
+  }
+
+  test("an endpoint behind a URI path signs what it sends (proxy/emulator shape)") {
+    reset()
+    // same server, non-root path: the canonical request must cover it
+    val pathed = conf.copy(endpoint = conf.endpoint + "dynamodb/local")
+    val stats = DynamoHttpClient.batchStore(frame(5), "energy_data", pathed, retry)
+    assert(stats == SinkOps.PutStats(attempted = 5, stored = 5, failed = 0))
+    assert(table.size == 5)
   }
 
   test("a wrong secret never authenticates (server-side signature verification)") {
