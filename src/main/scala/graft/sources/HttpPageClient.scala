@@ -51,6 +51,9 @@ object HttpPageClient {
   private lazy val sharedHttp: HttpClient =
     HttpClient.newBuilder().connectTimeout(ConnectTimeout).build()
 
+  /** The JVM's shared pool, for the sibling live clients. */
+  private[sources] def pooled: HttpClient = sharedHttp
+
   /** One auto-refreshing token per full conf per JVM — the
     * executor-side analog of the reference's module-level auth
     * singleton (auth.py:169-180). Keyed by the WHOLE conf (not just

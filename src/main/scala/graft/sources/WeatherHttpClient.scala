@@ -1,0 +1,80 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.net.URI
+import java.net.http.{HttpRequest, HttpResponse}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
+import scala.util.control.NonFatal
+
+/** Connection settings for the live hourly-weather scan (reference
+  * `src/data/weather_api/weather.py:20-36`: API key + base URL, key
+  * travels as the `key` request param). `toString` redacts the key. */
+final case class WeatherConf(baseUrl: String, apiKey: String) {
+  override def toString: String = s"WeatherConf($baseUrl, apiKey=***)"
+}
+
+/** One hourly reading in the LONG shape the E2 pivot consumes
+  * (weather.py:70-74 builds exactly (time, city→temp_c) per city). */
+final case class HourlyTemp(time: String, city: String, temp_c: Double)
+
+/** Result of a fan-out fetch: the long frame plus the count of cities
+  * skipped after their retry budget (the reference logs-and-skips a
+  * failing city rather than failing the day, weather.py:79-89 — at
+  * scale that MUST be surfaced as a metric, not buried in a log). */
+final case class WeatherFetch(frame: Dataset[HourlyTemp], skippedCities: LongAccumulator)
+
+/** Live WeatherAPI hourly scan (SURVEY §2.1 S3; reference
+  * weather.py:37-97): per-city GET `?key&q&dt`, decode
+  * `forecast.forecastday[0].hour[].{time,temp_c}`.
+  *
+  * The reference loops cities on one thread; here the city list is a
+  * Dataset repartitioned city-per-task, so a 500-city fetch runs with
+  * 500-way parallelism — the same partition-per-unit design as the
+  * paginated report scan. Transient faults (429/5xx) ride the shared
+  * bounded-backoff [[RetryPolicy]]; a city that exhausts its budget is
+  * skipped and counted, everything else lands. The long output feeds
+  * the spec-proven E2 lifecycle (pivot → row mean → °F, q12/q47)
+  * unchanged. */
+object WeatherHttpClient {
+
+  def fetchHourly(spark: SparkSession, conf: WeatherConf, date: String,
+      locations: Seq[(String, String)], retry: RetryConf): WeatherFetch = {
+    import spark.implicits._
+    val skipped = spark.sparkContext.longAccumulator("weather_skipped_cities")
+    val frame = spark.createDataset(locations)
+      .repartition(math.max(1, locations.size)) // city-per-task fan-out
+      .flatMap { case (name, cityId) =>
+        try RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) {
+          attempt => fetchCity(conf, date, name, cityId, attempt)
+        } catch {
+          case NonFatal(_) => skipped.add(1); Nil // skip-and-count (weather.py:79-89)
+        }
+      }
+    WeatherFetch(frame, skipped)
+  }
+
+  /** One authenticated GET for one city; 429/5xx → transient (retried
+    * by the caller's policy), anything else non-200 → hard error (the
+    * caller skips the city, as the reference does on HTTPError). */
+  private def fetchCity(conf: WeatherConf, date: String, name: String,
+      cityId: String, attempt: Int): Seq[HourlyTemp] = {
+    val uri = URI.create(s"${conf.baseUrl}?key=${HttpPageClient.enc(conf.apiKey)}" +
+      s"&q=${HttpPageClient.enc(cityId)}&dt=${HttpPageClient.enc(date)}")
+    val resp = HttpPageClient.pooled.send(
+      HttpRequest.newBuilder(uri).timeout(HttpPageClient.RequestTimeout).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 =>
+        val hours = new ObjectMapper().readTree(resp.body())
+          .path("forecast").path("forecastday").path(0).path("hour")
+        (0 until hours.size()).map { h =>
+          val e = hours.get(h)
+          HourlyTemp(e.path("time").asText(), name, e.path("temp_c").asDouble())
+        }
+      case 429 | 500 | 502 | 503 | 504 => throw new TransientPageError(0, attempt)
+      case other => throw new IllegalStateException(
+        s"HTTP $other fetching weather for $name: ${resp.body().take(200)}")
+    }
+  }
+}
