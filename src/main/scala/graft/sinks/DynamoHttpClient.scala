@@ -162,7 +162,7 @@ object DynamoHttpClient {
     val schema = df.schema
     SinkOps.putBatchedIf(df, batchSize = 25) { row =>
       val client = DynamoHttpClient(conf)
-      RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) { attempt =>
+      RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) { attempt =>
         client.putItem(table, schema, row, Some(condition), attempt) == Stored
       }
     }
@@ -186,7 +186,7 @@ object DynamoHttpClient {
             s"${pending.size} items still unprocessed after ${retry.maxAttempts} rounds")
         if (round > 1 && retry.baseDelayMs > 0)
           Thread.sleep(retry.baseDelayMs << (round - 2))
-        pending = RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) {
+        pending = RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
           attempt => client.batchWrite(table, schema, pending, attempt)
         }
       }

@@ -48,7 +48,8 @@ class ErcotPagesSource extends TableProvider
       maxAttempts = Option(opts.get("maxRetries")).map(_.toInt).getOrElse(3),
       baseDelayMs = Option(opts.get("retryDelayMs")).map(_.toLong).getOrElse(0L),
       failEveryN = Option(opts.get("failEveryN")).map(_.toInt).getOrElse(0),
-      failAttempts = Option(opts.get("failAttempts")).map(_.toInt).getOrElse(2))
+      failAttempts = Option(opts.get("failAttempts")).map(_.toInt).getOrElse(2),
+      jitterMs = Option(opts.get("retryJitterMs")).map(_.toLong).getOrElse(0L))
     // `endpoint` switches the scan from the deterministic generator to
     // the LIVE HTTP transport (HttpPageClient); everything else —
     // partition-per-page planning, pushdown, pruning, retry, the token
@@ -89,11 +90,14 @@ class ErcotPagesSource extends TableProvider
 
 /** Per-page fetch resilience knobs (SURVEY §2.9 T5 + reference
   * client.py:60-84): `maxAttempts` tries with exponential backoff from
-  * `baseDelayMs`. `failEveryN`/`failAttempts` INJECT deterministic
-  * transient faults (every Nth page fails its first `failAttempts`
-  * fetches) so the policy is testable without a network. */
+  * `baseDelayMs` plus U(0, `jitterMs`) de-synchronization (the
+  * reference's `random.uniform(0, 2)` seconds — set ~2000 against a
+  * live API, 0 for deterministic tests). `failEveryN`/`failAttempts`
+  * INJECT deterministic transient faults (every Nth page fails its
+  * first `failAttempts` fetches) so the policy is testable without a
+  * network. */
 final case class RetryConf(maxAttempts: Int, baseDelayMs: Long,
-    failEveryN: Int, failAttempts: Int)
+    failEveryN: Int, failAttempts: Int, jitterMs: Long = 0L)
 
 /** Marker for failures worth retrying — transient HTTP 5xx/429/timeout
   * faults ([[TransientPageError]]) and store-side throttling
@@ -109,16 +113,26 @@ final class TransientPageError(page: Int, attempt: Int)
 
 object RetryPolicy {
   /** Run `f(attempt)` up to `maxAttempts` times, sleeping
-    * baseDelayMs·2^(attempt−1) between tries — the reference's bounded
-    * exponential backoff (client.py:60-84). Non-transient errors
-    * propagate immediately. */
-  def withRetry[T](maxAttempts: Int, baseDelayMs: Long)(f: Int => T): T = {
+    * baseDelayMs·2^(attempt−1) + U(0, jitterMs) between tries — the
+    * reference's bounded exponential backoff WITH jitter
+    * (client.py:64-65: `base_delay * 2**attempt + random.uniform(0,
+    * 2)`). The jitter matters precisely at fleet scale: when hundreds
+    * of tasks hit the same 429 in the same instant, deterministic
+    * delays re-synchronize the herd on every retry; the uniform term
+    * spreads the wave. Zero-delay configs (tests) never sleep.
+    * Non-transient errors propagate immediately. */
+  def withRetry[T](maxAttempts: Int, baseDelayMs: Long, jitterMs: Long = 0L)
+      (f: Int => T): T = {
     var attempt = 1
     while (attempt < maxAttempts) {
       try return f(attempt)
       catch {
         case _: TransientFault =>
-          if (baseDelayMs > 0) Thread.sleep(baseDelayMs << (attempt - 1))
+          val jitter =
+            if (jitterMs > 0) java.util.concurrent.ThreadLocalRandom.current().nextLong(jitterMs)
+            else 0L
+          val delay = (if (baseDelayMs > 0) baseDelayMs << (attempt - 1) else 0L) + jitter
+          if (delay > 0) Thread.sleep(delay)
           attempt += 1
       }
     }
@@ -286,7 +300,7 @@ class ErcotPagesReaderFactory(pageSize: Int, startDateDays: Long,
   private def httpReader(page: Int, hc: HttpConf): PartitionReader[InternalRow] = {
     val client = HttpPageClient(hc)
     val params = hubFilter.map("settlementPoint" -> _).toMap
-    val payload = RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) {
+    val payload = RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
       attempt => client.fetchPage(page + 1, pageSize, params, attempt)
     }
     val idx = fields.map(f => payload.fieldIndex(HttpPageClient.WireNames(f)))
@@ -320,7 +334,7 @@ class ErcotPagesReaderFactory(pageSize: Int, startDateDays: Long,
     // (cached, auto-refreshing) auth token and surviving injected
     // transient faults stand in for the authenticated HTTP GET the
     // reference performs per page (client.py:60-84, auth.py:47-166).
-    RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) { attempt =>
+    RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) { attempt =>
       TokenProvider.default.current()
       if (retry.failEveryN > 0 && page % retry.failEveryN == 0 && attempt <= retry.failAttempts)
         throw new TransientPageError(page, attempt)

@@ -45,7 +45,7 @@ object WeatherHttpClient {
     val frame = spark.createDataset(locations)
       .repartition(math.max(1, locations.size)) // city-per-task fan-out
       .flatMap { case (name, cityId) =>
-        try RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs) {
+        try RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
           attempt => fetchCity(conf, date, name, cityId, attempt)
         } catch {
           case NonFatal(_) => skipped.add(1); Nil // skip-and-count (weather.py:79-89)

@@ -81,6 +81,24 @@ class ErcotPagesSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("transient fault")))
   }
 
+  test("retry backoff: jitter bounded by U(0, jitterMs); zero-delay config never sleeps") {
+    import graft.sources.{RetryPolicy, TransientPageError}
+    def failTwice(): Int => String = {
+      var calls = 0
+      attempt => { calls += 1; if (calls <= 2) throw new TransientPageError(0, attempt) else "ok" }
+    }
+    // deterministic part 10+20=30ms, jitter adds < 2*25ms
+    val t0 = System.nanoTime()
+    assert(RetryPolicy.withRetry(4, 10, jitterMs = 25)(failTwice()) == "ok")
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(ms >= 30, s"backoff floor violated: ${ms}ms")
+    assert(ms < 30 + 2 * 25 + 250, s"jitter exceeded its bound (+scheduling slack): ${ms}ms")
+    // zero-delay, zero-jitter: no sleeping at all
+    val t1 = System.nanoTime()
+    assert(RetryPolicy.withRetry(4, 0)(failTwice()) == "ok")
+    assert((System.nanoTime() - t1) / 1000000 < 100)
+  }
+
   test("token lifecycle: cached until T-5 of expiry, then refreshed (singleton reuse)") {
     var now = 0L
     val tp = new graft.sources.TokenProvider(
