@@ -38,6 +38,7 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val pageAttempts = TrieMap.empty[Int, Int] // 1-based page → GETs
   @volatile private var rateLimit429s = 0 // every page 429s its first N GETs
   @volatile private var lastParams = Map.empty[String, String]
+  @volatile private var servedRows = 0 // the append-only feed's current size
 
   private def validToken(t: String): Boolean = {
     val ok = (1 to mints.get()).map(n => s"srv-tok-$n").toSet -- revoked
@@ -98,13 +99,13 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         else {
           val size = params("size").toInt
           val lo = (page - 1).toLong * size
-          val hi = math.min(lo + size, Rows)
+          val hi = math.min(lo + size, servedRows)
           val spFilter = params.get("settlementPoint")
           val data = (lo until hi)
             .filter(i => spFilter.forall(_ == ErcotPagesSource.hub(i)))
             .map(wireRow).mkString(",")
           respond(x, 200,
-            s"""{"_meta":{"totalRecords":$Rows,"query":{"page":$page}},
+            s"""{"_meta":{"totalRecords":$servedRows,"query":{"page":$page}},
                |"fields":[{"name":"settlementPoint"},{"name":"price"},
                |          {"name":"SCEDTimestamp"},{"name":"mw"}],
                |"data":[$data]}""".stripMargin)
@@ -119,6 +120,7 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def resetFaults(): Unit = {
     pageAttempts.clear(); rateLimit429s = 0; revoked = Set.empty
+    servedRows = Rows
   }
 
   private def live(extra: (String, String)*) = {
@@ -192,6 +194,33 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the filtered read matches the generator-path equivalent
     assert(rows.length ==
       generated.filter(col("settlement_point") === "HB_SOUTH").count())
+  }
+
+  test("the live endpoint streams: each poll probes _meta and delivers only new complete pages") {
+    resetFaults()
+    val q = spark.readStream.format("ercot-pages")
+      .option("endpoint", s"$base/reports/sced")
+      .option("tokenUrl", s"$base/token")
+      .option("username", "ops@example.com").option("password", "hunter2!")
+      .option("clientId", "client-1").option("subscriptionKey", "sub-key-1")
+      .option("pageSize", PageSize).option("retryDelayMs", 0)
+      .load()
+      .writeStream.format("memory").queryName("live_pages")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("live_pages_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("live_pages").count() == Rows)
+      // the feed appends 2 pages plus a PARTIAL page; only complete
+      // pages may ship (a partial page could still grow — re-reading
+      // it later would double-deliver its rows)
+      servedRows = Rows + 2 * PageSize + PageSize / 2
+      q.processAllAvailable()
+      val n = spark.table("live_pages").count()
+      assert(n == Rows + 2 * PageSize, s"saw $n rows")
+      assert(spark.table("live_pages").distinct().count() == Rows + 2 * PageSize)
+    } finally q.stop()
   }
 
   test("bad subscription key fails fast (no retry budget burned)") {
