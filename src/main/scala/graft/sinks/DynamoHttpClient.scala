@@ -184,8 +184,15 @@ object DynamoHttpClient {
         if (round > retry.maxAttempts)
           throw new IllegalStateException(
             s"${pending.size} items still unprocessed after ${retry.maxAttempts} rounds")
-        if (round > 1 && retry.baseDelayMs > 0)
-          Thread.sleep(retry.baseDelayMs << (round - 2))
+        if (round > 1) {
+          // same jittered ladder as the transient-retry path: shed
+          // pages hit whole fleets at once, and deterministic re-drive
+          // delays would re-synchronize the herd every round
+          val jitter = if (retry.jitterMs > 0)
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(retry.jitterMs) else 0L
+          val delay = (if (retry.baseDelayMs > 0) retry.baseDelayMs << (round - 2) else 0L) + jitter
+          if (delay > 0) Thread.sleep(delay)
+        }
         pending = RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
           attempt => client.batchWrite(table, schema, pending, attempt)
         }

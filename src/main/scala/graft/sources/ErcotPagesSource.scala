@@ -67,19 +67,24 @@ class ErcotPagesSource extends TableProvider
         tokenTtlMs = Option(opts.get("tokenTtlMs")).map(_.toLong).getOrElse(3600000L),
         refreshAheadMs = Option(opts.get("refreshAheadMs")).map(_.toLong).getOrElse(300000L))
     }
-    val pages = Option(opts.get("pages")).map(_.toInt).getOrElse {
-      httpConf match {
-        // Page count unknown up front: a driver-side 1-record probe
-        // reads `_meta.totalRecords` and sizes the scan, so callers
-        // never have to know the server's page count.
-        case Some(hc) =>
-          val total = HttpPageClient(hc).totalRecords(Map.empty, retry)
-          math.max(1, ((total + pageSize - 1) / pageSize).toInt)
-        case None => 10
+    // Page count: the explicit option, else a driver-side 1-record
+    // probe of `_meta.totalRecords` — memoized and LAZY, because only
+    // batch planning needs it: a live STREAMING read re-probes per
+    // trigger itself, and must not pay a wasted authenticated round
+    // trip (token mint + retry budget) at table resolution.
+    val pagesThunk: () => Int = {
+      lazy val resolved = Option(opts.get("pages")).map(_.toInt).getOrElse {
+        httpConf match {
+          case Some(hc) =>
+            val total = HttpPageClient(hc).totalRecords(Map.empty, retry)
+            math.max(1, ((total + pageSize - 1) / pageSize).toInt)
+          case None => 10
+        }
       }
+      () => resolved
     }
     new ErcotPagesTable(
-      pages = pages,
+      pages = pagesThunk,
       pageSize = pageSize,
       startDateDays = Option(opts.get("startDate"))
         .map(java.time.LocalDate.parse(_).toEpochDay).getOrElse(19723L), // 2024-01-01
@@ -223,11 +228,14 @@ object ErcotPagesSource {
   def mw(i: Long): Double = (i * 17 % 5000) / 10.0
 }
 
-class ErcotPagesTable(pages: Int, pageSize: Int, startDateDays: Long,
+class ErcotPagesTable(pages: () => Int, pageSize: Int, startDateDays: Long,
     retry: RetryConf, httpConf: Option[HttpConf] = None,
     pagesPerTrigger: Int = Int.MaxValue)
   extends Table with SupportsRead {
-  override def name(): String = s"ercot_pages($pages x $pageSize)"
+  // never force the (possibly probing) page count just to print a name
+  override def name(): String =
+    if (httpConf.isDefined) s"ercot_pages(live x $pageSize)"
+    else s"ercot_pages(${pages()} x $pageSize)"
   override def schema(): StructType = ErcotPagesSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
@@ -236,7 +244,7 @@ class ErcotPagesTable(pages: Int, pageSize: Int, startDateDays: Long,
       pagesPerTrigger)
 }
 
-class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long,
+class ErcotPagesScanBuilder(pages: () => Int, pageSize: Int, startDateDays: Long,
     retry: RetryConf, httpConf: Option[HttpConf], pagesPerTrigger: Int)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -264,17 +272,18 @@ class ErcotPagesScanBuilder(pages: Int, pageSize: Int, startDateDays: Long,
       retry, httpConf, pagesPerTrigger)
 }
 
-class ErcotPagesScan(pages: Int, pageSize: Int, startDateDays: Long,
+class ErcotPagesScan(pages: () => Int, pageSize: Int, startDateDays: Long,
     required: StructType, hubFilter: Option[String], retry: RetryConf,
     httpConf: Option[HttpConf], pagesPerTrigger: Int = Int.MaxValue)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"ercot-pages pages=$pages pageSize=$pageSize " +
+    s"ercot-pages ${if (httpConf.isDefined) "live" else s"pages=${pages()}"} " +
+      s"pageSize=$pageSize " +
       s"PushedFilters: [${hubFilter.map(v => s"settlement_point = $v").getOrElse("")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(p => ErcotPage(p): InputPartition).toArray
+    (0 until pages()).map(p => ErcotPage(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ErcotPagesReaderFactory(pageSize, startDateDays,
       required.fieldNames, hubFilter, retry, httpConf)
@@ -309,7 +318,7 @@ case class PagesOffset(pages: Int) extends streaming.Offset {
   *  - [[SupportsTriggerAvailableNow]] pins the bound once at prepare
   *    time, so Trigger.AvailableNow drains what existed at start and
   *    stops even while the remote keeps appending. */
-class ErcotPagesMicroBatchStream(totalPages: Int, pagesPerTrigger: Int,
+class ErcotPagesMicroBatchStream(totalPages: () => Int, pagesPerTrigger: Int,
     pageSize: Int, startDateDays: Long, fields: Array[String],
     hubFilter: Option[String], retry: RetryConf, httpConf: Option[HttpConf])
   extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
@@ -318,13 +327,15 @@ class ErcotPagesMicroBatchStream(totalPages: Int, pagesPerTrigger: Int,
   @volatile private var availableNowBound: Option[Int] = None
 
   /** Pages the feed has published so far: the whole static feed, or
-    * the live endpoint's complete pages as of this probe. */
+    * the live endpoint's complete pages as of this probe (the static
+    * thunk is never forced on the live path — no wasted planning
+    * round trip). */
   private def publishedPages(): Int = httpConf match {
     case Some(hc) =>
       val total = HttpPageClient(hc).totalRecords(
         hubFilter.map("settlementPoint" -> _).toMap, retry)
       (total / pageSize).toInt // complete pages only: a page never re-reads
-    case None => totalPages
+    case None => totalPages()
   }
 
   override def prepareForTriggerAvailableNow(): Unit =

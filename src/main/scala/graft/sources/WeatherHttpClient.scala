@@ -21,8 +21,17 @@ final case class HourlyTemp(time: String, city: String, temp_c: Double)
 /** Result of a fan-out fetch: the long frame plus the count of cities
   * skipped after their retry budget (the reference logs-and-skips a
   * failing city rather than failing the day, weather.py:79-89 — at
-  * scale that MUST be surfaced as a metric, not buried in a log). */
+  * scale that MUST be surfaced as a metric, not buried in a log). The
+  * frame is MATERIALIZED (localCheckpoint) before this returns: a lazy
+  * frame would re-run the whole HTTP fan-out on every action, burning
+  * the API budget and double-counting the skip metric. */
 final case class WeatherFetch(frame: Dataset[HourlyTemp], skippedCities: LongAccumulator)
+
+/** A retryable city-fetch failure, named for the city so an exhausted
+  * budget is attributable in executor logs. */
+final class TransientCityError(city: String, attempt: Int)
+  extends RuntimeException(s"transient fault fetching weather for $city (attempt $attempt)")
+  with TransientFault
 
 /** Live WeatherAPI hourly scan (SURVEY §2.1 S3; reference
   * weather.py:37-97): per-city GET `?key&q&dt`, decode
@@ -38,6 +47,8 @@ final case class WeatherFetch(frame: Dataset[HourlyTemp], skippedCities: LongAcc
   * unchanged. */
 object WeatherHttpClient {
 
+  private val mapper = new ObjectMapper() // thread-safe once configured
+
   def fetchHourly(spark: SparkSession, conf: WeatherConf, date: String,
       locations: Seq[(String, String)], retry: RetryConf): WeatherFetch = {
     import spark.implicits._
@@ -51,12 +62,18 @@ object WeatherHttpClient {
           case NonFatal(_) => skipped.add(1); Nil // skip-and-count (weather.py:79-89)
         }
       }
+      // Materialize NOW: the fetch is an IO action, not a view — every
+      // downstream action over a lazy frame would re-run the fan-out
+      // (and task retries/speculation would double-count the metric).
+      .localCheckpoint()
     WeatherFetch(frame, skipped)
   }
 
   /** One authenticated GET for one city; 429/5xx → transient (retried
     * by the caller's policy), anything else non-200 → hard error (the
-    * caller skips the city, as the reference does on HTTPError). */
+    * caller skips the city, as the reference does on HTTPError). A 200
+    * whose body lacks the forecastday shape ALSO throws: a city must
+    * never silently vanish with the skip metric unincremented. */
   private def fetchCity(conf: WeatherConf, date: String, name: String,
       cityId: String, attempt: Int): Seq[HourlyTemp] = {
     val uri = URI.create(s"${conf.baseUrl}?key=${HttpPageClient.enc(conf.apiKey)}" +
@@ -66,13 +83,18 @@ object WeatherHttpClient {
       HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
       case 200 =>
-        val hours = new ObjectMapper().readTree(resp.body())
-          .path("forecast").path("forecastday").path(0).path("hour")
+        val days = mapper.readTree(resp.body()).path("forecast").path("forecastday")
+        if (!days.isArray || days.size() == 0)
+          throw new IllegalStateException(
+            s"no forecastday in 200 response for $name (error-in-200 or out-of-window date)")
+        val hours = days.get(0).path("hour")
+        if (!hours.isArray)
+          throw new IllegalStateException(s"no hourly block in 200 response for $name")
         (0 until hours.size()).map { h =>
           val e = hours.get(h)
           HourlyTemp(e.path("time").asText(), name, e.path("temp_c").asDouble())
         }
-      case 429 | 500 | 502 | 503 | 504 => throw new TransientPageError(0, attempt)
+      case 429 | 500 | 502 | 503 | 504 => throw new TransientCityError(name, attempt)
       case other => throw new IllegalStateException(
         s"HTTP $other fetching weather for $name: ${resp.body().take(200)}")
     }

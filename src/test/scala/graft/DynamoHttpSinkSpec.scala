@@ -32,13 +32,8 @@ class DynamoHttpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   @volatile private var shedPerBatch = 0   // echo this many items unprocessed, first call only
   @volatile private var shedOnce = false
 
-  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
-    val b = body.getBytes(UTF_8)
-    x.getResponseHeaders.set("Content-Type", "application/x-amz-json-1.0")
-    x.sendResponseHeaders(code, b.length)
-    x.getResponseBody.write(b)
-    x.close()
-  }
+  private def respond(x: HttpExchange, code: Int, body: String): Unit =
+    TestHttp.respond(x, code, body, contentType = "application/x-amz-json-1.0")
 
   private def err(x: HttpExchange, code: Int, typ: String): Unit =
     respond(x, code,

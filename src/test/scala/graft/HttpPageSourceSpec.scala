@@ -3,8 +3,6 @@ package graft
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.sources.{ErcotPagesSource, HttpPageClient}
 import java.net.InetSocketAddress
-import java.net.URLDecoder
-import java.nio.charset.StandardCharsets.UTF_8
 import java.time.LocalDateTime
 import java.time.ZoneOffset.UTC
 import java.util.concurrent.atomic.AtomicInteger
@@ -45,21 +43,7 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     ok(t)
   }
 
-  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
-    val b = body.getBytes(UTF_8)
-    x.getResponseHeaders.set("Content-Type", "application/json")
-    x.sendResponseHeaders(code, b.length)
-    x.getResponseBody.write(b)
-    x.close()
-  }
-
-  private def query(x: HttpExchange): Map[String, String] =
-    Option(x.getRequestURI.getRawQuery).getOrElse("").split("&").toIndexedSeq
-      .filter(_.contains("="))
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
-      }.toMap
+  import TestHttp.{respond, queryParams => query}
 
   /** Wire row for global index i — same deterministic generator as the
     * in-process path, serialized the way the real report API does:

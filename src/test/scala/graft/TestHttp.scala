@@ -1,0 +1,29 @@
+package graft
+
+import com.sun.net.httpserver.HttpExchange
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Shared plumbing for the in-process wire-protocol servers the live
+  * transport specs run against (paginated report, weather, key-value
+  * store) — one copy of the respond/param-decode helpers so the specs
+  * can't drift apart. */
+object TestHttp {
+  def respond(x: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val b = body.getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", contentType)
+    x.sendResponseHeaders(code, b.length)
+    x.getResponseBody.write(b)
+    x.close()
+  }
+
+  /** Decode the request's query string into a param map. */
+  def queryParams(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getRawQuery).getOrElse("").split("&").toIndexedSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+      }.toMap
+}

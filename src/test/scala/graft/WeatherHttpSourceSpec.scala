@@ -3,8 +3,6 @@ package graft
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.sources.{RetryConf, WeatherConf, WeatherHttpClient}
 import java.net.InetSocketAddress
-import java.net.URLDecoder
-import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -33,21 +31,12 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val Cities = Seq("Downtown" -> "Houston", "North" -> "Dallas", "West" -> "Austin")
 
-  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
-    val b = body.getBytes(UTF_8)
-    x.sendResponseHeaders(code, b.length)
-    x.getResponseBody.write(b)
-    x.close()
-  }
+  import TestHttp.respond
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1/history.json", (x: HttpExchange) => {
-      val params = Option(x.getRequestURI.getRawQuery).getOrElse("").split("&")
-        .filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2)
-          URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
-        }.toMap
+      val params = TestHttp.queryParams(x)
       if (!params.get("key").contains("k-123")) respond(x, 401, """{"error":{"code":2006}}""")
       else {
         val city = params("q")
