@@ -1,10 +1,8 @@
 package graft
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.sources.{ErcotPagesSource, HttpPageClient}
+import graft.sources.HttpPageClient
 import java.net.InetSocketAddress
-import java.time.LocalDateTime
-import java.time.ZoneOffset.UTC
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -45,16 +43,6 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   import TestHttp.{respond, queryParams => query}
 
-  /** Wire row for global index i — same deterministic generator as the
-    * in-process path, serialized the way the real report API does:
-    * positional `data`, ISO timestamps, fields in a DIFFERENT order
-    * than the Spark schema (name→ordinal decode must be real). */
-  private def wireRow(i: Long): String = {
-    val iso = LocalDateTime.ofEpochSecond(
-      ErcotPagesSource.tsMicros(StartDays, i) / 1000000L, 0, UTC).toString
-    s"""["${ErcotPagesSource.hub(i)}",${ErcotPagesSource.price(i)},"$iso",${ErcotPagesSource.mw(i)}]"""
-  }
-
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/token", (x: HttpExchange) => {
@@ -80,20 +68,8 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         val page = params("page").toInt
         val n = pageAttempts.updateWith(page)(c => Some(c.getOrElse(0) + 1)).get
         if (n <= rateLimit429s) respond(x, 429, """{"message":"rate limited"}""")
-        else {
-          val size = params("size").toInt
-          val lo = (page - 1).toLong * size
-          val hi = math.min(lo + size, servedRows)
-          val spFilter = params.get("settlementPoint")
-          val data = (lo until hi)
-            .filter(i => spFilter.forall(_ == ErcotPagesSource.hub(i)))
-            .map(wireRow).mkString(",")
-          respond(x, 200,
-            s"""{"_meta":{"totalRecords":$servedRows,"query":{"page":$page}},
-               |"fields":[{"name":"settlementPoint"},{"name":"price"},
-               |          {"name":"SCEDTimestamp"},{"name":"mw"}],
-               |"data":[$data]}""".stripMargin)
-        }
+        else respond(x, 200, TestHttp.ercotPageJson(page, params("size").toInt,
+          servedRows, StartDays, params.get("settlementPoint")))
       }
     })
     server.start()

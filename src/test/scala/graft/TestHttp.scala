@@ -26,4 +26,28 @@ object TestHttp {
         val Array(k, v) = kv.split("=", 2)
         URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
       }.toMap
+
+  /** One report page of the deterministic feed in the reference API's
+    * positional wire shape — ISO timestamps, fields deliberately
+    * ordered DIFFERENTLY from the Spark schema so name→ordinal decode
+    * stays honest. Shared by every spec that stands up the report
+    * server. */
+  def ercotPageJson(page: Int, size: Int, servedRows: Long, startDays: Long,
+      spFilter: Option[String]): String = {
+    import graft.sources.ErcotPagesSource
+    val lo = (page - 1).toLong * size
+    val hi = math.min(lo + size, servedRows)
+    val data = (lo until hi)
+      .filter(i => spFilter.forall(_ == ErcotPagesSource.hub(i)))
+      .map { i =>
+        val iso = java.time.LocalDateTime.ofEpochSecond(
+          ErcotPagesSource.tsMicros(startDays, i) / 1000000L, 0,
+          java.time.ZoneOffset.UTC).toString
+        s"""["${ErcotPagesSource.hub(i)}",${ErcotPagesSource.price(i)},"$iso",${ErcotPagesSource.mw(i)}]"""
+      }.mkString(",")
+    s"""{"_meta":{"totalRecords":$servedRows},
+       |"fields":[{"name":"settlementPoint"},{"name":"price"},
+       |          {"name":"SCEDTimestamp"},{"name":"mw"}],
+       |"data":[$data]}""".stripMargin
+  }
 }
