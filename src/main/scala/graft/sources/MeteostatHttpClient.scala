@@ -48,21 +48,13 @@ object MeteostatHttpClient {
     import spark.implicits._
     val skipped = spark.sparkContext.longAccumulator("meteostat_skipped_cities")
     val noData = spark.sparkContext.longAccumulator("meteostat_no_data_cities")
-    val frame = spark.createDataset(stations)
-      .repartition(math.max(1, stations.size)) // station-per-task fan-out
-      .flatMap { case (city, stationId) =>
-        try {
-          RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
-            attempt => fetchStation(conf, date, city, stationId, attempt)
-          } match {
-            case Some(t) => Seq(StationTavg(city, t))
-            case None => noData.add(1); Nil // responded, no valid reading
-          }
-        } catch {
-          case NonFatal(_) => skipped.add(1); Nil // fetch failed (my:51-53)
+    val frame = FanOut.fetch(spark, stations, retry, skipped) {
+      (city, stationId, attempt) =>
+        fetchStation(conf, date, city, stationId, attempt) match {
+          case Some(t) => Seq(StationTavg(city, t))
+          case None => noData.add(1); Nil // responded, no valid reading
         }
-      }
-      .localCheckpoint() // IO action: materialize once, count once
+    }
     MeteostatFetch(frame, skipped, noData)
   }
 
@@ -88,14 +80,22 @@ object MeteostatHttpClient {
       HttpResponse.BodyHandlers.ofInputStream())
     resp.statusCode() match {
       case 200 =>
-        val reader = new BufferedReader(new InputStreamReader(
-          new GZIPInputStream(resp.body()), UTF_8))
+        val raw = resp.body()
+        // gunzip setup can itself throw (non-gzip body from a broken
+        // proxy) — the raw stream must close either way or the pooled
+        // connection leaks
+        val reader = try new BufferedReader(new InputStreamReader(
+          new GZIPInputStream(raw), UTF_8))
+        catch { case NonFatal(e) => raw.close(); throw e }
         try {
           Iterator.continually(reader.readLine()).takeWhile(_ != null)
             .map(_.split(",", -1))
             .collectFirst { case cols
-              if cols.length > 1 && cols(0) == date && cols(1).nonEmpty &&
-                cols(1).toDoubleOption.isDefined => cols(1).toDouble }
+              // literal NaN/Infinity cells parse as doubles but poison
+              // the mean — they are "no valid reading", like a blank
+              if cols.length > 1 && cols(0) == date &&
+                cols(1).toDoubleOption.exists(d => !d.isNaN && !d.isInfinite) =>
+                cols(1).toDouble }
         } finally reader.close()
       case 429 | 500 | 502 | 503 | 504 =>
         resp.body().close()

@@ -5,7 +5,6 @@ import java.net.URI
 import java.net.http.{HttpRequest, HttpResponse}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.util.LongAccumulator
-import scala.util.control.NonFatal
 
 /** Connection settings for the live hourly-weather scan (reference
   * `src/data/weather_api/weather.py:20-36`: API key + base URL, key
@@ -53,19 +52,9 @@ object WeatherHttpClient {
       locations: Seq[(String, String)], retry: RetryConf): WeatherFetch = {
     import spark.implicits._
     val skipped = spark.sparkContext.longAccumulator("weather_skipped_cities")
-    val frame = spark.createDataset(locations)
-      .repartition(math.max(1, locations.size)) // city-per-task fan-out
-      .flatMap { case (name, cityId) =>
-        try RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
-          attempt => fetchCity(conf, date, name, cityId, attempt)
-        } catch {
-          case NonFatal(_) => skipped.add(1); Nil // skip-and-count (weather.py:79-89)
-        }
-      }
-      // Materialize NOW: the fetch is an IO action, not a view — every
-      // downstream action over a lazy frame would re-run the fan-out
-      // (and task retries/speculation would double-count the metric).
-      .localCheckpoint()
+    val frame = FanOut.fetch(spark, locations, retry, skipped) {
+      (name, cityId, attempt) => fetchCity(conf, date, name, cityId, attempt)
+    }
     WeatherFetch(frame, skipped)
   }
 

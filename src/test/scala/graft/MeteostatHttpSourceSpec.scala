@@ -29,15 +29,20 @@ class MeteostatHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val stationAttempts = TrieMap.empty[String, Int]
   @volatile private var flaky500s = Map.empty[String, Int]
   @volatile private var blankTavg = Set.empty[String] // stations reporting no tavg
+  @volatile private var nanTavg = Set.empty[String] // stations reporting literal NaN
 
   /** Bulk daily CSV for one station: a day before, the target date,
-    * a day after — tavg in column 1, trailing columns present. */
+    * a day after — tavg in column 1, trailing columns present. The
+    * neighbor rows carry VALID tavg values, so a broken date filter
+    * would pick them up and shift the mean (the rows exist to catch
+    * exactly that). */
   private def csv(stationId: String): String = {
     val t = stationId.takeRight(2).toDouble / 4 // deterministic per station
-    val target = if (blankTavg(stationId)) "" else t.toString
-    s"""2024-01-14,${t + 9}.0,1.0,20.0,,,,,,
+    val target = if (blankTavg(stationId)) ""
+    else if (nanTavg(stationId)) "NaN" else t.toString
+    s"""2024-01-14,${t + 9},1.0,20.0,,,,,,
        |$Date,$target,2.0,21.0,,,,,,
-       |2024-01-16,${t + 7}.0,3.0,22.0,,,,,,""".stripMargin
+       |2024-01-16,${t + 7},3.0,22.0,,,,,,""".stripMargin
   }
 
   private def gz(s: String): Array[Byte] = {
@@ -75,7 +80,8 @@ class MeteostatHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     failEveryN = 0, failAttempts = 0)
 
   private def reset(): Unit = {
-    stationAttempts.clear(); flaky500s = Map.empty; blankTavg = Set.empty
+    stationAttempts.clear(); flaky500s = Map.empty
+    blankTavg = Set.empty; nanTavg = Set.empty
   }
 
   test("per-station gzip CSV decode: first non-NaN tavg on the target date, mean rounded to 2") {
@@ -93,9 +99,19 @@ class MeteostatHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 2 && !rows.exists(_.city == "Dallas"))
     assert(fetch.noDataCities.value == 1)
     assert(fetch.skippedCities.value == 0)
-    // mean over the remaining two: (10.75 + 13.5)/2 = 12.125 → 12.13 (half-even -> 12.12? no: 12.125 half-even to 12.12)
+    // mean over the remaining two: (10.75 + 13.5)/2 = 12.125 → 12.12 (HALF_EVEN)
     val avg = MeteostatHttpClient.avgTemperature(spark, conf, Date, Stations, retry)
     assert(avg.contains(12.12), s"got $avg")
+
+    // a literal NaN cell parses as a Double but must count as no-data,
+    // never poison the mean into a NumberFormatException
+    reset()
+    nanTavg = Set("72258")
+    val poisoned = MeteostatHttpClient.fetchDailyTavg(spark, conf, Date, Stations, retry)
+    assert(poisoned.frame.count() == 2)
+    assert(poisoned.noDataCities.value == 1)
+    assert(MeteostatHttpClient.avgTemperature(spark, conf, Date, Stations, retry)
+      .contains(12.12))
   }
 
   test("transient 503 retried; an unknown station 404s hard and is skipped after one attempt") {
