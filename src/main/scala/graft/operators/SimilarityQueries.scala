@@ -109,6 +109,80 @@ object SimilarityQueries {
         struct(col("d"), col("code"))).as("a"))
       .select(col("vec_id"), col("m"), col("a.code").as("code"), col("a.d").as("d"))
 
+  /** Per-task pair-work bound for q99: no task ever evaluates more than
+    * ~SemCellCap² candidate pairs, no matter how skewed the cell sizes
+    * are. 4096² ≈ 16.8M cosine evaluations per task — minutes of CPU,
+    * never hours. private[graft] so the mega-cell spec can force a tiny
+    * cap and prove the guarded path bit-identical. */
+  private[graft] val SemCellCap = 4096
+
+  /** The q99 engine, hot-cell-safe (VERDICT r5 "What's wrong #1"):
+    * exact SemDeDup within-cell pairing whose per-TASK work is bounded
+    * even when argmin assignment puts a huge fraction of the corpus in
+    * one cell (seeded, untrained centroids make that a real risk — the
+    * q81 hot-shingle blowup one level up).
+    *
+    * Two mechanisms, both result-preserving (the DuckDB oracle is the
+    * UNguarded formulation and stays hash-green; SemanticPruneSpec
+    * additionally plants a mega-cell and proves capped ≡ uncapped):
+    *
+    *  1. SALT-GRID the within-cell join. Each cell gets a grid width
+    *     g = ceil(n / cap) from a 1-row-per-cell occupancy aggregate
+    *     (broadcast). Side A keys by its own salt ga = id_a mod g and
+    *     replicates across gb ∈ [0, g); side B mirrors (replicates ga,
+    *     keys gb = id_b mod g). Every (a, b) pair meets EXACTLY once —
+    *     in the (ga, gb) grid task — and each task holds ~n/g ≤ cap
+    *     rows per side, so per-task pair work is ≤ cap². A mega-cell
+    *     becomes g² parallel tasks instead of one n²/2 straggler; cells
+    *     already under the cap get g = 1 and the exact plan they had
+    *     before (zero replication — the common case pays nothing).
+    *     Replication cost is g copies of a hot cell's vectors, i.e.
+    *     n²/cap shuffled rows for an n-row mega-cell: the price of
+    *     EXACT all-pairs with bounded task time, paid only where the
+    *     skew is. (The sub-quadratic alternative — recursively
+    *     re-splitting hot cells — changes which pairs are compared;
+    *     this guard keeps the query's exact within-cell contract.)
+    *  2. AGGREGATE the best-partner pick. The old ranking window
+    *     shuffled every surviving pair row partitioned by id_b; a
+    *     groupBy(id_b) + CollectTopK(k=1) has the same (sim DESC,
+    *     id_a ASC) determinism contract but reduces map-side, so the
+    *     exchange carries at most one tiny row per (id_b, partition)
+    *     and the O(cell²) pair stream is consumed where it is produced.
+    */
+  private[graft] def semanticPrune(base: DataFrame, cells: Int, cap: Int): DataFrame = {
+    import graft.pipeline.VectorIndex
+    import graft.plans.CollectTopK
+    require(cap > 0, "semanticPrune requires a positive cell cap")
+    // Same argmin-assignment contract as q42/q100 (rounding and
+    // tie-break are oracle-pinned) — shared, not re-implemented.
+    val assign = VectorIndex
+      .assign(base, VectorIndex.seedCentroids(base, cells))
+      .select("vec_id", "cell_id")
+    // Cell occupancy → salt-grid width. One row per cell: broadcast.
+    val grid = assign.groupBy(col("cell_id"))
+      .agg(ceil(count(lit(1)) / lit(cap.toDouble)).cast("int").as("g"))
+    val withCell = base.join(assign, "vec_id").join(broadcast(grid), "cell_id")
+    val a = withCell.select(col("cell_id"),
+      col("vec_id").as("id_a"), col("ev").as("av"),
+      pmod(col("vec_id"), col("g")).cast("int").as("ga"),
+      explode(sequence(lit(0), col("g") - 1)).as("gb"))
+    val b = withCell.select(col("cell_id"),
+      col("vec_id").as("id_b"), col("ev").as("bv"),
+      explode(sequence(lit(0), col("g") - 1)).as("ga"),
+      pmod(col("vec_id"), col("g")).cast("int").as("gb"))
+    a.join(b, Seq("cell_id", "ga", "gb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorOps.cosine6(col("av"), col("bv")))
+      .filter(col("sim") >= NdThresh)
+      .groupBy(col("id_b"), col("cell_id"))
+      .agg(CollectTopK.topk(col("sim"), col("id_a"), 1).as("top"))
+      .select(col("id_b").as("drop_id"),
+        element_at(col("top"), 1).getField("vec_id").as("keep_id"),
+        col("cell_id"),
+        element_at(col("top"), 1).getField("sim").as("sim"))
+      .orderBy("drop_id") // row-per-dropped-doc: parallel range sort
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- X1/X2/F14: exact brute-force kNN, broadcast query side,
@@ -796,10 +870,11 @@ object SimilarityQueries {
     // the lowest id). Survivors are the docs never dropped; the
     // partner is evidence, not necessarily itself a survivor —
     // transitive chains terminate at an undropped doc, exactly q59's
-    // min-label argument one hop at a time. Scale shape: centroids
-    // broadcast; one shuffle keys the corpus by cell; within-cell pair
-    // cost is sum of cell² — the cell count is the knob, and a trained
-    // q93 codebook balances the cells.
+    // min-label argument one hop at a time. Scale shape: see
+    // [[semanticPrune]] — centroids broadcast, one corpus shuffle keyed
+    // by (cell, salt grid), per-task pair work capped at SemCellCap²
+    // even under a skewed mega-cell, and the best-partner pick is a
+    // CollectTopK partial aggregate so pair rows never shuffle.
     q("q99_semantic_prune",
       "X2/X3: SemDeDup-style semantic pruning (IVF-cell blocking + cosine verify + canonical drop)",
       s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
@@ -820,26 +895,7 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn
          |  FROM pairs) WHERE rn = 1
          |ORDER BY drop_id""".stripMargin) { (s, dir) =>
-      import graft.pipeline.VectorIndex
-      val base = emb(s, dir).localCheckpoint(false) // assignment + both pair sides
-      // Same argmin-assignment contract as q42/q100 (rounding and
-      // tie-break are oracle-pinned) — shared, not re-implemented.
-      val assign = VectorIndex
-        .assign(base, VectorIndex.seedCentroids(base, SemCells))
-        .select("vec_id", "cell_id")
-      val withCell = base.join(assign, "vec_id")
-      val a = withCell.select(col("vec_id").as("id_a"), col("ev").as("av"), col("cell_id"))
-      val b = withCell.select(col("vec_id").as("id_b"), col("ev").as("bv"), col("cell_id"))
-      val pairs = a.join(b, Seq("cell_id"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", VectorOps.cosine6(col("av"), col("bv")))
-        .filter(col("sim") >= NdThresh)
-      val w = Window.partitionBy("id_b").orderBy(col("sim").desc, col("id_a"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id_b").as("drop_id"), col("id_a").as("keep_id"),
-          col("cell_id"), col("sim"))
-        .orderBy("drop_id") // row-per-dropped-doc: parallel range sort
+      semanticPrune(emb(s, dir).localCheckpoint(false), SemCells, SemCellCap)
     },
 
     // ----- X2 (incremental): ANN index APPEND against the PERSISTED

@@ -35,10 +35,38 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q42/q65/q88: ANN cell assignment plans with NO ranking window") {
     Seq("q42_ivf_knn", "q65_kmeans_step", "q88_pq_encode", "q89_pq_adc",
-      "q93_kmeans_train").foreach { q =>
+      "q93_kmeans_train", "q99_semantic_prune").foreach { q =>
       assert(!nodes(plan(q)).exists(_.isInstanceOf[WindowExec]),
         s"$q plans a Window — assignment must be an aggregate")
     }
+  }
+
+  /** q99's hot-cell guard (VERDICT r5 #1), pinned structurally: the
+    * within-cell pair join must key on the salt-grid columns (ga, gb)
+    * in ADDITION to cell_id — the join that bounds per-task pair work
+    * at SemCellCap² — and the best-partner pick must be the
+    * collect_topk aggregate, not a pair-row-shuffling ranking window
+    * (the window absence is asserted above). */
+  test("q99 pair join carries the salt-grid keys") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val ns = nodes(plan("q99_semantic_prune"))
+    val gridJoins = ns.collect {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("ga")) &&
+           j.leftKeys.exists(_.toString.contains("gb")) => j
+      case j: ShuffledHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("ga")) &&
+           j.leftKeys.exists(_.toString.contains("gb")) => j
+    }
+    assert(gridJoins.nonEmpty,
+      s"q99's pair join lost its salt-grid keys (ga, gb):\n${ns.mkString("\n")}")
+    assert(ns.exists(_.toString.contains("collect_topk")),
+      "q99's best-partner pick is not the collect_topk aggregate")
+    // The only nested-loop join allowed in q99 is the broadcast centroid
+    // crossJoin inside VectorIndex.assign; pair generation itself must
+    // never plan a CartesianProduct.
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "q99 plans a CartesianProduct")
   }
 
   test("dedup/similarity candidate generation never plans a cross product") {
