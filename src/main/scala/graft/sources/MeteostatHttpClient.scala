@@ -6,7 +6,6 @@ import java.net.http.{HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.GZIPInputStream
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.util.LongAccumulator
 import scala.util.control.NonFatal
 
 /** Connection settings for the live daily-climate scan. The reference
@@ -26,9 +25,12 @@ final case class StationTavg(city: String, tavg: Double)
   * fetch FAILED after retries (meteostat_weather.py:51-53) and cities
   * that responded but had no valid reading for the date (the silent
   * `break`-never-hit path, :45-50). Surfaced as metrics: at fleet
-  * scale a silently shrinking mean is a data-quality incident. */
+  * scale a silently shrinking mean is a data-quality incident. Both
+  * counts are aggregated from the checkpointed status rows (see
+  * [[FanOut]]) — exact under task retries, unlike a transformation-
+  * side accumulator. */
 final case class MeteostatFetch(frame: Dataset[StationTavg],
-    skippedCities: LongAccumulator, noDataCities: LongAccumulator)
+    skippedCities: Long, noDataCities: Long)
 
 /** Live Meteostat daily scan (SURVEY §2.1 S4; reference
   * meteostat_weather.py:6-58): per-station gzipped CSV GET, filter to
@@ -46,16 +48,12 @@ object MeteostatHttpClient {
   def fetchDailyTavg(spark: SparkSession, conf: MeteostatConf, date: String,
       stations: Seq[(String, String)], retry: RetryConf): MeteostatFetch = {
     import spark.implicits._
-    val skipped = spark.sparkContext.longAccumulator("meteostat_skipped_cities")
-    val noData = spark.sparkContext.longAccumulator("meteostat_no_data_cities")
-    val frame = FanOut.fetch(spark, stations, retry, skipped) {
+    val fetch = FanOut.fetch(spark, stations, retry) {
       (city, stationId, attempt) =>
-        fetchStation(conf, date, city, stationId, attempt) match {
-          case Some(t) => Seq(StationTavg(city, t))
-          case None => noData.add(1); Nil // responded, no valid reading
-        }
+        fetchStation(conf, date, city, stationId, attempt)
+          .map(t => StationTavg(city, t)).toSeq // None = responded, no valid reading
     }
-    MeteostatFetch(frame, skipped, noData)
+    MeteostatFetch(fetch.frame, fetch.skipped, fetch.emptyOk)
   }
 
   /** The reference's headline scalar: mean of the per-city readings,

@@ -4,7 +4,6 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import java.net.URI
 import java.net.http.{HttpRequest, HttpResponse}
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.util.LongAccumulator
 
 /** Connection settings for the live hourly-weather scan (reference
   * `src/data/weather_api/weather.py:20-36`: API key + base URL, key
@@ -17,14 +16,16 @@ final case class WeatherConf(baseUrl: String, apiKey: String) {
   * (weather.py:70-74 builds exactly (time, city→temp_c) per city). */
 final case class HourlyTemp(time: String, city: String, temp_c: Double)
 
-/** Result of a fan-out fetch: the long frame plus the count of cities
-  * skipped after their retry budget (the reference logs-and-skips a
-  * failing city rather than failing the day, weather.py:79-89 — at
-  * scale that MUST be surfaced as a metric, not buried in a log). The
-  * frame is MATERIALIZED (localCheckpoint) before this returns: a lazy
-  * frame would re-run the whole HTTP fan-out on every action, burning
-  * the API budget and double-counting the skip metric. */
-final case class WeatherFetch(frame: Dataset[HourlyTemp], skippedCities: LongAccumulator)
+/** Result of a fan-out fetch: the long frame plus the EXACT count of
+  * cities skipped after their retry budget (the reference logs-and-
+  * skips a failing city rather than failing the day, weather.py:79-89
+  * — at scale that MUST be surfaced as a metric, not buried in a
+  * log). The frame is MATERIALIZED (localCheckpoint) before this
+  * returns: a lazy frame would re-run the whole HTTP fan-out on every
+  * action, burning the API budget. The count is aggregated from the
+  * checkpointed status rows (see [[FanOut]]), not an accumulator, so
+  * task retries never over-count it. */
+final case class WeatherFetch(frame: Dataset[HourlyTemp], skippedCities: Long)
 
 /** A retryable city-fetch failure, named for the city so an exhausted
   * budget is attributable in executor logs. */
@@ -51,11 +52,10 @@ object WeatherHttpClient {
   def fetchHourly(spark: SparkSession, conf: WeatherConf, date: String,
       locations: Seq[(String, String)], retry: RetryConf): WeatherFetch = {
     import spark.implicits._
-    val skipped = spark.sparkContext.longAccumulator("weather_skipped_cities")
-    val frame = FanOut.fetch(spark, locations, retry, skipped) {
+    val fetch = FanOut.fetch(spark, locations, retry) {
       (name, cityId, attempt) => fetchCity(conf, date, name, cityId, attempt)
     }
-    WeatherFetch(frame, skipped)
+    WeatherFetch(fetch.frame, fetch.skipped)
   }
 
   /** One authenticated GET for one city; 429/5xx → transient (retried
@@ -81,7 +81,15 @@ object WeatherHttpClient {
           throw new IllegalStateException(s"no hourly block in 200 response for $name")
         (0 until hours.size()).map { h =>
           val e = hours.get(h)
-          HourlyTemp(e.path("time").asText(), name, e.path("temp_c").asDouble())
+          val time = e.path("time").asText("")
+          val t = e.path("temp_c")
+          // A missing/non-numeric temp_c would asDouble() to 0.0 and
+          // silently poison the daily mean; the reference raises
+          // KeyError and the city rides the skip path — same here.
+          if (time.isEmpty || !t.isNumber || !java.lang.Double.isFinite(t.asDouble()))
+            throw new IllegalStateException(
+              s"malformed hour entry $h for $name (time='$time', temp_c=$t)")
+          HourlyTemp(time, name, t.asDouble())
         }
       case 429 | 500 | 502 | 503 | 504 => throw new TransientCityError(name, attempt)
       case other => throw new IllegalStateException(

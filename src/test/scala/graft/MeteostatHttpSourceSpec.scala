@@ -97,8 +97,8 @@ class MeteostatHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fetch = MeteostatHttpClient.fetchDailyTavg(spark, conf, Date, Stations, retry)
     val rows = fetch.frame.collect()
     assert(rows.length == 2 && !rows.exists(_.city == "Dallas"))
-    assert(fetch.noDataCities.value == 1)
-    assert(fetch.skippedCities.value == 0)
+    assert(fetch.noDataCities == 1)
+    assert(fetch.skippedCities == 0)
     // mean over the remaining two: (10.75 + 13.5)/2 = 12.125 → 12.12 (HALF_EVEN)
     val avg = MeteostatHttpClient.avgTemperature(spark, conf, Date, Stations, retry)
     assert(avg.contains(12.12), s"got $avg")
@@ -109,7 +109,7 @@ class MeteostatHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     nanTavg = Set("72258")
     val poisoned = MeteostatHttpClient.fetchDailyTavg(spark, conf, Date, Stations, retry)
     assert(poisoned.frame.count() == 2)
-    assert(poisoned.noDataCities.value == 1)
+    assert(poisoned.noDataCities == 1)
     assert(MeteostatHttpClient.avgTemperature(spark, conf, Date, Stations, retry)
       .contains(12.12))
   }
@@ -125,7 +125,7 @@ class MeteostatHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val withBogus = Stations :+ ("Nowhere" -> "99999")
     val part = MeteostatHttpClient.fetchDailyTavg(spark, conf, Date, withBogus, retry)
     assert(part.frame.count() == 3)
-    assert(part.skippedCities.value == 1)
+    assert(part.skippedCities == 1)
     assert(stationAttempts("99999") == 1, "404 must not burn the retry budget")
   }
 

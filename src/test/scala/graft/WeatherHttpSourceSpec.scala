@@ -24,6 +24,7 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var conf: WeatherConf = _
   private val cityAttempts = TrieMap.empty[String, Int]
   @volatile private var flaky500s = Map.empty[String, Int] // city → first-N 500s
+  @volatile private var poisonedCity: Option[String] = None // hour 7 gets temp_c:null
   private val Date = "2024-01-15"
 
   /** Deterministic temp for (city index, hour). */
@@ -45,7 +46,9 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         else {
           val ci = Cities.indexWhere(_._2 == city)
           val hours = (0 until 24).map { h =>
-            s"""{"time":"$Date ${f"$h%02d"}:00","temp_c":${temp(ci, h)}}"""
+            val t = if (poisonedCity.contains(city) && h == 7) "null"
+                    else temp(ci, h).toString
+            s"""{"time":"$Date ${f"$h%02d"}:00","temp_c":$t}"""
           }.mkString(",")
           respond(x, 200,
             s"""{"forecast":{"forecastday":[{"date":"$Date","hour":[$hours]}]}}""")
@@ -62,7 +65,9 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val retry = RetryConf(maxAttempts = 3, baseDelayMs = 0,
     failEveryN = 0, failAttempts = 0)
 
-  private def reset(): Unit = { cityAttempts.clear(); flaky500s = Map.empty }
+  private def reset(): Unit = {
+    cityAttempts.clear(); flaky500s = Map.empty; poisonedCity = None
+  }
 
   test("city-per-task fan-out fetches the long frame; values decode exactly") {
     reset()
@@ -70,7 +75,7 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fetch.frame.rdd.getNumPartitions == Cities.size)
     val rows = fetch.frame.collect()
     assert(rows.length == 24 * Cities.size)
-    assert(fetch.skippedCities.value == 0)
+    assert(fetch.skippedCities == 0)
     val byKey = rows.map(r => (r.city, r.time) -> r.temp_c).toMap
     assert(byKey(("Downtown", s"$Date 00:00")) == 0.0)
     assert(byKey(("North", s"$Date 13:00")) == 16.5) // 10 + 13*0.5
@@ -100,7 +105,7 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     flaky500s = Map("Dallas" -> 2) // recovers within the 3-attempt budget
     val ok = WeatherHttpClient.fetchHourly(spark, conf, Date, Cities, retry)
     assert(ok.frame.count() == 24 * Cities.size)
-    assert(ok.skippedCities.value == 0)
+    assert(ok.skippedCities == 0)
     assert(cityAttempts("Dallas") == 3)
 
     reset()
@@ -109,7 +114,19 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = part.frame.collect()
     assert(rows.length == 24 * 2, "the two healthy cities must land")
     assert(!rows.exists(_.city == "West"))
-    assert(part.skippedCities.value == 1)
+    assert(part.skippedCities == 1)
+  }
+
+  test("a null temp_c skips the whole city instead of injecting 0°C into the mean") {
+    // The reference raises KeyError on a malformed hour and skips the
+    // city (weather.py:79-89); asDouble() would silently decode 0.0.
+    reset()
+    poisonedCity = Some("Dallas")
+    val fetch = WeatherHttpClient.fetchHourly(spark, conf, Date, Cities, retry)
+    val rows = fetch.frame.collect()
+    assert(rows.length == 24 * 2, "the two healthy cities must land in full")
+    assert(!rows.exists(_.city == "North"), "no partial rows from the poisoned city")
+    assert(fetch.skippedCities == 1)
   }
 
   test("a bad API key fails hard per city (non-retryable), frame is empty, all counted") {
@@ -117,7 +134,7 @@ class WeatherHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = conf.copy(apiKey = "WRONG")
     val fetch = WeatherHttpClient.fetchHourly(spark, bad, Date, Cities, retry)
     assert(fetch.frame.count() == 0)
-    assert(fetch.skippedCities.value == Cities.size)
+    assert(fetch.skippedCities == Cities.size)
     // 401 is not transient: one attempt per city, no retry burn
     assert(cityAttempts.values.forall(_ == 1), cityAttempts.toString)
   }
