@@ -13,6 +13,7 @@ import javax.crypto.Mac
 import javax.crypto.spec.SecretKeySpec
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
+import scala.util.control.NonFatal
 
 /** Connection settings for the live key-value store transport. The
   * reference reaches DynamoDB through boto3 (dynamodb.py:40-52, with an
@@ -56,12 +57,46 @@ object AwsSigV4 {
   def amzDate(epochMillis: Long): String =
     AmzDateFmt.format(java.time.Instant.ofEpochMilli(epochMillis))
 
+  /** The spec's `UriEncode`: RFC 3986 unreserved set stays literal,
+    * everything else percent-encodes UPPERCASE byte-wise; `/` is kept
+    * only when encoding a path. */
+  private[graft] def uriEncode(s: String, keepSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~' ||
+          (c == '/' && keepSlash)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Canonical URI: each (already-decoded) path segment URI-encoded,
+    * slashes preserved, empty path → "/". */
+  private[graft] def canonicalPath(path: String): String =
+    if (path == null || path.isEmpty) "/" else uriEncode(path, keepSlash = true)
+
+  /** Canonical query string: `k=v` pairs (already-decoded) URI-encoded
+    * and sorted by encoded name, then encoded value — the RFC-required
+    * normalization a real verifier recomputes. A bare `k` signs as
+    * `k=`. */
+  private[graft] def canonicalQuery(query: String): String =
+    if (query == null || query.isEmpty) ""
+    else query.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
+      (uriEncode(k, keepSlash = false), uriEncode(v, keepSlash = false))
+    }.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
   /** Compute the `Authorization` header for a POST to `path`/`query`
-    * with the given signed headers. Deterministic in its inputs, so a
-    * server holding the same secret recomputes and compares. The
-    * canonical URI/query come from the actual request target — an
-    * endpoint behind a path (a proxy, a local emulator) must sign what
-    * it sends or a real verifier rejects every request. */
+    * (both in DECODED form — `URI.getPath`/`getQuery`) with the given
+    * signed headers. Deterministic in its inputs, so a server holding
+    * the same secret recomputes and compares. The canonical URI/query
+    * are normalized per the published algorithm (segments encoded,
+    * params sorted) — an endpoint behind a path or query (a proxy, a
+    * local emulator) must canonicalize identically or a real verifier
+    * rejects every request. */
   def authorization(conf: DynamoConf, amzDate: String, host: String,
       target: String, payload: String, path: String = "/",
       query: String = ""): String = {
@@ -69,7 +104,7 @@ object AwsSigV4 {
     val date = amzDate.substring(0, 8)
     val signedHeaders = "content-type;host;x-amz-date;x-amz-target"
     val canonical = List(
-      "POST", if (path.isEmpty) "/" else path, query,
+      "POST", canonicalPath(path), canonicalQuery(query),
       s"content-type:application/x-amz-json-1.0",
       s"host:$host",
       s"x-amz-date:$amzDate",
@@ -179,11 +214,16 @@ object DynamoHttpClient {
       val client = DynamoHttpClient(conf)
       var pending = batch
       var round = 0
+      // Rows that left `pending` in an earlier round were ACCEPTED by
+      // the service; if the drain later gives up, they must be
+      // accounted as stored, not swept into the batch's failure.
+      def drained = batch.size - pending.size
       while (pending.nonEmpty) {
         round += 1
         if (round > retry.maxAttempts)
-          throw new IllegalStateException(
-            s"${pending.size} items still unprocessed after ${retry.maxAttempts} rounds")
+          throw new SinkOps.PartialBatchFailure(drained,
+            s"${pending.size} items still unprocessed after ${retry.maxAttempts} rounds " +
+              s"($drained of ${batch.size} stored)")
         if (round > 1) {
           // same jittered ladder as the transient-retry path: shed
           // pages hit whole fleets at once, and deterministic re-drive
@@ -193,9 +233,13 @@ object DynamoHttpClient {
           val delay = (if (retry.baseDelayMs > 0) retry.baseDelayMs << (round - 2) else 0L) + jitter
           if (delay > 0) Thread.sleep(delay)
         }
-        pending = RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
-          attempt => client.batchWrite(table, schema, pending, attempt)
-        }
+        pending =
+          try RetryPolicy.withRetry(retry.maxAttempts, retry.baseDelayMs, retry.jitterMs) {
+            attempt => client.batchWrite(table, schema, pending, attempt)
+          } catch {
+            case NonFatal(e) if drained > 0 => throw new SinkOps.PartialBatchFailure(
+              drained, s"batch drain failed with $drained of ${batch.size} stored", e)
+          }
       }
     }
   }

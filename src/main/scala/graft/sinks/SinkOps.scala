@@ -120,6 +120,14 @@ object SinkOps {
   /** Result of a [[putBatched]] run: rows attempted / stored / failed. */
   final case class PutStats(attempted: Long, stored: Long, failed: Long)
 
+  /** Thrown by a batch `put` that landed SOME rows before giving up, so
+    * [[putBatched]] accounts the drained rows as stored instead of
+    * misstating the whole batch as failed (a multi-round BatchWriteItem
+    * drain can store 24 of 25 rows and then exhaust its budget on the
+    * last one). */
+  final class PartialBatchFailure(val storedRows: Int, message: String,
+      cause: Throwable = null) extends RuntimeException(message, cause)
+
   /** K4: drive a row-level put sink in fixed-size batches per partition,
     * accounting every item as stored or failed (a throwing `put` fails
     * its whole batch, like an errored BatchWriteItem page). Distributes
@@ -163,7 +171,11 @@ object SinkOps {
       rows.grouped(batchSize).foreach { batch =>
         attempted.add(batch.size)
         try { put(batch); stored.add(batch.size) }
-        catch { case _: Exception => failed.add(batch.size) }
+        catch {
+          case p: PartialBatchFailure =>
+            stored.add(p.storedRows); failed.add(batch.size - p.storedRows)
+          case _: Exception => failed.add(batch.size)
+        }
       }
     }
     PutStats(attempted.value, stored.value, failed.value)

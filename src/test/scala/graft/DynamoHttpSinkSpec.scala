@@ -31,6 +31,7 @@ class DynamoHttpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   @volatile private var throttleFirstN = 0 // first N POSTs → throttled
   @volatile private var shedPerBatch = 0   // echo this many items unprocessed, first call only
   @volatile private var shedOnce = false
+  @volatile private var shedForever = 0    // ALWAYS echo the last N items unprocessed
 
   private def respond(x: HttpExchange, code: Int, body: String): Unit =
     TestHttp.respond(x, code, body, contentType = "application/x-amz-json-1.0")
@@ -72,7 +73,10 @@ class DynamoHttpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
           val tbl = req.get("RequestItems").fields().next()
           val puts = tbl.getValue
           val n = puts.size()
-          val shed = if (shedOnce) { shedOnce = false; math.min(shedPerBatch, n) } else 0
+          val shed =
+            if (shedForever > 0) math.min(shedForever, n)
+            else if (shedOnce) { shedOnce = false; math.min(shedPerBatch, n) }
+            else 0
           (0 until (n - shed)).foreach { i =>
             val item = puts.get(i).get("PutRequest").get("Item")
             table.put(keyOf(item), item)
@@ -95,7 +99,8 @@ class DynamoHttpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
   private def reset(): Unit = {
-    table.clear(); calls.set(0); throttleFirstN = 0; shedPerBatch = 0; shedOnce = false
+    table.clear(); calls.set(0); throttleFirstN = 0; shedPerBatch = 0
+    shedOnce = false; shedForever = 0
   }
 
   private val retry = RetryConf(maxAttempts = 3, baseDelayMs = 0, failEveryN = 0,
@@ -159,6 +164,39 @@ class DynamoHttpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stats = DynamoHttpClient.batchStore(frame(25), "energy_data", conf, retry)
     assert(stats == SinkOps.PutStats(attempted = 25, stored = 25, failed = 0))
     assert(table.size == 25, "shed items must be re-driven to the store")
+  }
+
+  test("a never-draining item fails ALONE: rows stored in earlier rounds stay counted") {
+    reset()
+    shedForever = 1 // the last item of every page comes back unprocessed, always
+    val stats = DynamoHttpClient.batchStore(frame(25), "energy_data", conf, retry)
+    // round 1 stores 24 and echoes 1; the re-drive budget exhausts on
+    // that one item — the 24 accepted rows must NOT be swept into the
+    // batch's failure count (they ARE in the store).
+    assert(stats == SinkOps.PutStats(attempted = 25, stored = 24, failed = 1),
+      s"stats: $stats")
+    assert(table.size == 24)
+  }
+
+  test("SigV4 canonicalization follows the published algorithm") {
+    // Query params sort by encoded name and percent-encode outside the
+    // RFC 3986 unreserved set; bare keys sign as `k=`; path segments
+    // encode with slashes preserved.
+    assert(AwsSigV4.canonicalQuery("b=2&a=1") == "a=1&b=2")
+    assert(AwsSigV4.canonicalQuery("a=b c&x=~") == "a=b%20c&x=~")
+    assert(AwsSigV4.canonicalQuery("flag") == "flag=")
+    assert(AwsSigV4.canonicalQuery("") == "")
+    assert(AwsSigV4.canonicalPath("/dynamodb local/v1") == "/dynamodb%20local/v1")
+    assert(AwsSigV4.canonicalPath("") == "/")
+  }
+
+  test("an endpoint with a query string signs its normalized form end-to-end") {
+    reset()
+    // decoded on both sides (URI.getQuery / exchange getQuery), the
+    // canonical request must still agree after sort+encode
+    val queried = conf.copy(endpoint = conf.endpoint + "?tenant=local%20dev&a=1")
+    val stats = DynamoHttpClient.batchStore(frame(5), "energy_data", queried, retry)
+    assert(stats == SinkOps.PutStats(attempted = 5, stored = 5, failed = 0))
   }
 
   test("an endpoint behind a URI path signs what it sends (proxy/emulator shape)") {
