@@ -67,24 +67,8 @@ class ErcotPagesSource extends TableProvider
         tokenTtlMs = Option(opts.get("tokenTtlMs")).map(_.toLong).getOrElse(3600000L),
         refreshAheadMs = Option(opts.get("refreshAheadMs")).map(_.toLong).getOrElse(300000L))
     }
-    // Page count: the explicit option, else a driver-side 1-record
-    // probe of `_meta.totalRecords` — memoized and LAZY, because only
-    // batch planning needs it: a live STREAMING read re-probes per
-    // trigger itself, and must not pay a wasted authenticated round
-    // trip (token mint + retry budget) at table resolution.
-    val pagesThunk: () => Int = {
-      lazy val resolved = Option(opts.get("pages")).map(_.toInt).getOrElse {
-        httpConf match {
-          case Some(hc) =>
-            val total = HttpPageClient(hc).totalRecords(Map.empty, retry)
-            math.max(1, ((total + pageSize - 1) / pageSize).toInt)
-          case None => 10
-        }
-      }
-      () => resolved
-    }
     new ErcotPagesTable(
-      pages = pagesThunk,
+      explicitPages = Option(opts.get("pages")).map(_.toInt),
       pageSize = pageSize,
       startDateDays = Option(opts.get("startDate"))
         .map(java.time.LocalDate.parse(_).toEpochDay).getOrElse(19723L), // 2024-01-01
@@ -228,24 +212,25 @@ object ErcotPagesSource {
   def mw(i: Long): Double = (i * 17 % 5000) / 10.0
 }
 
-class ErcotPagesTable(pages: () => Int, pageSize: Int, startDateDays: Long,
-    retry: RetryConf, httpConf: Option[HttpConf] = None,
+class ErcotPagesTable(explicitPages: Option[Int], pageSize: Int,
+    startDateDays: Long, retry: RetryConf, httpConf: Option[HttpConf] = None,
     pagesPerTrigger: Int = Int.MaxValue)
   extends Table with SupportsRead {
-  // never force the (possibly probing) page count just to print a name
+  // never pay a probing round trip just to print a name
   override def name(): String =
     if (httpConf.isDefined) s"ercot_pages(live x $pageSize)"
-    else s"ercot_pages(${pages()} x $pageSize)"
+    else s"ercot_pages(${explicitPages.getOrElse(10)} x $pageSize)"
   override def schema(): StructType = ErcotPagesSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ErcotPagesScanBuilder(pages, pageSize, startDateDays, retry, httpConf,
-      pagesPerTrigger)
+    new ErcotPagesScanBuilder(explicitPages, pageSize, startDateDays, retry,
+      httpConf, pagesPerTrigger)
 }
 
-class ErcotPagesScanBuilder(pages: () => Int, pageSize: Int, startDateDays: Long,
-    retry: RetryConf, httpConf: Option[HttpConf], pagesPerTrigger: Int)
+class ErcotPagesScanBuilder(explicitPages: Option[Int], pageSize: Int,
+    startDateDays: Long, retry: RetryConf, httpConf: Option[HttpConf],
+    pagesPerTrigger: Int)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -267,9 +252,28 @@ class ErcotPagesScanBuilder(pages: () => Int, pageSize: Int, startDateDays: Long
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new ErcotPagesScan(pages, pageSize, startDateDays, required, hubFilter,
-      retry, httpConf, pagesPerTrigger)
+  override def build(): Scan = {
+    // The page count resolves HERE — after pushdown — so the live
+    // 1-record `_meta.totalRecords` probe carries the pushed
+    // settlementPoint param. The server filters before paginating, so
+    // a filtered scan plans ceil(filteredTotal/pageSize) partitions
+    // instead of paying wasted authenticated round trips for pages the
+    // probe-without-filter would have over-planned. Memoized and LAZY:
+    // only batch planning forces it — a live STREAMING read re-probes
+    // per trigger itself (publishedPages) and must not pay a planning
+    // round trip at build time.
+    lazy val resolved: Int = explicitPages.getOrElse {
+      httpConf match {
+        case Some(hc) =>
+          val total = HttpPageClient(hc).totalRecords(
+            hubFilter.map("settlementPoint" -> _).toMap, retry)
+          math.max(1, ((total + pageSize - 1) / pageSize).toInt)
+        case None => 10
+      }
+    }
+    new ErcotPagesScan(() => resolved, pageSize, startDateDays, required,
+      hubFilter, retry, httpConf, pagesPerTrigger)
+  }
 }
 
 class ErcotPagesScan(pages: () => Int, pageSize: Int, startDateDays: Long,

@@ -156,6 +156,21 @@ class HttpPageSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       generated.filter(col("settlement_point") === "HB_SOUTH").count())
   }
 
+  test("a filtered scan probes _meta WITH the pushed param and plans the filtered page count") {
+    resetFaults()
+    // HB_SOUTH matches 1-in-5 rows: 24 of 120. The server filters before
+    // paginating, so the filtered feed is ONE page, not four — a probe
+    // without the param would over-plan 4 partitions and burn three
+    // authenticated round trips on pages the server returns empty.
+    val df = live() // no `pages` option: the probe sizes the scan
+      .filter(col("settlement_point") === "HB_SOUTH")
+    assert(df.rdd.getNumPartitions == 1,
+      s"planned ${df.rdd.getNumPartitions} partitions for a 1-page filtered feed")
+    assert(df.count() == Rows / 5)
+    assert(lastParams.get("settlementPoint").contains("HB_SOUTH"),
+      s"the probe/readers must carry the param; server saw: $lastParams")
+  }
+
   test("the live endpoint streams: each poll probes _meta and delivers only new complete pages") {
     resetFaults()
     val q = spark.readStream.format("ercot-pages")

@@ -31,21 +31,27 @@ object TestHttp {
     * positional wire shape — ISO timestamps, fields deliberately
     * ordered DIFFERENTLY from the Spark schema so name→ordinal decode
     * stays honest. Shared by every spec that stands up the report
-    * server. */
+    * server.
+    *
+    * A `settlementPoint` param models REAL server-side filtering:
+    * the feed is filtered FIRST, then paginated over the matching
+    * rows, and `_meta.totalRecords` reports the FILTERED count — so a
+    * filtered scan that probes `_meta` plans the smaller page count
+    * (and a planner that probed without the filter would over-plan). */
   def ercotPageJson(page: Int, size: Int, servedRows: Long, startDays: Long,
       spFilter: Option[String]): String = {
     import graft.sources.ErcotPagesSource
-    val lo = (page - 1).toLong * size
-    val hi = math.min(lo + size, servedRows)
-    val data = (lo until hi)
+    val matching = (0L until servedRows)
       .filter(i => spFilter.forall(_ == ErcotPagesSource.hub(i)))
+    val lo = (page - 1).toLong * size
+    val data = matching.slice(lo.toInt, math.min(lo + size, matching.size).toInt)
       .map { i =>
         val iso = java.time.LocalDateTime.ofEpochSecond(
           ErcotPagesSource.tsMicros(startDays, i) / 1000000L, 0,
           java.time.ZoneOffset.UTC).toString
         s"""["${ErcotPagesSource.hub(i)}",${ErcotPagesSource.price(i)},"$iso",${ErcotPagesSource.mw(i)}]"""
       }.mkString(",")
-    s"""{"_meta":{"totalRecords":$servedRows},
+    s"""{"_meta":{"totalRecords":${matching.size}},
        |"fields":[{"name":"settlementPoint"},{"name":"price"},
        |          {"name":"SCEDTimestamp"},{"name":"mw"}],
        |"data":[$data]}""".stripMargin
