@@ -27,6 +27,13 @@ class LivePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val mints = new AtomicInteger(0)
   private val StartDays = java.time.LocalDate.parse("2024-01-01").toEpochDay
 
+  private val EmbedDim = 8
+
+  /** The embedding server's deterministic vector for a wire text. */
+  private def srvVec(text: String): IndexedSeq[Double] =
+    (0 until EmbedDim).map(i =>
+      ((math.abs((text + "#" + i).hashCode) % 2000) - 1000) / 1000.0)
+
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/token", (x: HttpExchange) =>
@@ -38,13 +45,23 @@ class LivePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         p("size").toInt, Days.toLong * PageSize, StartDays,
         p.get("settlementPoint")))
     })
+    server.createContext("/v1/embeddings", (x: HttpExchange) => {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val body = mapper.readTree(new String(x.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val input = body.get("input")
+      val entries = (0 until input.size()).map { k =>
+        s"""{"index":$k,"embedding":[${srvVec(input.get(k).asText()).mkString(",")}]}"""
+      }.mkString(",")
+      TestHttp.respond(x, 200, s"""{"object":"list","data":[$entries]}""")
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
 
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
-  private def pipeline() = {
+  private def sentences() = {
     val feed = spark.read.format("ercot-pages")
       .option("endpoint", s"$base/reports/sced")
       .option("tokenUrl", s"$base/token")
@@ -54,16 +71,29 @@ class LivePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load() // page count comes from the _meta probe
     val daily = feed.groupBy(to_date(col("ts")).as("d"))
       .agg(Exact.davg(col("price")).as("avg_price"), max(col("mw")).as("peak_mw"))
-    val sentences = daily.select(
+    daily.select(
       concat(lit("ercot_daily_"), date_format(col("d"), "yyyyMMdd")).as("vector_id"),
       format_string("On %s average price was %.2f USD/MWh with peak output %.1f MW.",
         date_format(col("d"), "yyyy-MM-dd"), col("avg_price"), col("peak_mw"))
         .as("semantic_sentence"),
       col("d").as("updated_at"))
-    Embedder.withEmbedding(sentences, "semantic_sentence")
+  }
+
+  private def pipeline() =
+    Embedder.withEmbedding(sentences(), "semantic_sentence")
       .select("vector_id", "embedding", "semantic_sentence", "updated_at")
       .localCheckpoint()
-  }
+
+  /** The same chain with the LIVE embedding transport in the embed
+    * slot — the reference's actual production wiring (feed → sentence
+    * → OpenAI-shaped POST → vector store), every hop over a socket. */
+  private def httpPipeline() =
+    graft.sources.EmbeddingHttp.withEmbedding(sentences(), "semantic_sentence",
+      graft.sources.EmbeddingConf(endpoint = s"$base/v1/embeddings",
+        apiKey = "key-1", dimensions = EmbedDim, batchSize = 2,
+        retry = graft.sources.RetryConf(3, 0, 0, 0)))
+      .select("vector_id", "embedding", "semantic_sentence", "updated_at")
+      .localCheckpoint()
 
   test("live feed -> aggregate -> sentence -> embed -> upsert -> read-back, idempotent under re-run") {
     val url = JdbcSink.memoryUrl("graft_live_capstone")
@@ -93,5 +123,26 @@ class LivePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       reparsed.select("semantic_sentence"), "semantic_sentence")
     assert(reparsed.select(col("stored_vec"))
       .exceptAll(recomputed.select(col("embedding").cast("array<double>"))).count() == 0)
+  }
+
+  test("the LIVE embedding transport slots into the capstone, idempotent under re-run") {
+    val url = JdbcSink.memoryUrl("graft_live_capstone_http")
+    val first = VectorStore.store(httpPipeline(), url)
+    assert(first == JdbcSink.UpsertStats(updated = 0, inserted = Days))
+    // the overlap re-run re-embeds the same sentences over the wire;
+    // the service is deterministic, so every row updates in place
+    val second = VectorStore.store(httpPipeline(), url)
+    assert(second == JdbcSink.UpsertStats(updated = Days, inserted = 0))
+
+    val back = VectorStore.load(spark, url)
+    assert(back.count() == Days)
+    // stored vectors are the SERVICE's embeddings of the wire sentences
+    val rows = back.orderBy("vector_id").collect()
+    rows.foreach { r =>
+      val expect = srvVec(r.getAs[String]("semantic_sentence"))
+      val stored = r.getAs[String]("embedding")
+        .stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble).toIndexedSeq
+      assert(stored == expect, s"vector for ${r.getAs[String]("vector_id")}")
+    }
   }
 }
