@@ -100,6 +100,14 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
+    // Start MEASURING from the same state the second pass starts from:
+    // the warm pass just churned ~100 queries of allocation, and the
+    // first measured queries otherwise absorb its major GCs — the
+    // early-alphabet 3-7x first-pass inflation (r5's q06 6.9s vs 0.94s)
+    // was warm-pass debt, not those queries' cost. Blocking unpersist
+    // first so checkpoint blocks are actually gone before the GC runs.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
     // One timed materialization of a query. Materialize through the
     // noop sink: every output column is produced and row-serialized, so
     // projection-heavy queries can't be column-pruned down to a
@@ -165,10 +173,14 @@ object Bench {
     val results = firstPass.map { case (name, elapsed, shuffleMb, err) =>
       (name, secondPass.get(name).fold(elapsed)(math.min(elapsed, _)), shuffleMb, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders a comma decimal separator on e.g. de_DE hosts — invalid JSON.
+    // 3 decimals (1 ms): full double precision bloated the record to the
+    // point the driver's tail-capture truncated it (r5's parsed: null).
+    def f3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val shuffles = results.map { case (k, _, mb, _) =>
       s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(mb))
     }.mkString("{", ",", "}")
@@ -196,14 +208,20 @@ object Bench {
     // Transparency record for the min-of-passes tail: both readings, so
     // the artifact shows HOW noisy the first pass was, not just the min.
     val passes = firstPass.collect { case (name, e1, _, _) if secondPass.contains(name) =>
-      s"\"" + name + "\":[" + e1 + "," + secondPass(name) + "]"
+      s"\"" + name + "\":[" + f3(e1) + "," + f3(secondPass(name)) + "]"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"avg_sec_per_query":$avg,"entry_pipeline_sec":$entrySec,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
+    // A compact headline line FIRST: r5's driver tail-capture truncated
+    // the full record mid-map, leaving nothing parseable. The short line
+    // carries total/n/avg/entry and survives any tail window; the full
+    // per-query record follows on its own line.
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
     // Stdout AND a file: the driver's tail-capture truncated the r3
     // artifact mid-JSON; the file is the complete record either way.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
+    println(summary)
     println(json)
     spark.stop()
   }
