@@ -42,31 +42,39 @@ object Bench {
     // noop write, not count(): a parquet count() answers from row-group
     // metadata without decoding a single column, leaving the first real
     // query to pay the cold decode.
-    Tables.names.foreach(n =>
-      Tables.load(spark, sfDir, n).write.mode("overwrite").format("noop").save())
-    Tables.load(spark, sfDir, "events")
-      .groupBy("event_type").count().collect()
+    // Every warmup / fixture-prep step is individually NonFatal-guarded:
+    // round 6 proved that ONE broken table load here zeroes the whole
+    // artifact (BENCH_r06.json rc=1, no measurement at all). A failed
+    // step costs exactly the queries that depend on it — they error in
+    // the measured pass and are recorded as errors — while every other
+    // query still produces a timing.
+    def warm(step: => Unit): Unit =
+      try step catch { case scala.util.control.NonFatal(_) => () }
+    Tables.names.foreach(n => warm(
+      Tables.load(spark, sfDir, n).write.mode("overwrite").format("noop").save()))
+    warm(Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").count().collect())
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
-    spark.range(100000)
+    warm(spark.range(100000)
       .select((col("id") % 97).as("k"), col("id").as("v"))
       .groupBy("k").count()
       .withColumn("rn", row_number().over(Window.partitionBy(col("k") % 7).orderBy(col("count"))))
       .repartition(1).sortWithinPartitions("k")
-      .write.mode("overwrite").format("noop").save()
+      .write.mode("overwrite").format("noop").save())
     // Pre-build the persisted dedup signature index q68 triages against:
     // in production it exists before any append runs (written by the
     // initial bulk build / prior appends), so its one-time construction
     // is not part of the measured append cost.
-    pipeline.DedupIndex.prepared(spark, sfDir)
+    warm(pipeline.DedupIndex.prepared(spark, sfDir))
     // Likewise the shared normalized stream source (the landed files a
     // production catch-up drains already exist): built once per SF here
     // so the first streaming query measured doesn't absorb it.
-    streaming.NormalizedEvents.sourceDir(spark, sfDir)
-    streaming.NormalizedEvents.outerJoinFixture(spark, sfDir)
+    warm(streaming.NormalizedEvents.sourceDir(spark, sfDir))
+    warm(streaming.NormalizedEvents.outerJoinFixture(spark, sfDir))
     // And q100's persisted ANN assignment index (same production
     // precondition as the dedup index above).
-    pipeline.VectorIndex.prepared(spark, sfDir, operators.SimilarityQueries.IvfCells)
+    warm(pipeline.VectorIndex.prepared(spark, sfDir, operators.SimilarityQueries.IvfCells))
     // SPARK_GRAFT_ONLY=q28_minhash_pairs,q32_simhash_bands — iterate on a
     // subset without paying for the whole suite. Unset = run everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

@@ -23,24 +23,43 @@ object Tables {
   /** Session-level settings every entry point must apply once at startup
     * (Verify/Bench mains, the flagship `entry`, test builders) — NOT per
     * table load, so no loader mutates shared session state mid-query.
-    * nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark has
-    * no native type for; read the raw int64 and truncate to micros (the
-    * data is micro-aligned; DuckDB's reader does the same truncation).
+    * nanosAsLong is best-effort legacy support: older Spark reads parquet
+    * TIMESTAMP(NANOS) as raw int64 under it; Spark 4.1+ ignores it and
+    * `load` below adapts to whatever type the reader actually produced.
     * Also registers graft's custom SQL functions (cosine_sim) — the
     * FunctionRegistry path a `spark.sql.extensions=graft.plans.
     * GraftExtensions` deployment gets automatically. */
   def configure(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case scala.util.control.NonFatal(_) => () }
     graft.plans.GraftExtensions.install(spark)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // Kept timezone-naive (NTZ) to match the source's naive semantics.
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-            .cast("timestamp_ntz"))
+      // events.ts must come out timezone-naive micro-precision
+      // (timestamp_ntz) regardless of how this Spark version read the
+      // file — the writer has shipped TIMESTAMP(NANOS) (older data,
+      // read as raw int64 under nanosAsLong) and TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false) (read natively as timestamp_ntz), and a
+      // session-zone read would surface as TimestampType. Branching on
+      // the LOADED dtype instead of hard-coding one era's conversion is
+      // what keeps one env/format bump from failing analysis suite-wide
+      // (round-6 regression: 43 queries died on a stale BIGINT path).
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case TimestampNTZType => raw
+        case LongType =>
+          // nanos-as-int64 era: truncate to micros (data is micro-aligned;
+          // DuckDB's reader performs the same truncation).
+          raw.withColumn("ts",
+            expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        case TimestampType => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other => sys.error(
+          s"events.ts: unexpected parquet-read type $other — extend Tables.load")
+      }
     case _ => spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
