@@ -137,123 +137,121 @@ object DedupQueries {
     * filter's presence beneath the pair explode.) */
   private[graft] val JaccardDfCap = 64
 
-  /** Exact n-gram Jaccard self-join with the 100 TB guard: a df-capped
-    * posting index plus a positional-prefix rescue tier for hot
-    * shingles, then exact per-candidate verification. Returns
+  /** Exact n-gram Jaccard self-join with the 100 TB guard: PPJoin
+    * positional-prefix candidate generation over a df-split inverted
+    * index, then exact per-candidate verification. Returns
     * `(id_a, id_b, n_shared, jaccard)` for pairs with
     * `round(jaccard, 6) >= tau` — bit-identical to the uncapped
     * inverted-index join for ANY `dfCap >= 1`:
     *
-    *  - COLD tier: posting lists with `1 < df <= dfCap` explode into
-    *    candidate pairs (the overwhelming majority of shingles; pair
-    *    cost per list is bounded by dfCap²). A qualifying pair whose
-    *    RAREST shared shingle is cold is generated here.
-    *  - HOT rescue tier (the standard positional-prefix-filter
-    *    argument): order all shingles globally by `(df, h)` ascending.
-    *    A pair with J >= tau shares >= ceil(tau·|A|) shingles, so if
-    *    none of A's first |A| − ceil(tau·|A|) + 1 shingles in that
-    *    order were shared, the <= ceil(tau·|A|) − 1 remaining slots
-    *    could not hold them all — contradiction. Hence the pair's
-    *    globally-rarest shared shingle sits inside BOTH docs' prefixes.
-    *    If that rarest shared shingle is still hotter than the cap
-    *    (the only way a pair escapes the cold tier), indexing prefix
-    *    entries of hot shingles regenerates the pair. Prefix postings
-    *    for a stop-shingle are tiny: the shingle lands in a doc's
-    *    prefix only when it is among that doc's rarest — essentially
-    *    never for boilerplate, and when a corpus degenerates to
-    *    mostly-boilerplate docs the output itself is quadratic, so no
-    *    candidate generator could do better.
-    *  - EXACT COUNTS: n_shared = (shared cold shingles — the cold
-    *    tier's pair aggregate counts them exactly) + (shared hot
-    *    shingles — |hotSet(A) ∩ hotSet(B)| over per-doc hot-shingle
-    *    arrays); totals give |A|,|B|; the tau filter runs on the exact
-    *    rounded Jaccard. No approximation anywhere.
+    *  - PREFIX bound (the standard positional-prefix-filter argument):
+    *    order all shingles globally by `(df, h)` ascending. A pair with
+    *    J >= tau shares >= ceil(tau·|A|) shingles, so if none of A's
+    *    first |A| − ceil(tau·|A|) + 1 shingles in that order were
+    *    shared, the <= ceil(tau·|A|) − 1 remaining slots could not hold
+    *    them all — contradiction. The same holds for B, and running the
+    *    argument on the pair's globally-RAREST shared shingle shows it
+    *    sits inside BOTH docs' prefixes. Hence indexing ONLY
+    *    prefix-resident (doc, shingle) entries is lossless, and every
+    *    tier below works on that sub-index (the round-5/6 plan exploded
+    *    the FULL cold posting lists — correct, but most of the pair
+    *    shuffle was candidates the prefix bound already refutes).
+    *  - COLD tier: prefix entries of shingles with `1 < df <= dfCap`
+    *    re-aggregate into posting lists and explode into candidate
+    *    pairs (pair cost per list bounded by min(df, prefix-residency)²
+    *    <= dfCap²). A qualifying pair whose rarest shared shingle is
+    *    cold is generated here.
+    *  - HOT tier: prefix entries of shingles hotter than the cap
+    *    self-join on the shingle. Prefix postings for a stop-shingle
+    *    are tiny: the shingle lands in a doc's prefix only when it is
+    *    among that doc's rarest — essentially never for boilerplate,
+    *    and when a corpus degenerates to mostly-boilerplate docs the
+    *    output itself is quadratic, so no candidate generator could do
+    *    better.
+    *  - EXACT verification: n_shared = |A ∩ B| via array_intersect
+    *    over per-doc SHARED-shingle arrays (every element of A ∩ B has
+    *    df >= 2 by definition, so singleton shingles can be dropped
+    *    from the verification sets; only the denominator needs the full
+    *    |A|, which the totals aggregate provides). Columnar, no
+    *    re-verification explode; the candidate side is small relative
+    *    to the corpus, so AQE broadcasts it and the array frame never
+    *    shuffles. The tau filter runs on the exact rounded Jaccard —
+    *    no approximation anywhere.
+    *
+    * The singleton trick also keeps the RANKING off the full corpus:
+    * df = 1 entries sort strictly first under (df, h)-ascending, so the
+    * i-th shared entry of a doc occupies full-set position n₁ + i, and
+    * "position <= n − floor(tauGen·n) + 1" becomes
+    * "i <= |shared| − floor(tauGen·n) + 1". The per-doc sort therefore
+    * runs on the exploded POSTING LISTS (shared entries only, typically
+    * a small fraction of the corpus) and singletons are never joined,
+    * ranked, or shuffled past their first aggregation.
     *
     * Prefix-length computation uses `tau − 1e-6`: the output filter
     * compares ROUND(j, 6) >= tau, so a pair at j = tau − 5e-7 must
-    * still be a candidate.
-    *
-    * Cost shape: the cold tier is exactly the uncapped plan minus hot
-    * lists. Everything hot-related is sized by the HOT subset — docs
-    * carrying no hot shingle never enter the rescue ranking, and in a
-    * corpus with no hot shingles at all the whole rescue path collapses
-    * to zero rows after one semi-join probe. n_shared splits exactly as
-    * (cold shared count from the pair aggregate) + (hot shared count
-    * via per-doc hot-shingle arrays and array_intersect — columnar, no
-    * re-verification explode). */
+    * still be a candidate. floor(tauGen·n) instead of ceil(tau·n) − 1
+    * keeps the prefix a token longer than the bound needs, absorbing
+    * float error on the safe side. */
   private[graft] def jaccardSelfJoin(u: DataFrame, tau: Double, dfCap: Int): DataFrame = {
     val tauGen = tau - 1e-6 // candidate recall must survive ROUND(j, 6)
     val sh = shingleRows(u, 3)
       .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
       .distinct() // (doc_id, h): hash-fold safety, mirrored by list_distinct
-      .localCheckpoint(false) // postings, totals, hot probes all read it
+      .localCheckpoint(false) // totals + postings both read it
+    // |A| per doc: count-only aggregate — partial (map-side) combine
+    // makes its shuffle rows-per-doc, not rows-per-entry.
     val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Posting-list pre-aggregation: one shuffle keyed by h; singleton
-    // postings (the overwhelming majority) die before pairs explode.
+    // postings (the overwhelming majority) die here and never reappear.
     val postings = sh.groupBy(col("h"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .withColumn("df", size(col("ids")))
-      .localCheckpoint(false) // cold pairs + hot set both read it
-    // COLD tier: capped posting lists explode into pairs; the count is
-    // the pair's EXACT number of shared cold shingles.
-    val coldCounts = postings.filter(col("df") <= dfCap)
+    // Per-doc shared-entry state, one small shuffle (shared entries
+    // only): the (df, h)-sorted struct array ranks the doc's shared
+    // shingles for the prefix bound, and its h-projection is the exact
+    // verification set.
+    val shared = postings
+      .select(col("df"), col("h"), explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("s"))
+      .join(totals, "doc_id")
+      .localCheckpoint(false) // prefix explode + both verification sides
+    // PPJoin prefix: keep shared entries whose full-set position
+    // n₁ + i is within n − floor(tauGen·n) + 1, i.e. the first
+    // size(s) − floor(tauGen·n) + 1 entries of the sorted struct array.
+    val prefix = shared
+      .select(col("doc_id"), explode(expr(
+        s"slice(s, 1, cast(greatest(0L, size(s) - floor($tauGen * n) + 1) as int))")).as("e"))
+      .select(col("doc_id"), col("e.h").as("h"), col("e.df").as("df"))
+      .localCheckpoint(false) // cold re-agg + hot self-join both read it
+    // COLD tier: prefix-resident entries of capped shingles re-aggregate
+    // into (now prefix-filtered) posting lists and explode into pairs.
+    val coldPairs = prefix.filter(col("df") <= dfCap)
+      .groupBy(col("h")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_cold"))
-    // HOT subset: distinct hot shingles are few by construction (each
-    // accounts for > dfCap postings), so the per-doc hot sets are small
-    // arrays and every hot-side frame below is tiny unless the corpus
-    // itself is wall-to-wall boilerplate.
-    val hotH = postings.filter(col("df") > dfCap).select("h")
-    val shHot = sh.join(hotH, "h") // (doc_id, h) carrying a hot shingle
-      .localCheckpoint(false) // hot arrays + rescue ranking both read it
-    val hotSets = shHot.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("hot_arr"))
-      .localCheckpoint(false) // joined twice (id_a / id_b sides)
-    // HOT rescue: only docs that CARRY a hot shingle can be in a pair
-    // whose every shared shingle is hot, so the prefix ranking runs on
-    // that restricted sub-corpus (each doc still ranks its FULL shingle
-    // set — restriction is per doc, not per row). Singleton shingles
-    // carry df = 1 (absent from the pre-agg — left join + fill).
-    // floor(tauGen·n) instead of ceil(tau·n) − 1 keeps the prefix a
-    // token longer than the bound needs, absorbing float error on the
-    // safe side.
-    val shOfHotDocs = sh.join(hotSets.select("doc_id"), "doc_id")
-    val prefix = shOfHotDocs
-      .join(postings.select(col("h"), col("df")), Seq("h"), "left")
-      .na.fill(1, Seq("df"))
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
-      .join(totals, "doc_id")
-      .filter(col("pos") <= col("n") - floor(lit(tauGen) * col("n")) + 1)
-      .select("doc_id", "h")
-    val hotPrefix = prefix.join(hotH, "h")
-      .localCheckpoint(false) // both sides of the rescue self-join
+      .select("id_a", "id_b")
+    // HOT tier: prefix entries of above-cap shingles self-join.
+    val hotPrefix = prefix.filter(col("df") > dfCap).select("doc_id", "h")
+      .localCheckpoint(false) // both sides of the self-join
     val hotPairs = hotPrefix.select(col("h"), col("doc_id").as("id_a"))
       .join(hotPrefix.select(col("h"), col("doc_id").as("id_b")), "h")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // Candidates = cold-sharing pairs ∪ rescued hot-only pairs; exact
-    // n_shared = n_cold + |hotSet(a) ∩ hotSet(b)| (array_intersect over
-    // the small per-doc hot arrays — columnar, no explode).
-    val cand = coldCounts
-      .join(hotPairs, Seq("id_a", "id_b"), "full_outer")
-      .na.fill(0L, Seq("n_cold"))
-    val nShared = cand
-      .join(hotSets.select(col("doc_id").as("id_a"), col("hot_arr").as("hot_a")),
-        Seq("id_a"), "left")
-      .join(hotSets.select(col("doc_id").as("id_b"), col("hot_arr").as("hot_b")),
-        Seq("id_b"), "left")
+      .select("id_a", "id_b")
+    val cand = coldPairs.union(hotPairs).distinct()
+    // EXACT verification over the shared-entry arrays.
+    val vside = shared.select(col("doc_id"),
+      expr("transform(s, x -> x.h)").as("arr"), col("n"))
+    cand
+      .join(vside.select(col("doc_id").as("id_a"),
+        col("arr").as("arr_a"), col("n").as("n_a")), "id_a")
+      .join(vside.select(col("doc_id").as("id_b"),
+        col("arr").as("arr_b"), col("n").as("n_b")), "id_b")
       .withColumn("n_shared",
-        col("n_cold") + when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
-          .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
-      .select("id_a", "id_b", "n_shared")
-    nShared
-      .join(totals.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(totals.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6))
