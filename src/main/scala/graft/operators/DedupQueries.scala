@@ -277,39 +277,80 @@ object DedupQueries {
       .distinct()
       .localCheckpoint()
 
-  /** Distributed connected components over `(a, b)` edges by iterative
-    * min-label propagation: each round is one equi-join + one
-    * min-aggregate, both keyed on the vertex id; rounds ∝ component
-    * DIAMETER, not corpus size. Labels are re-checkpointed per round —
-    * truncates the iterative lineage AND gives the convergence count an
-    * action to ride on. Returns `(id, lbl)`; a component wider than the
-    * round cap FAILS loudly (a partially-merged labeling would silently
-    * diverge from the recursive-CTE oracle). */
-  private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 20,
+  /** Distributed connected components over `(a, b)` edges by
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): each
+    * round hangs every node's neighborhood off its minimum, halving
+    * component depth, so rounds grow ~log(n) — NOT with component
+    * diameter like the round-5/6 min-label propagation, whose per-hop
+    * propagation made a long drop-a-token dup chain exceed any fixed
+    * round cap. Both star steps are equi-joins + min-aggregates keyed
+    * on the vertex id; no step ever materializes a component as one
+    * row. Per-round checkpoints truncate the iterative lineage and give
+    * the convergence check an action to ride on.
+    *
+    *  - LARGE-STAR (on the symmetrized edge set): for each u with
+    *    m = min(N(u) ∪ {u}), re-hang every neighbor v > u onto m, and
+    *    keep (u, m) so u itself stays attached. Every new edge links
+    *    two nodes of u's component, and for any old edge (u, v) both
+    *    endpoints still reach m — connectivity is exactly preserved.
+    *  - SMALL-STAR (on the larger→smaller orientation): for each u,
+    *    re-hang its smaller neighbors (and u) onto m = min of them.
+    *    Same preservation argument.
+    *  - Fixpoint: every component is a star oriented child → minimum;
+    *    detected as an unchanged oriented edge set (count + anti-join),
+    *    which costs one extra confirming round. A graph that has not
+    *    converged inside the cap FAILS loudly (a partially-contracted
+    *    labeling would silently diverge from the recursive-CTE oracle).
+    *
+    * Returns `(id, lbl)` for every vertex of `edges`, lbl = component
+    * minimum. */
+  private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
       tag: String): DataFrame = {
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    val verts = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
       .localCheckpoint()
-    var changed = 1L
+    // Canonical orientation (larger, smaller), self-loops dropped.
+    var cur = edges
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var curCnt = cur.count()
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("lbl").as("nbr_lbl")), "b")
-        .groupBy(col("a")).agg(min(col("nbr_lbl")).as("nbr"))
-        .withColumnRenamed("a", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl2"))
+    var done = curCnt == 0L
+    while (!done && rounds < maxRounds) {
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mL.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val lsSym = ls.union(ls.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val low = lsSym.filter(col("v") < col("u"))
+      val mS = low.groupBy("u").agg(min("v").as("m"))
+      val next = low.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct() // (u, v) with v < u by construction
         .localCheckpoint()
-      changed = next.filter(col("lbl2") < col("lbl")).count()
-      labels = next.select(col("id"), col("lbl2").as("lbl"))
+      val nextCnt = next.count()
+      done = nextCnt == curCnt &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      cur = next
+      curCnt = nextCnt
       rounds += 1
     }
-    if (changed > 0)
+    if (!done)
       throw new IllegalStateException(
-        s"$tag: label propagation did not converge in $maxRounds rounds " +
-          s"($changed labels still changing) — raise the round cap")
-    labels
+        s"$tag: star contraction did not converge in $maxRounds rounds " +
+          s"($curCnt edges remaining) — raise the round cap")
+    // Stars: each non-root has exactly one edge to its root; roots and
+    // isolated vertices label themselves.
+    verts
+      .join(cur.groupBy("u").agg(min("v").as("root"))
+        .select(col("u").as("id"), col("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
   }
 
   /** Universal-hash permutation constants for MinHash: minhash_j =

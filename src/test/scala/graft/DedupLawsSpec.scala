@@ -50,6 +50,21 @@ class DedupLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: a 1000-link chain converges inside the round cap") {
+    // The scale case that kills per-hop label propagation (1000 rounds,
+    // one per hop): star contraction must close it in ~log n rounds.
+    // Descending ids + an interleaved shuffle order so neither
+    // orientation nor input order accidentally helps.
+    val n = 1000
+    val chain = (0 until n).map(i => (3000L + n - i, 3000L + n - i - 1))
+    val shuffled = new scala.util.Random(5).shuffle(chain)
+    val edges = shuffled.toDF("a", "b")
+    val got = DedupQueries.connectedComponents(edges, maxRounds = 25, tag = "chain1000")
+      .as[(Long, Long)].collect()
+    assert(got.length == n + 1)
+    assert(got.forall(_._2 == 3000L), "every chain vertex must label to the minimum")
+  }
+
   test("inverted-index Jaccard ≡ brute-force pairwise set algebra") {
     val rnd = new scala.util.Random(7)
     // 40 random docs over a 60-token vocabulary (dense enough to share).
