@@ -51,7 +51,7 @@ object MeteostatHttpClient {
     val fetch = FanOut.fetch(spark, stations, retry) {
       (city, stationId, attempt) =>
         fetchStation(conf, date, city, stationId, attempt)
-          .map(t => StationTavg(city, t)).toSeq // None = responded, no valid reading
+          .map(t => StationTavg(city, t)).iterator // None = responded, no valid reading
     }
     MeteostatFetch(fetch.frame, fetch.skipped, fetch.emptyOk)
   }

@@ -53,7 +53,7 @@ object WeatherHttpClient {
       locations: Seq[(String, String)], retry: RetryConf): WeatherFetch = {
     import spark.implicits._
     val fetch = FanOut.fetch(spark, locations, retry) {
-      (name, cityId, attempt) => fetchCity(conf, date, name, cityId, attempt)
+      (name, cityId, attempt) => fetchCity(conf, date, name, cityId, attempt).iterator
     }
     WeatherFetch(fetch.frame, fetch.skipped)
   }
