@@ -175,16 +175,30 @@ class DedupLawsSpec extends AnyFunSuite {
     * equals brute force for EVERY cap, including caps aggressive enough
     * to force most recall through the prefix tier. */
   test("df-capped Jaccard join ≡ brute force on random corpora, any cap") {
-    for (trial <- 0 until 3) {
+    for (trial <- 0 until 4) {
       val rnd = new scala.util.Random(100 + trial)
-      // 35 docs, 8-14 tokens from a 12-word vocabulary: heavy overlap.
+      // Trials 0-2: 35 docs, 8-14 tokens from a 12-word vocabulary —
+      // heavy overlap, every posting list long. Trial 3: a 400-word
+      // vocabulary — the SPARSE regime where most shingles are
+      // singletons (df = 1), pinning the singleton-pruned ranking (the
+      // i-th shared entry sits at full-set position n1 + i) against a
+      // reference that ranks nothing.
+      val vocab = if (trial == 3) 400 else 12
       val docs = (0 until 35).map { i =>
         val n = 8 + rnd.nextInt(7)
-        (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(12)}").mkString(" "))
+        (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(vocab)}").mkString(" "))
       }
-      val u = docs.toDF("doc_id", "text")
-      val tau = 0.35 + 0.1 * trial // sweep thresholds across trials
-      val want = bruteJaccard(docs, tau)
+      // Sparse trial: re-plant guaranteed near-dup pairs, else the
+      // brute-force reference is vacuously empty and proves nothing.
+      val planted = if (trial == 3) (0 until 6).map { k =>
+        val (_, t) = docs(k * 5)
+        (500L + k, t.split(" ").drop(1).mkString(" "))
+      } else Seq.empty
+      val all = docs ++ planted
+      val u = all.toDF("doc_id", "text")
+      val tau = if (trial == 3) 0.5 else 0.35 + 0.1 * trial
+      val want = bruteJaccard(all, tau)
+      if (trial == 3) assert(want.nonEmpty, "sparse fixture must qualify pairs")
       for (dfCap <- Seq(1, 2, 4, 16)) {
         val got = DedupQueries.jaccardSelfJoin(u, tau, dfCap)
           .as[(Long, Long, Long, Double)].collect()
