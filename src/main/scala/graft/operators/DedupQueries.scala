@@ -194,9 +194,13 @@ object DedupQueries {
     * float error on the safe side. */
   private[graft] def jaccardSelfJoin(u: DataFrame, tau: Double, dfCap: Int): DataFrame = {
     val tauGen = tau - 1e-6 // candidate recall must survive ROUND(j, 6)
-    val sh = shingleRows(u, 3)
+    // dedup = false + one distinct on the HASHES: string-level distinct
+    // then hash then hash-level distinct (the oracle's two list_distinct
+    // calls) yields the same set as hashing duplicates and distincting
+    // once — so the string-level shuffle is dropped entirely.
+    val sh = shingleRows(u, 3, dedup = false)
       .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
-      .distinct() // (doc_id, h): hash-fold safety, mirrored by list_distinct
+      .distinct() // (doc_id, h): per-doc set semantics + hash-fold safety
       .localCheckpoint(false) // totals + postings both read it
     // |A| per doc: count-only aggregate — partial (map-side) combine
     // makes its shuffle rows-per-doc, not rows-per-entry.
@@ -307,14 +311,16 @@ object DedupQueries {
     * minimum. */
   private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
       tag: String): DataFrame = {
+    // Read once at the end — no checkpoint job of its own (its lineage
+    // is the caller's already-checkpointed edge frame).
     val verts = edges.select(col("a").as("id"))
       .union(edges.select(col("b").as("id"))).distinct()
-      .localCheckpoint()
     // Canonical orientation (larger, smaller), self-loops dropped.
+    // Lazy checkpoint: materializes under the first round's count job.
     var cur = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var curCnt = cur.count()
     var rounds = 0
     var done = curCnt == 0L
@@ -333,7 +339,7 @@ object DedupQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct() // (u, v) with v < u by construction
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the count below
       val nextCnt = next.count()
       done = nextCnt == curCnt &&
         next.join(cur, Seq("u", "v"), "left_anti").isEmpty
