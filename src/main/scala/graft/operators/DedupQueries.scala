@@ -201,7 +201,11 @@ object DedupQueries {
     val sh = shingleRows(u, 3, dedup = false)
       .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
       .distinct() // (doc_id, h): per-doc set semantics + hash-fold safety
-      .localCheckpoint(false) // totals + postings both read it
+      // EAGER: totals and postings read it, and totals feeds a broadcast
+      // exchange — broadcast jobs run on their own threads BEFORE a lazy
+      // checkpoint has materialized, silently recomputing the whole
+      // tokenize+shingle+md5 subtree (profiled: ~2× the query's compute).
+      .localCheckpoint()
     // |A| per doc: count-only aggregate — partial (map-side) combine
     // makes its shuffle rows-per-doc, not rows-per-entry.
     val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -220,30 +224,53 @@ object DedupQueries {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("s"))
       .join(totals, "doc_id")
-      .localCheckpoint(false) // prefix explode + both verification sides
+      .localCheckpoint() // eager: both verification sides join it broadcast-side
     // PPJoin prefix: keep shared entries whose full-set position
     // n₁ + i is within n − floor(tauGen·n) + 1, i.e. the first
     // size(s) − floor(tauGen·n) + 1 entries of the sorted struct array.
+    // posexplode carries each entry's FULL-set position
+    // pos = n₁ + i = (n − size(s)) + (p + 1) for the positional filter.
     val prefix = shared
-      .select(col("doc_id"), explode(expr(
-        s"slice(s, 1, cast(greatest(0L, size(s) - floor($tauGen * n) + 1) as int))")).as("e"))
-      .select(col("doc_id"), col("e.h").as("h"), col("e.df").as("df"))
+      .select(col("doc_id"), col("n"), size(col("s")).as("ns"), posexplode(expr(
+        s"slice(s, 1, cast(greatest(0L, size(s) - floor($tauGen * n) + 1) as int))")).as(Seq("p", "e")))
+      .select(col("doc_id"), col("e.h").as("h"), col("e.df").as("df"),
+        (col("n") - col("ns") + col("p") + 1).as("pos"), col("n"))
       .localCheckpoint(false) // cold re-agg + hot self-join both read it
+    // POSITIONAL filter (exact, applied per generating entry before the
+    // pair distinct): for the pair's globally-RAREST generating shingle
+    // t*, every other shared shingle is less rare, hence sits after t*
+    // in BOTH docs' orders — overlap <= 1 + min(n_a − pos_a, n_b − pos_b).
+    // A qualifying pair has overlap >= (n_a+n_b)·tauGen/(1+tauGen)
+    // (from j >= tauGen), so its t* row always passes and recall is
+    // exact; rows where the bound can't be met (late-prefix junk — the
+    // dominant candidate class) die before touching the verification
+    // arrays. Applied to every generating row: non-minimal rows may
+    // over-accept (their bound is not tight), never over-reject.
+    val fr = tauGen / (1.0 + tauGen)
+    def positionalKeep(pa: Column, na: Column, pb: Column, nb: Column): Column =
+      (lit(1) + least(na - pa, nb - pb)).cast("double") >=
+        (na + nb).cast("double") * lit(fr) - lit(1e-9)
     // COLD tier: prefix-resident entries of capped shingles re-aggregate
     // into (now prefix-filtered) posting lists and explode into pairs.
     val coldPairs = prefix.filter(col("df") <= dfCap)
-      .groupBy(col("h")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"), col("n")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("ea"), col("xs"))
+      .select(col("ea"), explode(col("xs")).as("eb"))
+      .filter(col("ea.doc_id") < col("eb.doc_id"))
+      .filter(positionalKeep(col("ea.pos"), col("ea.n"), col("eb.pos"), col("eb.n")))
+      .select(col("ea.doc_id").as("id_a"), col("eb.doc_id").as("id_b"))
     // HOT tier: prefix entries of above-cap shingles self-join.
-    val hotPrefix = prefix.filter(col("df") > dfCap).select("doc_id", "h")
+    val hotPrefix = prefix.filter(col("df") > dfCap)
+      .select("doc_id", "h", "pos", "n")
       .localCheckpoint(false) // both sides of the self-join
-    val hotPairs = hotPrefix.select(col("h"), col("doc_id").as("id_a"))
-      .join(hotPrefix.select(col("h"), col("doc_id").as("id_b")), "h")
+    val hotPairs = hotPrefix.select(col("h"), col("doc_id").as("id_a"),
+        col("pos").as("pa"), col("n").as("na"))
+      .join(hotPrefix.select(col("h"), col("doc_id").as("id_b"),
+        col("pos").as("pb"), col("n").as("nb")), "h")
       .filter(col("id_a") < col("id_b"))
+      .filter(positionalKeep(col("pa"), col("na"), col("pb"), col("nb")))
       .select("id_a", "id_b")
     val cand = coldPairs.union(hotPairs).distinct()
     // EXACT verification over the shared-entry arrays.

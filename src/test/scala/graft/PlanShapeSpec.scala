@@ -90,10 +90,11 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.{FilterExec, GenerateExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val ns81 = nodes(plan("q81_ngram_jaccard"))
-    // Pair-minting Generates are the ones that introduce id_a/id_b.
+    // Pair-minting Generates are the ones that explode the per-shingle
+    // (doc_id, pos, n) entry structs into the two pair sides.
     val pairGens = ns81.collect {
       case g: GenerateExec
-        if g.generatorOutput.exists(a => a.name == "id_a" || a.name == "id_b") => g
+        if g.generatorOutput.exists(a => a.name == "ea" || a.name == "eb") => g
     }
     assert(pairGens.nonEmpty, "q81 lost its posting-list pair explode")
     pairGens.foreach { g =>

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Manual stage-level profiler: `Test/runMain graft.StageProf qNN [sfDir]`
+  * warms the query at sf0.001, runs it once at the target SF, and prints
+  * the heaviest stages by executor run time with their shuffle writes —
+  * the per-stage view Bench's per-query totals can't give. */
+object StageProf {
+  def main(args: Array[String]): Unit = {
+    val qname = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.configure(spark)
+    val stages = mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        stages += ((si.stageId, si.name.split("\n")(0).take(90), ms,
+          si.taskMetrics.executorRunTime,
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten))
+      }
+    })
+    val fn = SparkEntry.queries(qname)
+    fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+    org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
+    stages.clear()
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    val total = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
+    println(f"TOTAL $total%.2f s over ${stages.size} stages")
+    stages.sortBy(-_._4).take(20).foreach { case (id, name, wall, run, sb) =>
+      println(f"stage $id%4d wall=$wall%6dms taskRun=$run%7dms shW=${sb / 1024}%8dKB  $name")
+    }
+    spark.stop()
+  }
+}
