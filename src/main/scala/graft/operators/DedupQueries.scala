@@ -469,7 +469,11 @@ object DedupQueries {
           MinhashParams.zipWithIndex.map { case ((a, b), j) =>
             min((lit(a) * col("h31") + lit(b)) % MinhashP).as(s"m$j")
           }: _*)
-        .localCheckpoint(false)
+        // EAGER: the verify join-backs read sig from broadcast-exchange
+        // threads, which run before a lazy checkpoint materializes and
+        // would recompute the tokenize+shingle+md5 subtree once EACH
+        // (profiled: two extra ~1s stages at sf0.1).
+        .localCheckpoint()
       // (doc_id, seed, minhash) rows for the band buckets.
       val mh = sig.select(col("doc_id"), explode(array(
           MinhashParams.indices.map(j =>
