@@ -38,8 +38,15 @@ object VectorOps {
   def cosine6(a: Column, b: Column): Column =
     round(graft.plans.CosineSim(a, b), 6)
 
-  /** L2 (Euclidean) distance. */
-  def l2(a: Column, b: Column): Column =
+  /** L2 (Euclidean) distance — the codegen'd [[graft.plans.L2Dist]]
+    * expression (identical sequential fold to the HOF chain it
+    * replaced, which was CodegenFallback and allocated a zip_with
+    * array per row — the dominant cost of argmin assignment scans). */
+  def l2(a: Column, b: Column): Column = graft.plans.L2Dist(a, b)
+
+  /** HOF reference implementation of [[l2]], kept for law-testing the
+    * codegen expression against the fold semantics it must match. */
+  def l2Hof(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 }

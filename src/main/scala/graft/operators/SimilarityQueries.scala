@@ -155,9 +155,16 @@ object SimilarityQueries {
     require(cap > 0, "semanticPrune requires a positive cell cap")
     // Same argmin-assignment contract as q42/q100 (rounding and
     // tie-break are oracle-pinned) — shared, not re-implemented.
+    // EAGER checkpoint on the argmin assignment — the query's dominant
+    // compute, read three ways: the grid aggregate (inside a BROADCAST
+    // thread, which runs before any lazy checkpoint materializes) and
+    // both salt-grid sides (whose differing projections defeat exchange
+    // reuse). Without it the assignment ran once per reader (profiled:
+    // twin ~1s stages at sf0.1).
     val assign = VectorIndex
       .assign(base, VectorIndex.seedCentroids(base, cells))
       .select("vec_id", "cell_id")
+      .localCheckpoint()
     // Cell occupancy → salt-grid width. One row per cell: broadcast.
     val grid = assign.groupBy(col("cell_id"))
       .agg(ceil(count(lit(1)) / lit(cap.toDouble)).cast("int").as("g"))
@@ -895,7 +902,11 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn
          |  FROM pairs) WHERE rn = 1
          |ORDER BY drop_id""".stripMargin) { (s, dir) =>
-      semanticPrune(emb(s, dir).localCheckpoint(false), SemCells, SemCellCap)
+      // EAGER checkpoint: semanticPrune's centroid subtree feeds a
+      // broadcast exchange, whose thread runs before a lazy checkpoint
+      // materializes — the embedding scan+cast was computing twice in
+      // parallel (profiled: twin ~1s stages at sf0.1).
+      semanticPrune(emb(s, dir).localCheckpoint(), SemCells, SemCellCap)
     },
 
     // ----- X2 (incremental): ANN index APPEND against the PERSISTED
