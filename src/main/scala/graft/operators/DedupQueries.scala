@@ -352,14 +352,19 @@ object DedupQueries {
     var rounds = 0
     var done = curCnt == 0L
     while (!done && rounds < maxRounds) {
+      // Intermediate edge frames are NOT distinct'd: every consumer is
+      // either a min-aggregate (duplicate-insensitive) or feeds the
+      // round's final distinct, so the two extra per-round shuffles a
+      // canonical form would cost buy nothing. Only `next` must be
+      // canonical — the convergence compare needs set equality.
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
       val mL = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val ls = sym.join(mL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mL.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-      val lsSym = ls.union(ls.select(col("v").as("u"), col("u").as("v"))).distinct()
+        .filter(col("u") =!= col("v"))
+      val lsSym = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
       val low = lsSym.filter(col("v") < col("u"))
       val mS = low.groupBy("u").agg(min("v").as("m"))
       val next = low.join(mS, "u")
