@@ -495,7 +495,21 @@ object DedupQueries {
         .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      cand
+      // Jaccard SIZE bound before the array verify (exact — never
+      // rejects a qualifying pair): J = |∩|/|∪| <= min(n_a,n_b)/
+      // max(n_a,n_b), so size-mismatched candidates die on two int
+      // columns instead of dragging their ~50-element hash arrays
+      // through the join (band r=1 makes candidates plentiful: ~75k at
+      // sf0.1 for an output of hundreds). 1e-6 slack mirrors the
+      // ROUND(j,6) output comparison.
+      val sizes = sig.select(col("doc_id"), size(col("h31s")).as("n"))
+      val candSized = cand
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .filter(least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * lit(JaccardThresh - 1e-6))
+        .select("id_a", "id_b")
+      candSized
         .join(sig.select(col("doc_id").as("id_a"), col("h31s").as("sh_a")), "id_a")
         .join(sig.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
         .withColumn("jaccard",
