@@ -40,5 +40,19 @@ object NamedQuery {
       df.repartition(1).sortWithinPartitions(cols: _*)
     def presented(first: String, rest: String*): DataFrame =
       df.repartition(1).sortWithinPartitions(first, rest: _*)
+
+    /** Parallel range sort for an UNBOUNDED output whose child is
+      * expensive: the lazy checkpoint lets the range partitioner's
+      * sampling pass materialize the child once as row blocks, which
+      * the real exchange then reads — instead of re-executing
+      * everything upstream of the last boundary a second time. Use for
+      * trailing order-by over a verify/join subtree; plain `orderBy`
+      * remains right when the child is a cheap scan. (Measured against
+      * `persist()`, which also halts the recompute but pays a columnar
+      * cache build: the row-block checkpoint is consistently faster.)
+      * The checkpoint truncates the inspectable plan, so PlanShapeSpec
+      * pins candidate-generation shape on the PRE-SORT helper frames. */
+    def rangeSorted(first: String, rest: String*): DataFrame =
+      df.localCheckpoint(false).orderBy(first, rest: _*)
   }
 }

@@ -290,6 +290,87 @@ object DedupQueries {
       .select("id_a", "id_b", "n_shared", "jaccard")
   }
 
+  /** q28's MinHash near-dup join, pre-sort (PlanShapeSpec pins its
+    * candidate-generation shape here — the trailing rangeSorted
+    * checkpoint hides it from the registered query's plan):
+    * hashed-shingle space end to end (one md5 per shingle; verify runs
+    * on compact int arrays, not strings), ONE signature aggregate
+    * (distinct-hash set + all k permuted minhashes — min is
+    * duplicate-insensitive), band buckets by PRE-AGGREGATION rather
+    * than a self-join (singleton buckets die before any pair
+    * materializes), then the exact Jaccard size bound
+    * (J <= min(n_a,n_b)/max(n_a,n_b) — never rejects a qualifying
+    * pair) on two int columns before the array verify (band r=1 makes
+    * candidates plentiful: ~75k at sf0.1 for an output of hundreds).
+    * The signature checkpoint is EAGER: the verify join-backs read it
+    * from broadcast-exchange threads, which run before a lazy
+    * checkpoint materializes and would recompute the shingle+md5
+    * subtree once each. */
+  private[graft] def minhashPairs(u: DataFrame): DataFrame = {
+    val shr = shingleRows(u, 3, dedup = false) // sig aggs are dup-insensitive
+      .withColumn("h31", TextOps.hash60(col("t")).bitwiseAND(lit(2147483647L)))
+    val sig = shr.groupBy(col("doc_id"))
+      .agg(collect_set(col("h31")).as("h31s"),
+        MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          min((lit(a) * col("h31") + lit(b)) % MinhashP).as(s"m$j")
+        }: _*)
+      .localCheckpoint()
+    val mh = sig.select(col("doc_id"), explode(array(
+        MinhashParams.indices.map(j =>
+          struct(lit(j).as("seed"), col(s"m$j").as("minhash"))): _*)).as("sm"))
+      .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.minhash").as("minhash"))
+    val cand = mh.groupBy(col("seed"), col("minhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = sig.select(col("doc_id"), size(col("h31s")).as("n"))
+    val candSized = cand
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")) * lit(JaccardThresh - 1e-6))
+      .select("id_a", "id_b")
+    candSized
+      .join(sig.select(col("doc_id").as("id_a"), col("h31s").as("sh_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= JaccardThresh)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** q32's SimHash near-dup join, pre-sort (PlanShapeSpec pins shape
+    * here, as with [[minhashPairs]]): 60-bit signatures via the
+    * codegen'd vote aggregate, 4×15-bit band buckets, Hamming verify.
+    * The signature frame is checkpointed because BOTH sides of the
+    * band self-join read it and the aliased projections defeat
+    * exchange reuse — without it the shingle+vote subtree (the
+    * dominant cost) computes twice. */
+  private[graft] def simhashPairs(u: DataFrame): DataFrame = {
+    val sg = simhashSigs(u).localCheckpoint(false)
+    val banded = sg.select(col("doc_id"), col("sig"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band_id"),
+          shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
+      .select(col("doc_id"), col("sig"),
+        col("bv.band_id").as("band_id"), col("bv.band_val").as("band_val"))
+    val cand = banded.select(col("band_id"), col("band_val"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band_id"), col("band_val"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "sig_a", "id_b", "sig_b").distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= HammingThresh)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Blocking edges: two normalization keys per doc (content md5 and
     * md5 minus the leading token — a drop-a-token chain collides on
     * adjacent keys), bucket pre-aggregation (identical plan shape to
@@ -415,7 +496,7 @@ object DedupQueries {
       withPlanted(base, 7, 20000, identity)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("keep_id")
+        .rangeSorted("keep_id") // md5 groupBy child runs once, not twice
     },
 
     // ----- X3 MinHash: shingle → minhash → band-bucket join → Jaccard
@@ -458,66 +539,8 @@ object DedupQueries {
       // it across the cluster first (at real scale the file layout
       // provides the parallelism and this exchange is free).
       val u = withPlanted(base, 10, 10000, dropFirstTok).repartition(col("doc_id"))
-      // Hashed-shingle space end to end: one md5 per distinct shingle;
-      // the Jaccard verify runs on the compact int arrays, not strings.
-      val shr = shingleRows(u, 3, dedup = false) // sig aggs are dup-insensitive
-        .withColumn("h31", TextOps.hash60(col("t")).bitwiseAND(lit(2147483647L)))
-      // ONE hash aggregate builds the whole signature table: the
-      // distinct-shingle-hash set for the Jaccard verify plus all k
-      // permuted minhashes (min is duplicate-insensitive). Lazily
-      // local-checkpointed: it feeds the band buckets AND both verify
-      // join-backs — without the checkpoint the tokenize+shingle+md5
-      // subtree is recomputed 4×. (In a standing pipeline this is a
-      // persisted signature stage.)
-      val sig = shr.groupBy(col("doc_id"))
-        .agg(collect_set(col("h31")).as("h31s"),
-          MinhashParams.zipWithIndex.map { case ((a, b), j) =>
-            min((lit(a) * col("h31") + lit(b)) % MinhashP).as(s"m$j")
-          }: _*)
-        // EAGER: the verify join-backs read sig from broadcast-exchange
-        // threads, which run before a lazy checkpoint materializes and
-        // would recompute the tokenize+shingle+md5 subtree once EACH
-        // (profiled: two extra ~1s stages at sf0.1).
-        .localCheckpoint()
-      // (doc_id, seed, minhash) rows for the band buckets.
-      val mh = sig.select(col("doc_id"), explode(array(
-          MinhashParams.indices.map(j =>
-            struct(lit(j).as("seed"), col(s"m$j").as("minhash"))): _*)).as("sm"))
-        .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.minhash").as("minhash"))
-      // Candidates via bucket PRE-AGGREGATION rather than a self-join:
-      // one shuffle keyed by (seed, minhash) collects each bucket's ids,
-      // singleton buckets (the overwhelming majority) are dropped before
-      // any pair is materialized, and pairs explode only within buckets.
-      val cand = mh.groupBy(col("seed"), col("minhash"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("id_a"), col("ids"))
-        .select(col("id_a"), explode(col("ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      // Jaccard SIZE bound before the array verify (exact — never
-      // rejects a qualifying pair): J = |∩|/|∪| <= min(n_a,n_b)/
-      // max(n_a,n_b), so size-mismatched candidates die on two int
-      // columns instead of dragging their ~50-element hash arrays
-      // through the join (band r=1 makes candidates plentiful: ~75k at
-      // sf0.1 for an output of hundreds). 1e-6 slack mirrors the
-      // ROUND(j,6) output comparison.
-      val sizes = sig.select(col("doc_id"), size(col("h31s")).as("n"))
-      val candSized = cand
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-        .filter(least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")) * lit(JaccardThresh - 1e-6))
-        .select("id_a", "id_b")
-      candSized
-        .join(sig.select(col("doc_id").as("id_a"), col("h31s").as("sh_a")), "id_a")
-        .join(sig.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
-        .withColumn("jaccard",
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 6))
-        .filter(col("jaccard") >= JaccardThresh)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+      minhashPairs(u)
+        .rangeSorted("id_a", "id_b") // verify child runs once, not twice
     },
 
     // ----- X3 SimHash: 60-bit signature, 4×15-bit bands for candidate
@@ -545,28 +568,8 @@ object DedupQueries {
       // Spread the single-row-group corpus before the shingle+md5 explode
       // (same reasoning as q28 — the hash stage is the dominant compute).
       val u = withPlanted(base, 9, 30000, dropFirstTok).repartition(col("doc_id"))
-      // Checkpointed: BOTH sides of the band self-join read sg, and the
-      // aliased projections defeat exchange reuse — without this the
-      // shingle+vote subtree (the query's dominant cost) computes twice.
-      val sg = simhashSigs(u).localCheckpoint(false)
-      val banded = sg.select(col("doc_id"), col("sig"), explode(array(
-          (0 until 4).map(b => struct(lit(b).as("band_id"),
-            shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
-        .select(col("doc_id"), col("sig"),
-          col("bv.band_id").as("band_id"), col("bv.band_val").as("band_val"))
-      val cand = banded.select(col("band_id"), col("band_val"),
-          col("doc_id").as("id_a"), col("sig").as("sig_a"))
-        .join(banded.select(col("band_id"), col("band_val"),
-          col("doc_id").as("id_b"), col("sig").as("sig_b")),
-          Seq("band_id", "band_val"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "sig_a", "id_b", "sig_b").distinct()
-      cand
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-        .filter(col("hamming") <= HammingThresh)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+      simhashPairs(u)
+        .rangeSorted("id_a", "id_b") // band-join child runs once, not twice
     },
 
     // ----- X3 (cross-corpus): train/eval CONTAMINATION detection — the
@@ -620,7 +623,7 @@ object DedupQueries {
           round(col("n_shared").cast("double") / col("n_eval"), 6))
         .filter(col("containment") >= ContamThresh)
         .select("eval_id", "train_id", "n_shared", "containment")
-        .orderBy("eval_id", "train_id")
+        .rangeSorted("eval_id", "train_id") // containment child runs once
     },
 
     // ----- X3 (cluster resolution): near-dup PAIRS are not the end of a
@@ -743,7 +746,7 @@ object DedupQueries {
       val batchSigs = graft.pipeline.DedupIndex.signatures(batch)
         .localCheckpoint(false) // exact probe, band probe, and verdict all read it
       graft.pipeline.DedupIndex.triage(s, indexPath, batchSigs)
-        .orderBy("doc_id")
+        .orderBy("doc_id") // triage child is index-scan joins: cheap resample
     },
 
     // ----- X3 exact n-gram Jaccard: the DETERMINISTIC near-dup tier —
@@ -781,7 +784,7 @@ object DedupQueries {
       // (the dominant compute), same as q28/q32.
       val u = withPlanted(base, 11, 50000, dropFirstTok).repartition(col("doc_id"))
       jaccardSelfJoin(u, JaccardThresh, JaccardDfCap)
-        .orderBy("id_a", "id_b")
+        .rangeSorted("id_a", "id_b") // verify child runs once, not twice
     },
 
     // ----- X3 (cross-corpus, bloom-accelerated): the SCALE form of the
@@ -849,7 +852,7 @@ object DedupQueries {
           round(col("n_shared").cast("double") / col("n_eval"), 6))
         .filter(col("containment") >= ContamThresh)
         .select("eval_id", "train_id", "n_shared", "containment")
-        .orderBy("eval_id", "train_id")
+        .rangeSorted("eval_id", "train_id") // containment child runs once
     },
 
     // ----- X3 (cluster resolution, step 2): CANONICAL SURVIVOR
@@ -946,7 +949,7 @@ object DedupQueries {
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       val u = withPlanted(base, 7, 70000, dropFirstTok).repartition(col("doc_id"))
       dupSpans(u, DupSpanW)
-        .orderBy("doc_id", "span_start") // row-per-span: parallel range sort
+        .rangeSorted("doc_id", "span_start") // row-per-span; spans built once
     },
 
     // ----- X3/X4: first-occurrence NOVELTY scoring — the data-valuation
@@ -976,7 +979,7 @@ object DedupQueries {
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       val u = withPlanted(base, 9, 45000, dropFirstTok).repartition(col("doc_id"))
       noveltyScores(u)
-        .orderBy("doc_id") // row-per-doc: parallel range sort
+        .rangeSorted("doc_id") // row-per-doc; fold child runs once
     }
   )
 

@@ -20,15 +20,19 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
 
-  /** Collect over the plan INCLUDING inside AQE wrappers and
-    * materialized query stages (a ReusedExchange lives inside a
-    * ShuffleQueryStage, which `collect` treats as a leaf). */
+  /** Collect over the plan INCLUDING inside AQE wrappers, materialized
+    * query stages (a ReusedExchange lives inside a ShuffleQueryStage,
+    * which `collect` treats as a leaf), and cached relations (the
+    * rangeSorted persist wraps each heavy tail in an InMemoryTableScan
+    * whose child plan carries the candidate-generation shape). */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val self = p.collect { case n => n }
     self.flatMap {
       case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
       case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         qs +: nodes(qs.plan)
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im +: nodes(im.relation.cachedPlan)
       case n => Seq(n)
     }
   }
@@ -70,10 +74,23 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dedup/similarity candidate generation never plans a cross product") {
-    Seq("q28_minhash_pairs", "q32_simhash_bands", "q31_embedding_neardup",
-      "q59_dup_clusters", "q68_incremental_dedup", "q81_ngram_jaccard",
-      "q86_canonical_pick", "q95_dup_spans").foreach { q =>
-      val ns = nodes(plan(q))
+    // Queries whose registered plan ends in rangeSorted are pinned on
+    // their pre-sort helper frame instead — the trailing checkpoint
+    // truncates the registered plan to an RDD scan, which would make
+    // this assertion vacuous. Plan shape is data-independent, so the
+    // helpers run on the raw corpus.
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val preSort: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q28 minhashPairs" -> operators.DedupQueries.minhashPairs(docs),
+      "q32 simhashPairs" -> operators.DedupQueries.simhashPairs(docs),
+      "q81 jaccardSelfJoin" -> operators.DedupQueries
+        .jaccardSelfJoin(docs, 0.6, operators.DedupQueries.JaccardDfCap),
+      "q95 dupSpans" -> operators.DedupQueries.dupSpans(docs, 8))
+    val plans = preSort.map { case (n, df) => n -> df.queryExecution.executedPlan } ++
+      Seq("q31_embedding_neardup", "q59_dup_clusters", "q68_incremental_dedup",
+        "q86_canonical_pick").map(q => q -> plan(q))
+    plans.foreach { case (q, p) =>
+      val ns = nodes(p)
       assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
         s"$q plans a CartesianProduct")
       assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
@@ -89,7 +106,12 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q81 pair explode is df-capped; q95 share test plans no distinct agg") {
     import org.apache.spark.sql.execution.{FilterExec, GenerateExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    val ns81 = nodes(plan("q81_ngram_jaccard"))
+    // Pre-sort helper frames (the registered plans end in rangeSorted,
+    // whose checkpoint truncates them — see the cross-product test).
+    val docs81 = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val ns81 = nodes(operators.DedupQueries
+      .jaccardSelfJoin(docs81, 0.6, operators.DedupQueries.JaccardDfCap)
+      .queryExecution.executedPlan)
     // Pair-minting Generates are the ones that explode the per-shingle
     // (doc_id, pos, n) entry structs into the two pair sides.
     val pairGens = ns81.collect {
@@ -103,7 +125,8 @@ class PlanShapeSpec extends AnyFunSuite {
           c.contains(s"<= ${operators.DedupQueries.JaccardDfCap}")),
         s"q81 pair explode runs uncapped — no df <= cap filter beneath it:\n$conds")
     }
-    val ns95 = nodes(plan("q95_dup_spans"))
+    val ns95 = nodes(operators.DedupQueries.dupSpans(docs81, 8)
+      .queryExecution.executedPlan)
     val distinctAggs = ns95.collect {
       case a: BaseAggregateExec
         if a.aggregateExpressions.exists(_.isDistinct) => a
