@@ -371,6 +371,39 @@ object DedupQueries {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** q84's bloom-prefiltered decontamination, pre-sort (PlanShapeSpec /
+    * graft.Plans read the shape here — the trailing rangeSorted
+    * checkpoint hides it from the registered query's plan): distinct
+    * hashed eval 6-grams feed one driver-side binary sketch; the TRAIN
+    * side is probed with might_contain BEFORE its dedup exchange, so
+    * the sketch kills non-candidate grams map-side and only survivors
+    * cross the wire; the exact join then restores bit-identical
+    * containment results. */
+  private[graft] def bloomDecontamPairs(evalDocs: DataFrame, train: DataFrame): DataFrame = {
+    import graft.functions.BloomOps
+    // Distinct hashed 6-grams per side (join key = the compact long).
+    val eg = shingleRows(evalDocs, 6)
+      .select(col("doc_id").as("eval_id"), TextOps.hash60(col("t")).as("h"))
+      .distinct()
+      .localCheckpoint(false) // sketch, join, and totals all read it
+    // One binary sketch row crosses the driver; the corpus does not.
+    val bloom = BloomOps.build(eg, "h", estimatedItems = 1 << 18)
+    val tg = shingleRows(train.repartition(col("doc_id")), 6, dedup = false)
+      .select(col("doc_id").as("train_id"), TextOps.hash60(col("t")).as("h"))
+      .filter(BloomOps.mightContain(bloom, col("h")))
+      .distinct()
+    val shared = eg.join(tg, "h")
+      .filter(col("eval_id") =!= col("train_id"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val totals = eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+    shared.join(totals, "eval_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_eval"), 6))
+      .filter(col("containment") >= ContamThresh)
+      .select("eval_id", "train_id", "n_shared", "containment")
+  }
+
   /** Blocking edges: two normalization keys per doc (content md5 and
     * md5 minus the leading token — a drop-a-token chain collides on
     * adjacent keys), bucket pre-aggregation (identical plan shape to
@@ -823,35 +856,12 @@ object DedupQueries {
          |FROM shared s JOIN totals t USING (eval_id)
          |WHERE ROUND(CAST(s.n_shared AS DOUBLE) / t.n_eval, 6) >= $ContamThresh
          |ORDER BY eval_id, train_id""".stripMargin) { (s, dir) =>
-      import graft.functions.BloomOps
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       val evalDocs = base.filter(col("doc_id") % 40 === 0)
       val train = base.unionAll(
         evalDocs.select((col("doc_id") + 60000).as("doc_id"),
           dropFirstTok(col("text")).as("text")))
-      // Distinct hashed 6-grams per side (join key = the compact long).
-      val eg = shingleRows(evalDocs, 6)
-        .select(col("doc_id").as("eval_id"), TextOps.hash60(col("t")).as("h"))
-        .distinct()
-        .localCheckpoint(false) // sketch, join, and totals all read it
-      // One binary sketch row crosses the driver; the corpus does not.
-      val bloom = BloomOps.build(eg, "h", estimatedItems = 1 << 18)
-      // Probe BEFORE the distinct: the sketch kills non-candidate grams
-      // map-side, so even the dedup exchange carries only survivors.
-      val tg = shingleRows(train.repartition(col("doc_id")), 6, dedup = false)
-        .select(col("doc_id").as("train_id"), TextOps.hash60(col("t")).as("h"))
-        .filter(BloomOps.mightContain(bloom, col("h")))
-        .distinct()
-      val shared = eg.join(tg, "h")
-        .filter(col("eval_id") =!= col("train_id"))
-        .groupBy(col("eval_id"), col("train_id"))
-        .agg(count(lit(1)).as("n_shared"))
-      val totals = eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
-      shared.join(totals, "eval_id")
-        .withColumn("containment",
-          round(col("n_shared").cast("double") / col("n_eval"), 6))
-        .filter(col("containment") >= ContamThresh)
-        .select("eval_id", "train_id", "n_shared", "containment")
+      bloomDecontamPairs(evalDocs, train)
         .rangeSorted("eval_id", "train_id") // containment child runs once
     },
 
