@@ -48,15 +48,22 @@ object Bench {
     // step costs exactly the queries that depend on it — they error in
     // the measured pass and are recorded as errors — while every other
     // query still produces a timing.
-    def warm(step: => Unit): Unit =
-      try step catch { case scala.util.control.NonFatal(_) => () }
-    Tables.names.foreach(n => warm(
+    // Named + logged: a broken fixture here surfaces downstream as
+    // per-query errors, and without the root cause printed the next
+    // round-6-style environment break is needlessly hard to diagnose.
+    def warm(label: String)(step: => Unit): Unit =
+      try step catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup step '$label' failed: " +
+            e.getClass.getName + ": " + e.getMessage)
+      }
+    Tables.names.foreach(n => warm(s"load $n")(
       Tables.load(spark, sfDir, n).write.mode("overwrite").format("noop").save()))
-    warm(Tables.load(spark, sfDir, "events")
+    warm("events groupBy")(Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect())
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
-    warm(spark.range(100000)
+    warm("shuffle/window/codegen")(spark.range(100000)
       .select((col("id") % 97).as("k"), col("id").as("v"))
       .groupBy("k").count()
       .withColumn("rn", row_number().over(Window.partitionBy(col("k") % 7).orderBy(col("count"))))
@@ -66,15 +73,15 @@ object Bench {
     // in production it exists before any append runs (written by the
     // initial bulk build / prior appends), so its one-time construction
     // is not part of the measured append cost.
-    warm(pipeline.DedupIndex.prepared(spark, sfDir))
+    warm("dedup index")(pipeline.DedupIndex.prepared(spark, sfDir))
     // Likewise the shared normalized stream source (the landed files a
     // production catch-up drains already exist): built once per SF here
     // so the first streaming query measured doesn't absorb it.
-    warm(streaming.NormalizedEvents.sourceDir(spark, sfDir))
-    warm(streaming.NormalizedEvents.outerJoinFixture(spark, sfDir))
+    warm("stream source")(streaming.NormalizedEvents.sourceDir(spark, sfDir))
+    warm("stream outer-join fixture")(streaming.NormalizedEvents.outerJoinFixture(spark, sfDir))
     // And q100's persisted ANN assignment index (same production
     // precondition as the dedup index above).
-    warm(pipeline.VectorIndex.prepared(spark, sfDir, operators.SimilarityQueries.IvfCells))
+    warm("vector index")(pipeline.VectorIndex.prepared(spark, sfDir, operators.SimilarityQueries.IvfCells))
     // SPARK_GRAFT_ONLY=q28_minhash_pairs,q32_simhash_bands — iterate on a
     // subset without paying for the whole suite. Unset = run everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -93,12 +100,12 @@ object Bench {
     // but still a complete record.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      try {
+      warm("sf0.001 fixtures") {
         pipeline.DedupIndex.prepared(spark, warmDir)
         streaming.NormalizedEvents.sourceDir(spark, warmDir)
         streaming.NormalizedEvents.outerJoinFixture(spark, warmDir)
         pipeline.VectorIndex.prepared(spark, warmDir, operators.SimilarityQueries.IvfCells)
-      } catch { case scala.util.control.NonFatal(_) => () }
+      }
       selected.foreach { case (_, fn) =>
         // NonFatal only: an OOM/VM error here means the JVM is already
         // corrupted — poisoning every measured number that follows is
@@ -222,8 +229,14 @@ object Bench {
     // the full record mid-map, leaving nothing parseable. The short line
     // carries total/n/avg/entry and survives any tail window; the full
     // per-query record follows on its own line.
-    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"sf":"$sfDir"}"""
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
+    // Self-describing schema: timing_rule states that a query's recorded
+    // time is the min over its (error-free) passes — the slowest-tail
+    // queries get a second pass and keep the smaller reading, with both
+    // readings preserved in remeasured_passes. spark_version stamps the
+    // engine so an environment bump names itself in the artifact.
+    val meta = s""""spark_version":"${spark.version}","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass""""
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"spark_version":"${spark.version}","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},$meta,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
     // Stdout AND a file: the driver's tail-capture truncated the r3
     // artifact mid-JSON; the file is the complete record either way.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Lineage truncation with a cluster-durability switch.
+  *
+  * Every multi-consumer intermediate in the dedup/similarity tier is
+  * materialized once and read several times (posting lists, shared-entry
+  * state, k-means assignments). On `local[N]` an executor-local
+  * checkpoint is ideal: no disk round-trip beyond the block manager, and
+  * the JVM is the only executor, so "single replica" is not a risk. On a
+  * real cluster it is: `localCheckpoint` blocks live on exactly one
+  * executor, so one lost executor fails the job instead of recomputing,
+  * and dynamic allocation can reap the executor holding them.
+  *
+  * `checkpointed` keeps the local default and adds the cluster path
+  * behind one conf:
+  *
+  *   - `spark.graft.checkpointDir` unset (default): `localCheckpoint`,
+  *     exactly the previous behavior.
+  *   - `spark.graft.checkpointDir=<fault-tolerant path>` (HDFS/S3/...):
+  *     a reliable `Dataset.checkpoint` into that directory — replicated
+  *     storage, survives executor loss, safe under dynamic allocation.
+  *
+  * Eagerness is forwarded unchanged; the eager-vs-lazy decisions at the
+  * call sites (e.g. eager before anything feeding a broadcast exchange,
+  * whose job runs on its own thread before a lazy checkpoint would
+  * materialize) are orthogonal to durability.
+  */
+object Materialize {
+  /** Fault-tolerant directory for reliable checkpoints; unset = local. */
+  val ConfKey = "spark.graft.checkpointDir"
+
+  // setCheckpointDir appends a random UUID subdirectory, so the applied
+  // conf value — not SparkContext.getCheckpointDir — is what we compare
+  // against to honor a mid-session conf change.
+  @volatile private var appliedDir: Option[String] = None
+
+  private def ensureCheckpointDir(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      if (!appliedDir.contains(dir)) {
+        spark.sparkContext.setCheckpointDir(dir)
+        appliedDir = Some(dir)
+      }
+    }
+
+  implicit final class CheckpointOps[T](private val ds: Dataset[T]) extends AnyVal {
+    /** Truncate lineage: reliable checkpoint when
+      * `spark.graft.checkpointDir` is set, `localCheckpoint` otherwise. */
+    def checkpointed(eager: Boolean = true): Dataset[T] = {
+      val spark = ds.sparkSession
+      spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty) match {
+        case Some(dir) =>
+          ensureCheckpointDir(spark, dir)
+          ds.checkpoint(eager)
+        case None =>
+          ds.localCheckpoint(eager)
+      }
+    }
+  }
+}

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One named operator-query in the driver contract.
@@ -53,6 +54,6 @@ object NamedQuery {
       * The checkpoint truncates the inspectable plan, so PlanShapeSpec
       * pins candidate-generation shape on the PRE-SORT helper frames. */
     def rangeSorted(first: String, rest: String*): DataFrame =
-      df.localCheckpoint(false).orderBy(first, rest: _*)
+      df.checkpointed(false).orderBy(first, rest: _*)
   }
 }

@@ -47,6 +47,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Engine-version stamp alongside the dump: when a hash drifts, the
+    // artifact itself names which Spark produced it (round 6's silent
+    // 4.1.2 bump cost a round of diagnosis).
+    Files.writeString(Paths.get(s"$outDir/versions.json"),
+      s"""{"spark": ${q(spark.version)}, "scala": ${q(util.Properties.versionNumberString)}}""")
     spark.stop()
   }
 }

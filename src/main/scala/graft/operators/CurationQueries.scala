@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.CheckpointOps
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{ExactSql, TextOps}
@@ -550,7 +551,7 @@ object CurationQueries {
         .select(coalesce(col("id1"), col("id2")).as("doc_id"),
           col("h1"), col("h2"),
           col("id1").isNotNull.as("in1"), col("id2").isNotNull.as("in2"))
-        .localCheckpoint(false) // both history branches read it
+        .checkpointed(false) // both history branches read it
       val closedOrOpen = j.filter(col("in1"))
         .select(col("doc_id"), col("h1").as("h"), lit(1).as("valid_from"),
           when(!col("in2") || col("h1") =!= col("h2"), lit(2)).as("valid_to"),

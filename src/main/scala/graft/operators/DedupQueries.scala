@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.CheckpointOps
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.TextOps
@@ -205,7 +206,7 @@ object DedupQueries {
       // exchange — broadcast jobs run on their own threads BEFORE a lazy
       // checkpoint has materialized, silently recomputing the whole
       // tokenize+shingle+md5 subtree (profiled: ~2× the query's compute).
-      .localCheckpoint()
+      .checkpointed()
     // |A| per doc: count-only aggregate — partial (map-side) combine
     // makes its shuffle rows-per-doc, not rows-per-entry.
     val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -224,7 +225,7 @@ object DedupQueries {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("s"))
       .join(totals, "doc_id")
-      .localCheckpoint() // eager: both verification sides join it broadcast-side
+      .checkpointed() // eager: both verification sides join it broadcast-side
     // PPJoin prefix: keep shared entries whose full-set position
     // n₁ + i is within n − floor(tauGen·n) + 1, i.e. the first
     // size(s) − floor(tauGen·n) + 1 entries of the sorted struct array.
@@ -235,7 +236,7 @@ object DedupQueries {
         s"slice(s, 1, cast(greatest(0L, size(s) - floor($tauGen * n) + 1) as int))")).as(Seq("p", "e")))
       .select(col("doc_id"), col("e.h").as("h"), col("e.df").as("df"),
         (col("n") - col("ns") + col("p") + 1).as("pos"), col("n"))
-      .localCheckpoint(false) // cold re-agg + hot self-join both read it
+      .checkpointed(false) // cold re-agg + hot self-join both read it
     // POSITIONAL filter (exact, applied per generating entry before the
     // pair distinct): for the pair's globally-RAREST generating shingle
     // t*, every other shared shingle is less rare, hence sits after t*
@@ -264,7 +265,7 @@ object DedupQueries {
     // HOT tier: prefix entries of above-cap shingles self-join.
     val hotPrefix = prefix.filter(col("df") > dfCap)
       .select("doc_id", "h", "pos", "n")
-      .localCheckpoint(false) // both sides of the self-join
+      .checkpointed(false) // both sides of the self-join
     val hotPairs = hotPrefix.select(col("h"), col("doc_id").as("id_a"),
         col("pos").as("pa"), col("n").as("na"))
       .join(hotPrefix.select(col("h"), col("doc_id").as("id_b"),
@@ -314,7 +315,7 @@ object DedupQueries {
         MinhashParams.zipWithIndex.map { case ((a, b), j) =>
           min((lit(a) * col("h31") + lit(b)) % MinhashP).as(s"m$j")
         }: _*)
-      .localCheckpoint()
+      .checkpointed()
     val mh = sig.select(col("doc_id"), explode(array(
         MinhashParams.indices.map(j =>
           struct(lit(j).as("seed"), col(s"m$j").as("minhash"))): _*)).as("sm"))
@@ -351,7 +352,7 @@ object DedupQueries {
     * exchange reuse — without it the shingle+vote subtree (the
     * dominant cost) computes twice. */
   private[graft] def simhashPairs(u: DataFrame): DataFrame = {
-    val sg = simhashSigs(u).localCheckpoint(false)
+    val sg = simhashSigs(u).checkpointed(false)
     val banded = sg.select(col("doc_id"), col("sig"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band_id"),
           shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))): _*)).as("bv"))
@@ -385,7 +386,7 @@ object DedupQueries {
     val eg = shingleRows(evalDocs, 6)
       .select(col("doc_id").as("eval_id"), TextOps.hash60(col("t")).as("h"))
       .distinct()
-      .localCheckpoint(false) // sketch, join, and totals all read it
+      .checkpointed(false) // sketch, join, and totals all read it
     // One binary sketch row crosses the driver; the corpus does not.
     val bloom = BloomOps.build(eg, "h", estimatedItems = 1 << 18)
     val tg = shingleRows(train.repartition(col("doc_id")), 6, dedup = false)
@@ -420,7 +421,7 @@ object DedupQueries {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .checkpointed()
 
   /** Distributed connected components over `(a, b)` edges by
     * alternating large-star / small-star contraction (Kiveris et al.,
@@ -461,7 +462,7 @@ object DedupQueries {
     var cur = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(false)
+      .checkpointed(false)
     var curCnt = cur.count()
     var rounds = 0
     var done = curCnt == 0L
@@ -485,7 +486,7 @@ object DedupQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct() // (u, v) with v < u by construction
-        .localCheckpoint(false) // materialized by the count below
+        .checkpointed(false) // materialized by the count below
       val nextCnt = next.count()
       done = nextCnt == curCnt &&
         next.join(cur, Seq("u", "v"), "left_anti").isEmpty
@@ -643,7 +644,7 @@ object DedupQueries {
       // doc_id doubles as the corpus spread).
       val eg = shingleRows(evalDocs, 8)
         .select(col("doc_id").as("eval_id"), col("t"))
-        .localCheckpoint(false) // feeds the join AND the totals
+        .checkpointed(false) // feeds the join AND the totals
       val tg = shingleRows(train, 8)
         .select(col("doc_id").as("train_id"), col("t"))
       val shared = eg.join(tg, "t")
@@ -777,7 +778,7 @@ object DedupQueries {
       // index parquet (content_hash; (band_id, band_val)).
       val indexPath = graft.pipeline.DedupIndex.prepared(s, dir)
       val batchSigs = graft.pipeline.DedupIndex.signatures(batch)
-        .localCheckpoint(false) // exact probe, band probe, and verdict all read it
+        .checkpointed(false) // exact probe, band probe, and verdict all read it
       graft.pipeline.DedupIndex.triage(s, indexPath, batchSigs)
         .orderBy("doc_id") // triage child is index-scan joins: cheap resample
     },
@@ -999,7 +1000,7 @@ object DedupQueries {
     val sh = shingleRows(u, 3)
       .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
       .distinct()
-      .localCheckpoint(false) // first-carrier agg + per-doc fold both read it
+      .checkpointed(false) // first-carrier agg + per-doc fold both read it
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
     sh.join(first, "h")
       .groupBy(col("doc_id"))
@@ -1027,7 +1028,7 @@ object DedupQueries {
       .select(col("doc_id"), col("pos"),
         TextOps.hash60(concat_ws(" ",
           col("tok") +: (1 until w).map(k => col(s"t$k")): _*)).as("h"))
-      .localCheckpoint(false) // share test and flag join both read it
+      .checkpointed(false) // share test and flag join both read it
     // Hot-span guard: the cross-doc test is "≥ 2 distinct docs", which
     // is exactly min(doc_id) < max(doc_id) — two longs of fully
     // map-side-combinable aggregate state per hash instead of a

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.CheckpointOps
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{noOracle, q, PresentationOps}
 import graft.functions.{Exact, ExactSql, VectorOps}
@@ -164,7 +165,7 @@ object SimilarityQueries {
     val assign = VectorIndex
       .assign(base, VectorIndex.seedCentroids(base, cells))
       .select("vec_id", "cell_id")
-      .localCheckpoint()
+      .checkpointed()
     // Cell occupancy → salt-grid width. One row per cell: broadcast.
     val grid = assign.groupBy(col("cell_id"))
       .agg(ceil(count(lit(1)) / lit(cap.toDouble)).cast("int").as("g"))
@@ -718,7 +719,7 @@ object SimilarityQueries {
       val S = Embedder.Dim / PqM
       val base = emb(s, dir)
       val sub = pqSplit(base)
-        .localCheckpoint(false) // codebook, assignment, and queries read it
+        .checkpointed(false) // codebook, assignment, and queries read it
       val cents = pqCodebook(sub)
       val assign = pqAssign(sub, cents).select(col("vec_id"), col("m"), col("code"))
       val qs = base.filter(col("vec_id") < NQueries)
@@ -838,7 +839,7 @@ object SimilarityQueries {
          |SELECT iter, cell_id, n_members, inertia FROM ($unionSql)
          |ORDER BY iter, cell_id""".stripMargin
     }) { (s, dir) =>
-      val base = emb(s, dir).localCheckpoint(false) // read twice per iteration
+      val base = emb(s, dir).checkpointed(false) // read twice per iteration
       var cents = base.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
       var statsAll: Option[DataFrame] = None
@@ -849,7 +850,7 @@ object SimilarityQueries {
           .agg(min_by(struct(col("cell_id"), col("d")),
             struct(col("d"), col("cell_id"))).as("a"))
           .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("a.d").as("d"))
-          .localCheckpoint(false) // census and the new means both read it
+          .checkpointed(false) // census and the new means both read it
         val stats = assign.groupBy(col("cell_id"))
           .agg(count(lit(1)).as("n_members"), Exact.davgRound(col("d"), 6).as("inertia"))
           .select(lit(i).as("iter"), col("cell_id"), col("n_members"), col("inertia"))
@@ -906,7 +907,7 @@ object SimilarityQueries {
       // broadcast exchange, whose thread runs before a lazy checkpoint
       // materializes — the embedding scan+cast was computing twice in
       // parallel (profiled: twin ~1s stages at sf0.1).
-      semanticPrune(emb(s, dir).localCheckpoint(), SemCells, SemCellCap)
+      semanticPrune(emb(s, dir).checkpointed(), SemCells, SemCellCap)
     },
 
     // ----- X2 (incremental): ANN index APPEND against the PERSISTED

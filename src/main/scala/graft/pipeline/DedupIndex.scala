@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Materialize.CheckpointOps
 import graft.operators.DedupQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -87,8 +88,8 @@ object DedupIndex {
     * index. Returns the triage frame (already materialized — the append
     * must not observe its own writes). */
   def append(spark: SparkSession, indexPath: String, batch: DataFrame): DataFrame = {
-    val sigs = signatures(batch).localCheckpoint() // probe + append read it
-    val verdicts = triage(spark, indexPath, sigs).localCheckpoint()
+    val sigs = signatures(batch).checkpointed() // probe + append read it
+    val verdicts = triage(spark, indexPath, sigs).checkpointed()
     sigs.join(verdicts.filter(col("verdict") === "new").select("doc_id"), "doc_id")
       .write.mode("append").parquet(indexPath)
     verdicts

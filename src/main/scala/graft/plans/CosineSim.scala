@@ -38,8 +38,10 @@ case class CosineSim(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  /** Null elements only need runtime checks when the schema admits them. */
-  private def mayHaveNullElems: Boolean =
+  /** Null elements only need runtime checks when the schema admits them.
+    * lazy val: the interpreted path calls this per element per row, and
+    * the two dataType casts + field reads must not run there. */
+  private lazy val mayHaveNullElems: Boolean =
     left.dataType.asInstanceOf[ArrayType].containsNull ||
       right.dataType.asInstanceOf[ArrayType].containsNull
 

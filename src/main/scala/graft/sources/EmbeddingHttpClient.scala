@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Materialize.CheckpointOps
 import com.fasterxml.jackson.databind.ObjectMapper
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
@@ -181,7 +182,7 @@ object EmbeddingHttp {
         batch.iterator.zip(vecs.iterator).map { case (t, v) => (t, v, ok) }
       }
     }.toDF("__text", "embedding", "embedding_ok")
-      .localCheckpoint()
+      .checkpointed()
     df.join(embedded.withColumnRenamed("__text", textCol), Seq(textCol), "left")
   }
 }

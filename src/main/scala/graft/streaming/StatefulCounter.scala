@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Materialize.CheckpointOps
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -104,7 +105,7 @@ object StatefulCounter {
       if (!existing.columns.contains("bucket")) {
         val migrated = existing
           .withColumn("bucket", pmod(col("user_id"), lit(TotalsBuckets.toLong)))
-          .localCheckpoint(true) // materialize before overwriting its own source
+          .checkpointed(true) // materialize before overwriting its own source
         migrated.write.mode("overwrite").partitionBy("bucket").parquet(targetDir)
       }
     }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Materialize.CheckpointOps
 import graft.operators.Upsert
 import graft.sinks.SinkOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -101,7 +102,7 @@ object StreamingUpsert {
     // Materialize before overwriting paths the plan may have read from.
     val resolved = Upsert.lastWins(merged, keys, Seq(col("__v").desc))
       .drop("__v")
-      .localCheckpoint(true)
+      .checkpointed(true)
     SinkOps.writePartitioned(resolved, targetDir, Seq(dateCol))
   }
 }

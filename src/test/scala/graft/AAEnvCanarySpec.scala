@@ -27,10 +27,15 @@ class AAEnvCanarySpec extends AnyFunSuite {
       s"\n$table canonical schema drifted.\n  expected: ${expect.toSeq}\n  loaded:   $got")
   }
 
-  test("spark version is the one this repo was verified against (informational)") {
-    // Not an assertion — a drift in the version string with green tables
-    // is fine; this just makes the running version part of the test log.
+  test("spark version is the one every recorded hash was verified against") {
     info(s"spark=${spark.version} scala=${util.Properties.versionNumberString}")
+    // Pinned on purpose: every CORRECTNESS hash and benchmark record was
+    // produced on this version. On a bump this ONE named test fails —
+    // re-run the oracle sweep (tools/check_oracle.py), then update the
+    // pin. Verify/Bench stamp the running version into their artifacts
+    // (versions.json / spark_version), so drift names itself there too.
+    assert(spark.version == "4.1.2",
+      s"Spark bumped to ${spark.version}: re-verify all 100 oracle hashes, then update this pin")
   }
 
   test("events: ts is timestamp_ntz after load (micro precision, naive)") {

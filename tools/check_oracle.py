@@ -91,6 +91,13 @@ def compare():
     for name, v in sorted(results.items()):
         mark = "PASS" if v == "OK" else ("INFO" if v.startswith("rows-only") and "EMPTY" not in v else "FAIL")
         print(f"{mark}  {name}: {v}")
+    # Version stamp: which engines produced/judged this run, so an
+    # environment bump names itself in the gate output.
+    versions = {"duckdb": duckdb.__version__}
+    vpath = f"{OUT}/versions.json"
+    if os.path.exists(vpath):
+        versions.update(json.load(open(vpath)))
+    print(f"== versions: {json.dumps(versions, sort_keys=True)} ==")
     print(f"== {npass}/{len(results)} ok ==")
 
 if __name__ == "__main__":
