@@ -49,9 +49,41 @@ object MediaQueries {
         .orderBy("media_id")
     },
 
+    // ----- the batched kernel's PER-ASSET outputs are deterministic
+    // functions of the payload (stub: brightness = mean of the first 64
+    // bytes, header = hex of the first 4), so this half of the decode
+    // path gets a REAL oracle: DuckDB recomputes the same features from
+    // the source text (byte-identical to the UTF-8 payload — the q39
+    // ASCII identity). brightness ships as micro-units (×1e6, BIGINT) so
+    // the compare is integer-exact rather than ULP-sensitive. Only q40's
+    // batch_size — a runtime partition-slicing artifact, the genuinely
+    // non-SQL surface — stays rows-only.
+    q("q101_media_decode_values",
+      "multimodal: per-asset decoded features through the batched mapPartitions kernel",
+      """SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ROUND(CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE list_avg(list_transform(range(1, least(64, length(text)) + 1),
+        |                                     i -> unicode(text[i]))) END * 1e6, 0) AS BIGINT)
+        |    AS brightness_micro,
+        |  hex(encode(substring(text, 1, 4))) AS header
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = MediaOps.mediaTable(Tables.load(s, dir, "documents"))
+        .as[MediaOps.MediaRow]
+      MediaOps.decodeFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          rint(col("brightness") * 1e6).cast("long").as("brightness_micro"),
+          col("header"))
+        .presented("media_id")
+    },
+
     // ----- the batched kernel path: typed Dataset boundary →
     // mapPartitions decode stub → per-kind rollup. Rows-only check (the
-    // kernel is exactly the part an oracle cannot express).
+    // batch accounting depends on runtime partition slicing — exactly
+    // the part an oracle cannot express; the kernel's VALUES are
+    // oracle-checked per asset by q101).
     noOracle("q40_media_decode_stub",
       "multimodal: batched mapPartitions decode (stubbed kernel) + rollup") { (s, dir) =>
       import s.implicits._

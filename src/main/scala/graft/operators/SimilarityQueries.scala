@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Materialize.CheckpointOps
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.{noOracle, q, PresentationOps}
+import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql, VectorOps}
 import graft.pipeline.Embedder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -56,6 +56,14 @@ object SimilarityQueries {
     * ranking are broken on vec_id so ordering is total in both engines. */
   private val cosineSql =
     "ROUND(list_inner_product(ev, qv) / NULLIF(sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv)), 0), 6)"
+
+  /** q48's embedding-dump root: the query writes its deterministic
+    * embeddings under a (count, Σ n_chars)-keyed subdir here so the
+    * static oracle SQL can select the current corpus's dump by
+    * re-deriving the same key from the `documents` view. /tmp because
+    * the oracle (DuckDB, driver-side) reads it in the same gate run
+    * that wrote it. */
+  private val Q48EmbDumpRoot = "/tmp/graft_q48_emb"
 
   private val NQueries = 5   // q26 query-set size (first ids — deterministic)
   private val TopK = 10
@@ -418,20 +426,54 @@ object SimilarityQueries {
 
     // ----- U1+X2 end-to-end: the RAG retrieval loop with OUR embedder —
     // embed the documents, retrieve top-3 neighbors for the first 5 docs
-    // by cosine. The hash-projection embedding is not SQL-expressible
-    // (rows-only check by contract); the semantic invariant — every
-    // document's nearest neighbor is itself at sim 1.0 — is enforced by
-    // EmbedRetrievalSpec instead.
-    noOracle("q48_embed_retrieval",
-      "U1/X2: deterministic embedder + cosine top-k self-retrieval") { (s, dir) =>
+    // by cosine. The hash-projection EMBEDDER is not SQL-expressible
+    // (Spark-seeded xxhash64; EmbedderSpec + EmbedRetrievalSpec own it),
+    // but the RETRIEVAL stage is: the query materializes the
+    // deterministic embeddings to a parquet dump and the oracle computes
+    // the same cosine top-k from the same bytes in DuckDB. The dump dir
+    // is keyed by (doc count, Σ n_chars) — two corpus aggregates the
+    // static oracle SQL re-derives from the `documents` view to select
+    // THIS scale factor's dump (sf0.001 and sf0.01 share a count, so
+    // count alone is not a key).
+    q("q48_embed_retrieval",
+      "U1/X2: deterministic embedder + cosine top-k self-retrieval (retrieval oracle over the dumped embeddings)",
+      s"""WITH e AS (
+         |  SELECT doc_id, embedding FROM '${Q48EmbDumpRoot}/*/*.parquet'
+         |  WHERE n_docs = (SELECT COUNT(*) FROM documents)
+         |    AND sum_chars = (SELECT SUM(n_chars) FROM documents)),
+         |q AS (SELECT doc_id AS query_id, embedding AS qv FROM e WHERE doc_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.doc_id,
+         |         ROUND(list_inner_product(e.embedding, q.qv) /
+         |               NULLIF(sqrt(list_inner_product(e.embedding, e.embedding)) *
+         |                      sqrt(list_inner_product(q.qv, q.qv)), 0), 6) AS sim
+         |  FROM e CROSS JOIN q),
+         |ranked AS (
+         |  SELECT query_id, doc_id, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rn
+         |  FROM scored WHERE sim IS NOT NULL)
+         |SELECT query_id, doc_id, sim, rn FROM ranked WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
       // The corpus arrives as one file → one partition; spread the
       // embed work across the cluster first (at real scale the file
       // layout provides this parallelism and the repartition is free).
       val docs = Tables.load(s, dir, "documents")
         .select("doc_id", "text")
         .repartition(col("doc_id"))
-      val embedded = Embedder.withEmbedding(docs, "text")
-        .select(col("doc_id"), col("embedding"))
+      // Corpus key for the dump dir — computed from the cheap source
+      // scan (count + one long sum), not the embedded frame.
+      val key = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c")).head()
+      val (nDocs, sumChars) = (key.getLong(0), key.getLong(1))
+      val dump = s"$Q48EmbDumpRoot/n${nDocs}_c$sumChars"
+      Embedder.withEmbedding(docs, "text")
+        .select(col("doc_id"), col("embedding"),
+          lit(nDocs).as("n_docs"), lit(sumChars).as("sum_chars"))
+        .write.mode("overwrite").parquet(dump)
+      // Score from the DUMP, not the in-flight frame: both engines then
+      // rank the exact same parquet doubles, and the dump doubles as the
+      // embed stage's materialization point (read twice below).
+      val embedded = s.read.parquet(dump).select("doc_id", "embedding")
       val queries = embedded.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
       val scored = embedded.crossJoin(broadcast(queries))
