@@ -444,8 +444,11 @@ object DedupQueries {
     *    re-hang its smaller neighbors (and u) onto m = min of them.
     *    Same preservation argument.
     *  - Fixpoint: every component is a star oriented child → minimum;
-    *    detected as an unchanged oriented edge set (count + anti-join),
-    *    which costs one extra confirming round. A graph that has not
+    *    detected as an unchanged oriented edge set (one signed
+    *    symmetric-difference aggregate per round, which doubles as the
+    *    round's checkpoint-materialization job — the driver-latency-
+    *    sensitive part of an iterative algorithm is the job count, so
+    *    each round makes exactly one round-trip). A graph that has not
     *    converged inside the cap FAILS loudly (a partially-contracted
     *    labeling would silently diverge from the recursive-CTE oracle).
     *
@@ -463,9 +466,8 @@ object DedupQueries {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .checkpointed(false)
-    var curCnt = cur.count()
     var rounds = 0
-    var done = curCnt == 0L
+    var done = cur.count() == 0L // also materializes the lazy checkpoint
     while (!done && rounds < maxRounds) {
       // Intermediate edge frames are NOT distinct'd: every consumer is
       // either a min-aggregate (duplicate-insensitive) or feeds the
@@ -486,18 +488,26 @@ object DedupQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct() // (u, v) with v < u by construction
-        .checkpointed(false) // materialized by the count below
-      val nextCnt = next.count()
-      done = nextCnt == curCnt &&
-        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+        .checkpointed(false) // materialized by the convergence job below
+      // ONE driver round-trip per round: the symmetric-difference
+      // aggregate's map side scans every partition of `next` (fully
+      // materializing its lazy checkpoint) AND of `cur`, and its result
+      // is the convergence test — replacing the count-then-confirming-
+      // anti-join pair. Both inputs are distinct sets, so a per-(u,v)
+      // signed sum is 0 exactly when the edge sets are equal; map-side
+      // partial aggregation keeps the exchange at edge-count rows.
+      done = next.select(col("u"), col("v"), lit(1L).as("w"))
+        .unionAll(cur.select(col("u"), col("v"), lit(-1L).as("w")))
+        .groupBy("u", "v").agg(sum(col("w")).as("s"))
+        .filter(col("s") =!= 0L)
+        .isEmpty
       cur = next
-      curCnt = nextCnt
       rounds += 1
     }
     if (!done)
       throw new IllegalStateException(
         s"$tag: star contraction did not converge in $maxRounds rounds " +
-          s"($curCnt edges remaining) — raise the round cap")
+          "— raise the round cap")
     // Stars: each non-root has exactly one edge to its root; roots and
     // isolated vertices label themselves.
     verts
