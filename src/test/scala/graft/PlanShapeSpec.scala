@@ -80,12 +80,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // this assertion vacuous. Plan shape is data-independent, so the
     // helpers run on the raw corpus.
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
-    val preSort: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-      "q28 minhashPairs" -> operators.DedupQueries.minhashPairs(docs),
-      "q32 simhashPairs" -> operators.DedupQueries.simhashPairs(docs),
-      "q81 jaccardSelfJoin" -> operators.DedupQueries
-        .jaccardSelfJoin(docs, 0.6, operators.DedupQueries.JaccardDfCap),
-      "q95 dupSpans" -> operators.DedupQueries.dupSpans(docs, 8))
+    val preSort: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      Seq("q28_minhash_pairs", "q32_simhash_bands", "q81_ngram_jaccard",
+        "q95_dup_spans", "q98_novelty_score")
+        .map(n => n -> operators.DedupQueries.preSortFrames(n)(docs))
     val plans = preSort.map { case (n, df) => n -> df.queryExecution.executedPlan } ++
       Seq("q31_embedding_neardup", "q59_dup_clusters", "q68_incremental_dedup",
         "q86_canonical_pick").map(q => q -> plan(q))
@@ -109,8 +107,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // Pre-sort helper frames (the registered plans end in rangeSorted,
     // whose checkpoint truncates them — see the cross-product test).
     val docs81 = Tables.load(spark, dir, "documents").select("doc_id", "text")
-    val ns81 = nodes(operators.DedupQueries
-      .jaccardSelfJoin(docs81, 0.6, operators.DedupQueries.JaccardDfCap)
+    val ns81 = nodes(operators.DedupQueries.preSortFrames("q81_ngram_jaccard")(docs81)
       .queryExecution.executedPlan)
     // Pair-minting Generates are the ones that explode the per-shingle
     // (doc_id, pos, n) entry structs into the two pair sides.
@@ -125,7 +122,7 @@ class PlanShapeSpec extends AnyFunSuite {
           c.contains(s"<= ${operators.DedupQueries.JaccardDfCap}")),
         s"q81 pair explode runs uncapped — no df <= cap filter beneath it:\n$conds")
     }
-    val ns95 = nodes(operators.DedupQueries.dupSpans(docs81, 8)
+    val ns95 = nodes(operators.DedupQueries.preSortFrames("q95_dup_spans")(docs81)
       .queryExecution.executedPlan)
     val distinctAggs = ns95.collect {
       case a: BaseAggregateExec
