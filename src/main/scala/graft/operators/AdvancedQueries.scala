@@ -252,14 +252,21 @@ object AdvancedQueries {
       // mtimes (FileStreamSource orders unseen files by mtime; a
       // coarse-granularity tie that drained a flush file FIRST would
       // jump the watermark ahead and silently drop every real event as
-      // late). maxFilesPerTrigger = 1 gives per-file batches: flush one
-      // advances the watermark past every real purchase's window,
-      // flush two triggers the eviction scan that emits outer nulls.
+      // late). maxFilesPerTrigger = 2 groups {real delivery, flush one}
+      // into the first micro-batch — the watermark DURING a batch is
+      // computed from the PRIOR batch, so batch one still processes
+      // every real event against the initial watermark while flush one
+      // advances it past every purchase's window for the NEXT cycle;
+      // flush two then lands alone in the later batch whose eviction
+      // scan emits the outer nulls. Two state-transition cycles (join
+      // state built → watermark-driven eviction across a batch
+      // boundary), one fewer micro-batch of pure harness cost than the
+      // per-file draining this replaced.
       import graft.streaming.NormalizedEvents
       NormalizedEvents.deliverOuterJoinFixture(s, dir, src)
       graft.streaming.StreamIntervalJoin.runLeftOuterAvailableNow(
         s, src, NormalizedEvents.schema, target, ckpt,
-        statePartitions = Some(4), maxFilesPerTrigger = Some(1))
+        statePartitions = Some(4), maxFilesPerTrigger = Some(2))
       s.read.parquet(target)
         .filter(col("p_event_id") >= 0) // synthetic flush rows are harness, not data
         .select("p_event_id", "c_event_id", "user_id")
