@@ -54,10 +54,18 @@ object ScaleProbe {
     if (marker.exists()) return
     val docs = Tables.load(spark, baseDir, "documents")
     (0 until Copies).map { i =>
+      // Suffix must stay INSIDE one token under the engine's [a-z0-9]+
+      // tokenizer — an earlier "_c3" variant split at the underscore and
+      // interleaved a copy-marker token between every pair of words,
+      // which turned the corpus into a boilerplate-adversarial stress
+      // test (stop-shingles "c3 w c3" with df in the thousands, 2.7e9
+      // unguarded hot pairs). That run is preserved as the adversarial
+      // variant; the default corpus keeps per-copy token and shingle
+      // STRUCTURE identical to sf0.1 so ratios read as pure scale.
       val text =
         if (i == 0) col("text")
         else array_join(
-          transform(split(col("text"), " "), t => concat(t, lit(s"_c$i"))), " ")
+          transform(split(col("text"), " "), t => concat(t, lit(s"zq$i"))), " ")
       docs.select((col("doc_id") + i * Stride).as("doc_id"), text.as("text"),
         col("lang"), col("source"), length(text).cast("long").as("n_chars"))
     }.reduce(_ unionAll _)
@@ -183,9 +191,19 @@ object ScaleProbe {
         s""""shuffle_mb":${f3(mb)}""" +
         err.fold("")(e => s""","error":"${e.replace("\"", "'")}"""") + "}"
     }
+    // Input-volume context: the per-copy token suffix inflates CHAR
+    // volume beyond the row ratio, and text-carrying shuffles scale
+    // with bytes — ratios should be read against chars_ratio for
+    // queries that shuffle strings, rows (= copies) for hash-only ones.
+    val charsRatio = {
+      def chars(dir: String): Long = Tables.load(spark, dir, "documents")
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      chars(sf1Dir).toDouble / chars(baseDir)
+    }
     val json = s"""{"probe":"heavy-tier 10x scale","copies":$Copies,""" +
       s""""base":"$baseDir","spark_version":"${spark.version}",""" +
-      s""""law":"shuffle_ratio ~<= copies; wall_ratio documented per query",""" +
+      s""""chars_ratio":${f3(charsRatio)},""" +
+      s""""law":"shuffle_ratio ~<= copies (hash-keyed) / chars_ratio (text-carrying); wall_ratio documented per query",""" +
       s""""queries":$qjson,$extra}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(json)

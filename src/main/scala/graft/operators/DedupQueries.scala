@@ -321,12 +321,13 @@ object DedupQueries {
     * hashed-shingle space end to end (one md5 per shingle; verify runs
     * on compact int arrays, not strings), ONE signature aggregate
     * (distinct-hash set + all k permuted minhashes — min is
-    * duplicate-insensitive), band buckets by PRE-AGGREGATION rather
-    * than a self-join (singleton buckets die before any pair
-    * materializes), then the exact Jaccard size bound
-    * (J <= min(n_a,n_b)/max(n_a,n_b) — never rejects a qualifying
-    * pair) on two int columns before the array verify (band r=1 makes
-    * candidates plentiful: ~75k at sf0.1 for an output of hundreds).
+    * duplicate-insensitive), r-row band buckets ([[MinhashR]] ×
+    * [[MinhashB]] — see the parameter scaladoc for why r = 1 is a
+    * corpus²-shaped trap) by PRE-AGGREGATION rather than a self-join
+    * (singleton buckets die before any pair materializes), then the
+    * exact Jaccard size bound (J <= min(n_a,n_b)/max(n_a,n_b) — never
+    * rejects a qualifying pair) on two int columns before the array
+    * verify.
     * The signature checkpoint is EAGER: the verify join-backs read it
     * from broadcast-exchange threads, which run before a lazy
     * checkpoint materializes and would recompute the shingle+md5
@@ -341,8 +342,9 @@ object DedupQueries {
         }: _*)
       .checkpointed()
     val mh = sig.select(col("doc_id"), explode(array(
-        MinhashParams.indices.map(j =>
-          struct(lit(j).as("seed"), col(s"m$j").as("minhash"))): _*)).as("sm"))
+        (0 until MinhashB).map(i =>
+          struct(lit(i).as("seed"), array((0 until MinhashR).map(t =>
+            col(s"m${i * MinhashR + t}")): _*).as("minhash"))): _*)).as("sm"))
       .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.minhash").as("minhash"))
     val cand = mh.groupBy(col("seed"), col("minhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -545,9 +547,37 @@ object DedupQueries {
     * shingle total (not per seed) — the k permutations are integer ops.
     * a_j < 2^21 keeps a·h31 < 2^52, overflow-safe in both engines. */
   private val MinhashP = 2147483647L
+
+  /** Banded MinHash-LSH shape: `MinhashB` bands of `MinhashR` rows —
+    * a candidate pair must match on ALL `MinhashR` minhashes of some
+    * band, so P(candidate) = 1 − (1 − J^r)^b: ≈ 1 for the planted
+    * near-dups (J ≈ 0.92 → miss ≈ 2e−5) and ≈ 0 for dissimilar docs.
+    * r = 1 (any shared minhash) is NOT scale-safe on template-heavy
+    * corpora: one frequent shingle whose permuted hash lands globally
+    * small becomes the argmin of every doc containing it, and the
+    * 10× probe measured a 3,927-doc bucket → 7.7M candidate pairs →
+    * 406× shuffle growth on 10× input (SCALE_r08.json, round 8).
+    * With r = 5 the same corpus yields a 173-doc max bucket and 169k
+    * candidates — sublinear vs 75k at 1×. Parameters follow the
+    * production MinHash-LSH convention (e.g. Leskovec et al., Mining
+    * of Massive Datasets §3.4). */
+  private[graft] val MinhashR = 5
+  private[graft] val MinhashB = 10
+
+  /** 50 affine permutations (a·h + b) mod p: a = consecutive primes
+    * ≥ 1000003 (a < 2^21 keeps a·h31 < 2^52, overflow-safe in both
+    * engines), b = 7 + 131·j. */
   private val MinhashParams: Seq[(Long, Long)] = Seq(
-    (1000003L, 7L), (1000033L, 131071L), (1000037L, 524287L),
-    (1000039L, 998244353L), (1000081L, 104729L), (1000099L, 90001L))
+    (1000003L, 7L), (1000033L, 138L), (1000037L, 269L), (1000039L, 400L), (1000081L, 531L),
+    (1000099L, 662L), (1000117L, 793L), (1000121L, 924L), (1000133L, 1055L), (1000151L, 1186L),
+    (1000159L, 1317L), (1000171L, 1448L), (1000183L, 1579L), (1000187L, 1710L), (1000193L, 1841L),
+    (1000199L, 1972L), (1000211L, 2103L), (1000213L, 2234L), (1000231L, 2365L), (1000249L, 2496L),
+    (1000253L, 2627L), (1000273L, 2758L), (1000289L, 2889L), (1000291L, 3020L), (1000303L, 3151L),
+    (1000313L, 3282L), (1000333L, 3413L), (1000357L, 3544L), (1000367L, 3675L), (1000381L, 3806L),
+    (1000393L, 3937L), (1000397L, 4068L), (1000403L, 4199L), (1000409L, 4330L), (1000423L, 4461L),
+    (1000427L, 4592L), (1000429L, 4723L), (1000453L, 4854L), (1000457L, 4985L), (1000507L, 5116L),
+    (1000537L, 5247L), (1000541L, 5378L), (1000547L, 5509L), (1000577L, 5640L), (1000579L, 5771L),
+    (1000589L, 5902L), (1000609L, 6033L), (1000619L, 6164L), (1000621L, 6295L), (1000639L, 6426L))
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -567,29 +597,35 @@ object DedupQueries {
         .rangeSorted("keep_id") // md5 groupBy child runs once, not twice
     },
 
-    // ----- X3 MinHash: shingle → minhash → band-bucket join → Jaccard
-    // verify. Bands are single minhashes (b=6, r=1) for recall on a small
-    // corpus; candidates are DISTINCT (id_a, id_b) pairs sharing any
-    // band value — the shuffle key is (seed, minhash), so work scales
-    // with collisions, not with corpus².
+    // ----- X3 MinHash: shingle → minhash → banded-bucket join →
+    // Jaccard verify. Bands are MinhashR-minhash tuples (r=5, b=10 —
+    // the production LSH shape; see MinhashR's scaladoc for the probe
+    // evidence that r=1 buckets 70% of a template-heavy corpus);
+    // candidates are DISTINCT (id_a, id_b) pairs sharing a FULL band —
+    // the shuffle key is (band, r-tuple), so work scales with genuine
+    // similarity collisions, not with corpus².
     q("q28_minhash_pairs",
-      "X3: MinHash band-bucket candidates + exact Jaccard verify",
+      "X3: MinHash banded-LSH candidates (r=5, b=10) + exact Jaccard verify",
       {
-        val perms = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
-          s"($j, ${a}::BIGINT, ${b}::BIGINT)"
-        }.mkString(", ")
+        val ms = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(h31s, h -> ($a * h + $b) % $MinhashP)) AS m$j"
+        }.mkString(",\n           |              ")
+        val bands = (0 until MinhashB).map { i =>
+          val key = (0 until MinhashR).map(t => s"m${i * MinhashR + t}").mkString(", ")
+          s"SELECT $i AS band, [$key] AS key, doc_id FROM mh"
+        }.mkString("\n           |              UNION ALL ")
         s"""WITH u AS (${plantedSql(10, 10000, dropFirstTokSql)}),
            |     sh AS (SELECT doc_id,
            |              list_transform(${shinglesSql(tokensSql("text"))},
            |                t -> ${hash60Sql("t")} & 2147483647) AS h31s
            |            FROM u),
-           |     mh AS (SELECT doc_id, s.seed,
-           |              list_min(list_transform(h31s,
-           |                h -> (s.a * h + s.b) % $MinhashP)) AS minhash
-           |            FROM sh, (VALUES $perms) s(seed, a, b)),
+           |     mh AS (SELECT doc_id,
+           |              $ms
+           |            FROM sh),
+           |     bands AS ($bands),
            |     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |              FROM mh a JOIN mh b
-           |                ON a.seed = b.seed AND a.minhash = b.minhash
+           |              FROM bands a JOIN bands b
+           |                ON a.band = b.band AND a.key = b.key
            |                 AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b, jaccard FROM (
            |  SELECT id_a, id_b,
@@ -1021,12 +1057,22 @@ object DedupQueries {
     val sh = shingleRows(u, 3)
       .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
       .distinct()
-      .checkpointed(false) // first-carrier agg + per-doc fold both read it
-    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-    sh.join(first, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        count(when(col("first_id") === col("doc_id"), lit(1))).as("n_novel"))
+      .checkpointed(false) // totals + first-carrier agg both read it
+    // A doc's novel count is an aggregate OF the first-carrier table
+    // keyed by the carrier — the entry stream never joins anything.
+    // (The earlier sh⋈first formulation re-shuffled the full entry
+    // stream through the join and the per-doc fold; it read linear at
+    // sf0.1 only because AQE broadcast the small first-carrier side — a
+    // plan that phase-transitions to 2 extra corpus shuffles the moment
+    // the carrier table outgrows the broadcast threshold, measured as a
+    // 26.5× shuffle ratio on the 10× probe. Both per-doc frames here
+    // are map-side-combined counts: rows-per-doc, not rows-per-entry.)
+    val novel = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      .groupBy(col("first_id")).agg(count(lit(1)).as("n_novel"))
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    totals.join(novel, totals("doc_id") === novel("first_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
       .select("doc_id", "n_shingles", "n_novel", "novelty")
