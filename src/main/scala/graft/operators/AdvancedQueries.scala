@@ -102,7 +102,7 @@ object AdvancedQueries {
       val src = NormalizedEvents.sourceDir(s, dir)
       graft.streaming.StreamingUpsert.runAvailableNow(s, src,
         NormalizedEvents.schema, target, ckpt,
-        statePartitions = Some(4)) // ~40 (day, type) keys: 4 stores, not 32
+        statePartitions = Some(1)) // ~40 (day, type) keys: 1 store, not 32
       s.read.parquet(target)
         .select(col("d").cast("date").as("d"), col("event_type"),
           col("n"), col("sum_value"))
@@ -194,7 +194,7 @@ object AdvancedQueries {
       import graft.streaming.NormalizedEvents
       val src = NormalizedEvents.sourceDir(s, dir)
       graft.streaming.StreamIntervalJoin.runAvailableNow(
-        s, src, NormalizedEvents.schema, target, ckpt, statePartitions = Some(4))
+        s, src, NormalizedEvents.schema, target, ckpt, statePartitions = Some(1))
       s.read.parquet(target)
         .select("p_event_id", "c_event_id", "user_id")
         .orderBy("p_event_id", "c_event_id")
@@ -219,7 +219,7 @@ object AdvancedQueries {
       graft.streaming.StreamDedup.runAvailableNow(
         s, src, NormalizedEvents.schema, "event_id", target, ckpt,
         maxFilesPerTrigger = Some(NormalizedEvents.SourceFiles),
-        statePartitions = Some(4))
+        statePartitions = Some(1))
       s.read.parquet(target)
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
@@ -266,7 +266,7 @@ object AdvancedQueries {
       NormalizedEvents.deliverOuterJoinFixture(s, dir, src)
       graft.streaming.StreamIntervalJoin.runLeftOuterAvailableNow(
         s, src, NormalizedEvents.schema, target, ckpt,
-        statePartitions = Some(4), maxFilesPerTrigger = Some(2))
+        statePartitions = Some(1), maxFilesPerTrigger = Some(2))
       s.read.parquet(target)
         .filter(col("p_event_id") >= 0) // synthetic flush rows are harness, not data
         .select("p_event_id", "c_event_id", "user_id")
