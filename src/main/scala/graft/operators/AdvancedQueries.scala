@@ -102,7 +102,8 @@ object AdvancedQueries {
       val src = NormalizedEvents.sourceDir(s, dir)
       graft.streaming.StreamingUpsert.runAvailableNow(s, src,
         NormalizedEvents.schema, target, ckpt,
-        statePartitions = Some(1)) // ~40 (day, type) keys: 1 store, not 32
+        statePartitions = Some(1), // ~40 (day, type) keys: 1 store, not 32
+        noDataBatches = false) // update mode emitted everything in the data batch
       s.read.parquet(target)
         .select(col("d").cast("date").as("d"), col("event_type"),
           col("n"), col("sum_value"))
@@ -194,7 +195,9 @@ object AdvancedQueries {
       import graft.streaming.NormalizedEvents
       val src = NormalizedEvents.sourceDir(s, dir)
       graft.streaming.StreamIntervalJoin.runAvailableNow(
-        s, src, NormalizedEvents.schema, target, ckpt, statePartitions = Some(1))
+        s, src, NormalizedEvents.schema, target, ckpt,
+        statePartitions = Some(4), // state = the events themselves (~80k rows/side): parallel inserts
+        noDataBatches = false) // inner join emits pairs only in data batches
       s.read.parquet(target)
         .select("p_event_id", "c_event_id", "user_id")
         .orderBy("p_event_id", "c_event_id")
@@ -219,7 +222,8 @@ object AdvancedQueries {
       graft.streaming.StreamDedup.runAvailableNow(
         s, src, NormalizedEvents.schema, "event_id", target, ckpt,
         maxFilesPerTrigger = Some(NormalizedEvents.SourceFiles),
-        statePartitions = Some(1))
+        statePartitions = Some(4), // state = one entry per event_id (~200k): parallel inserts
+        noDataBatches = false) // first-seen rows emit in their data batch
       s.read.parquet(target)
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
@@ -266,7 +270,12 @@ object AdvancedQueries {
       NormalizedEvents.deliverOuterJoinFixture(s, dir, src)
       graft.streaming.StreamIntervalJoin.runLeftOuterAvailableNow(
         s, src, NormalizedEvents.schema, target, ckpt,
-        statePartitions = Some(1), maxFilesPerTrigger = Some(2))
+        statePartitions = Some(4), maxFilesPerTrigger = Some(2),
+        // Every REAL outer null is emitted by flush two's DATA batch
+        // (watermark advanced past all real purchases by flush one);
+        // the skipped empty batch would only emit the flush purchase's
+        // own null row, which the filter below drops anyway.
+        noDataBatches = false)
       s.read.parquet(target)
         .filter(col("p_event_id") >= 0) // synthetic flush rows are harness, not data
         .select("p_event_id", "c_event_id", "user_id")

@@ -30,11 +30,18 @@ object StreamDedup {
       targetDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      statePartitions: Option[Int] = None): Unit = {
+      statePartitions: Option[Int] = None,
+      noDataBatches: Boolean = true): Unit = {
 
-    val session = statePartitions.fold(spark) { n =>
+    // noDataBatches=false drops the trailing empty micro-batch: dedup
+    // emits each first-seen key in the DATA batch that carries it, and
+    // the watermark never advances in an empty batch, so the only thing
+    // skipped is a state-eviction sweep a terminating drain never
+    // benefits from (see StreamIntervalJoin for the full rationale).
+    val session = if (statePartitions.isEmpty && noDataBatches) spark else {
       val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", n)
+      statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches)
       s
     }
 

@@ -35,9 +35,10 @@ object StreamIntervalJoin {
       schema: StructType,
       targetDir: String,
       checkpointDir: String,
-      statePartitions: Option[Int] = None): Unit =
+      statePartitions: Option[Int] = None,
+      noDataBatches: Boolean = true): Unit =
     run(spark, srcDir, schema, targetDir, checkpointDir, "inner",
-      statePartitions, maxFilesPerTrigger = None)
+      statePartitions, maxFilesPerTrigger = None, noDataBatches)
 
   /** Left-outer attribution: matched pairs stream out as soon as both
     * sides are present; an unmatched purchase emits (p_event_id, NULL,
@@ -49,9 +50,10 @@ object StreamIntervalJoin {
       targetDir: String,
       checkpointDir: String,
       statePartitions: Option[Int] = None,
-      maxFilesPerTrigger: Option[Int] = None): Unit =
+      maxFilesPerTrigger: Option[Int] = None,
+      noDataBatches: Boolean = true): Unit =
     run(spark, srcDir, schema, targetDir, checkpointDir, "left_outer",
-      statePartitions, maxFilesPerTrigger)
+      statePartitions, maxFilesPerTrigger, noDataBatches)
 
   private def run(
       spark: SparkSession,
@@ -61,11 +63,22 @@ object StreamIntervalJoin {
       checkpointDir: String,
       joinType: String,
       statePartitions: Option[Int],
-      maxFilesPerTrigger: Option[Int]): Unit = {
+      maxFilesPerTrigger: Option[Int],
+      noDataBatches: Boolean): Unit = {
 
-    val session = statePartitions.fold(spark) { n =>
+    // noDataBatches=false skips the trailing EMPTY micro-batch an
+    // AvailableNow drain otherwise runs after the last file. Safe to
+    // disable ONLY when the caller does not rely on post-drain eviction
+    // emissions: the watermark never ADVANCES in a no-data batch (it
+    // moves on data), so an inner join loses nothing, and a left-outer
+    // drain that finalizes its tail with flush DELIVERIES (q94) gets
+    // its eviction scan inside those data batches. A left-outer caller
+    // without flush traffic must keep the default: its last real
+    // batch's watermark gain is applied by exactly that empty batch.
+    val session = if (statePartitions.isEmpty && noDataBatches) spark else {
       val s = spark.newSession() // same rationale as StreamingUpsert
-      s.conf.set("spark.sql.shuffle.partitions", n)
+      statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches)
       s
     }
 

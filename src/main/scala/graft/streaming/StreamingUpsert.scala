@@ -38,7 +38,8 @@ object StreamingUpsert {
       targetDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      statePartitions: Option[Int] = None): Unit = {
+      statePartitions: Option[Int] = None,
+      noDataBatches: Boolean = true): Unit = {
 
     // The stateful aggregation shards its state store by
     // spark.sql.shuffle.partitions AT FIRST RUN (the layout is then
@@ -47,9 +48,15 @@ object StreamingUpsert {
     // session default — a catch-up over one day of files doesn't want
     // hundreds of near-empty stores, a 100 TB backfill wants many. The
     // override runs on a cloned session so the caller's conf is untouched.
-    val session = statePartitions.fold(spark) { n =>
+    // noDataBatches=false skips the trailing empty micro-batch: update
+    // mode emits re-aggregated keys in the data batch that changed
+    // them, and the watermark never advances in an empty batch, so a
+    // terminating drain only loses a state-eviction sweep it would
+    // never read again (see StreamIntervalJoin for the full rationale).
+    val session = if (statePartitions.isEmpty && noDataBatches) spark else {
       val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", n)
+      statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches)
       s
     }
 
