@@ -71,8 +71,33 @@ object Tables {
     * structural no-op there. Call it AFTER filters/projections so
     * pushdown still reaches the scan. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's task count from the leaf file relations with
+    // Spark's own split math (FilePartition.maxSplitBytes) instead of
+    // probing df.rdd: building the RDD forces a second physical
+    // planning pass, and under AQE it can even execute upstream
+    // stages. The logical file index is already cached by the scan.
+    val conf = spark.sessionState.conf
+    val fileSizes = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        fs.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
+      case _ => Nil
+    }
+    val estTasks =
+      if (fileSizes.isEmpty) df.rdd.getNumPartitions // non-file plan: old probe
+      else {
+        val openCost = conf.filesOpenCostInBytes
+        val padded = fileSizes.map(_ + openCost)
+        val bytesPerCore = padded.sum / math.max(1, target)
+        val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+          math.max(openCost, bytesPerCore)))
+        // Parquet splits at maxSplit within a file; bin-packing across
+        // files only merges, so per-file splits summed bound the count.
+        fileSizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum.toInt
+      }
+    if (estTasks < target) df.repartition(target) else df
   }
 
   /** Load all tables as a name→DataFrame map. */
