@@ -88,4 +88,49 @@ class StreamIntervalJoinSpec extends AnyFunSuite {
     assert(after2.size == after2.toSet.size) // exactly once, no re-emission
     assert(after2.toSet == Set((10L, Some(20L)), (11L, None)))
   }
+
+  test("left outer without no-data batches: flush DATA batches carry the eviction (q94 contract)") {
+    // q94's exact drain shape: real delivery + flush one share the first
+    // micro-batch, flush two lands alone in the second, and the trailing
+    // EMPTY batch is disabled. Every real outer null must still emit,
+    // because the eviction scan runs inside flush two's data batch with
+    // the watermark flush one advanced — the skipped empty batch would
+    // only have finalized the flush purchase's own (filtered) null.
+    val root = Files.createTempDirectory("graft_ssoj_nd").toFile.getAbsolutePath
+    val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+
+    val delivery = Seq(
+      (10L, 1L, "purchase", ts("2024-01-02 10:00:00")),  // has a click → pair
+      (20L, 1L, "click", ts("2024-01-02 09:00:00")),
+      (11L, 2L, "purchase", ts("2024-01-02 11:00:00")))  // NO click in window
+      .toDF("event_id", "user_id", "event_type", "ts")
+    def writeDelivery(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$root/scratch_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dest = new java.io.File(src, s"$name.parquet")
+      dest.getParentFile.mkdirs()
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    def flush(clickId: Long, purchId: Long, day: String) =
+      Seq((clickId, -9L, "click", ts(day)), (purchId, -9L, "purchase", ts(day)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+    val t0 = System.currentTimeMillis() - 3600000L
+    writeDelivery(delivery, "delivery-00", t0)
+    writeDelivery(flush(-1L, -2L, "2024-03-01 00:00:00"), "flush-01", t0 + 60000L)
+    writeDelivery(flush(-3L, -4L, "2024-03-02 00:00:00"), "flush-02", t0 + 120000L)
+
+    StreamIntervalJoin.runLeftOuterAvailableNow(
+      spark, src, delivery.schema, target, ckpt,
+      statePartitions = Some(4), maxFilesPerTrigger = Some(2),
+      noDataBatches = false)
+
+    val got = spark.read.parquet(target)
+      .filter($"p_event_id" >= 0)
+      .select("p_event_id", "c_event_id").as[(Long, Option[Long])].collect().toList
+    assert(got.size == got.toSet.size)
+    assert(got.toSet == Set((10L, Some(20L)), (11L, None)))
+  }
 }

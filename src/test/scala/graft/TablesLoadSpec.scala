@@ -72,4 +72,23 @@ class TablesLoadSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
     }
   }
+
+  test("spread fans out a single-file scan and leaves a many-file scan alone") {
+    val target = spark.sparkContext.defaultParallelism
+    // One small file → the file-index estimate is far below the core
+    // count, so spread must insert the round-robin repartition.
+    val one = tmp()
+    spark.range(1000).toDF("id").coalesce(1).write.mode("overwrite").parquet(one)
+    val spreadOne = Tables.spread(spark.read.parquet(one).filter(col("id") > 10))
+    assert(spreadOne.rdd.getNumPartitions == target,
+      "single-file scan should be repartitioned to defaultParallelism")
+    // target+ files → the scan already parallelizes; spread must be a
+    // structural no-op (no repartition node on top of the scan).
+    val many = tmp()
+    spark.range(100000).toDF("id").repartition(target + 4)
+      .write.mode("overwrite").parquet(many)
+    val manyDf = spark.read.parquet(many).filter(col("id") > 10)
+    assert(Tables.spread(manyDf) eq manyDf,
+      "many-file scan should pass through spread unchanged")
+  }
 }
