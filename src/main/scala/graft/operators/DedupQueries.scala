@@ -60,8 +60,17 @@ object DedupQueries {
     * here, so the pinned/documented plan shape is the benched shape —
     * same planted-copy union and doc_id spread — minus only the sort. */
   private[graft] val preSortFrames: Map[String, DataFrame => DataFrame] = {
+    // EXPLICIT partition count: a column-only repartition is
+    // REPARTITION_BY_COL, which AQE freely coalesces — and ~10 MB of
+    // text coalesces to ONE partition, serializing the tokenize/
+    // shingle/hash compute the spread exists to parallelize (profiled:
+    // the q28 signature stage ran wall ≈ sum(taskRun)). A numbered
+    // repartition is REPARTITION_BY_NUM, which AQE must preserve, and
+    // it still satisfies the downstream groupBy(doc_id) distribution,
+    // so no second exchange appears.
     def planted(mod: Int, shift: Int)(base: DataFrame): DataFrame =
-      withPlanted(base, mod, shift, dropFirstTok).repartition(col("doc_id"))
+      withPlanted(base, mod, shift, dropFirstTok)
+        .repartition(base.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     Map(
       "q28_minhash_pairs" -> (b => minhashPairs(planted(10, 10000)(b))),
       "q32_simhash_bands" -> (b => simhashPairs(planted(9, 30000)(b))),
@@ -415,7 +424,10 @@ object DedupQueries {
       .checkpointed(false) // sketch, join, and totals all read it
     // One binary sketch row crosses the driver; the corpus does not.
     val bloom = BloomOps.build(eg, "h", estimatedItems = 1 << 18)
-    val tg = shingleRows(train.repartition(col("doc_id")), 6, dedup = false)
+    // Numbered repartition: AQE would coalesce a column-only one back
+    // to ~1 partition at this data size, serializing the shingling.
+    val tg = shingleRows(train.repartition(
+        train.sparkSession.sparkContext.defaultParallelism, col("doc_id")), 6, dedup = false)
       .select(col("doc_id").as("train_id"), TextOps.hash60(col("t")).as("h"))
       .filter(BloomOps.mightContain(bloom, col("h")))
       .distinct()

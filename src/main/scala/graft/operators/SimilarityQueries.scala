@@ -457,9 +457,11 @@ object SimilarityQueries {
       // The corpus arrives as one file → one partition; spread the
       // embed work across the cluster first (at real scale the file
       // layout provides this parallelism and the repartition is free).
+      // Numbered repartition: AQE coalesces a column-only one back to
+      // ~1 partition at this byte size, serializing the embed compute.
       val docs = Tables.load(s, dir, "documents")
         .select("doc_id", "text")
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // Corpus key for the dump dir — computed from the cheap source
       // scan (count + one long sum), not the embedded frame.
       val key = Tables.load(s, dir, "documents")

@@ -63,7 +63,16 @@ object Embedder {
     * take the zero vector, null texts a null embedding, exactly like
     * the fold path. */
   def withEmbedding(df: DataFrame, textCol: String, dim: Int = Dim): DataFrame = {
-    val texts = df.select(col(textCol).as("__text")).na.drop().distinct()
+    // Numbered repartition under the distinct: the distinct's own
+    // exchange is ENSURE_REQUIREMENTS, which AQE coalesces — and a
+    // text corpus coalesces to very few partitions by byte size, so
+    // the explode + wide hash aggregate (the embedding compute, keyed
+    // by the same __text distribution and therefore exchange-free)
+    // would run near-serially. REPARTITION_BY_NUM is preserved by AQE
+    // and satisfies both the distinct and the aggregate downstream.
+    val texts = df.select(col(textCol).as("__text")).na.drop()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("__text"))
+      .distinct()
     val toks = texts.select(col("__text"), explode(toksOf(col("__text"))).as("__t"))
     val sums = (0 until dim).map(i =>
       sum(when(pmod(xxhash64(col("__t"), lit(i)), lit(2)) === 0, lit(1.0))
