@@ -447,7 +447,11 @@ object TextQueries {
          |FROM ranked r JOIN stats s USING (tok)
          |WHERE r.rnk <= 8 ORDER BY tok, rnk""".stripMargin) { (s, dir) =>
       import graft.plans.CollectTopK
-      val toks = docs(s, dir).select(col("doc_id"),
+      // Spread before tokenizing: the single-file test scan is one
+      // task, and the explode+lower map side of the tf exchange is the
+      // query's dominant compute (a many-file production layout makes
+      // this a structural no-op — see Tables.spread).
+      val toks = Tables.spread(docs(s, dir)).select(col("doc_id"),
           explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
         .filter(col("tok") =!= "")
       val tf = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
