@@ -307,12 +307,16 @@ object DedupQueries {
       .filter(positionalKeep(col("pa"), col("na"), col("pb"), col("nb")))
       .select("id_a", "id_b")
     val cand = coldPairs.union(hotPairs).distinct()
-    // EXACT verification over the shared-entry arrays.
+    // EXACT verification over the shared-entry arrays. Join direction:
+    // broadcast the CANDIDATE PAIRS (tiny — the tiers already pruned
+    // them) and stream the array frame, so the intersect stage runs on
+    // the array side's partitions and only ONE array broadcast (the
+    // id_b probe) is built instead of two.
     val vside = shared.select(col("doc_id"),
       expr("transform(s, x -> x.h)").as("arr"), col("n"))
-    cand
-      .join(vside.select(col("doc_id").as("id_a"),
-        col("arr").as("arr_a"), col("n").as("n_a")), "id_a")
+    vside.select(col("doc_id").as("id_a"),
+        col("arr").as("arr_a"), col("n").as("n_a"))
+      .join(broadcast(cand), "id_a")
       .join(vside.select(col("doc_id").as("id_b"),
         col("arr").as("arr_b"), col("n").as("n_b")), "id_b")
       .withColumn("n_shared",
@@ -369,8 +373,13 @@ object DedupQueries {
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         greatest(col("n_a"), col("n_b")) * lit(JaccardThresh - 1e-6))
       .select("id_a", "id_b")
-    candSized
-      .join(sig.select(col("doc_id").as("id_a"), col("h31s").as("sh_a")), "id_a")
+    // Broadcast the size-bounded CANDIDATES and stream the signature
+    // arrays (same direction flip as jaccardSelfJoin's verify): the
+    // full h31s sets are the big side, so this builds one array
+    // broadcast instead of two and runs the intersect/union stage on
+    // the signature checkpoint's partitions.
+    sig.select(col("doc_id").as("id_a"), col("h31s").as("sh_a"))
+      .join(broadcast(candSized), "id_a")
       .join(sig.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
