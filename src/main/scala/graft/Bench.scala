@@ -169,11 +169,14 @@ object Bench {
     // recording min-of-passes bounds that residual noise; the shuffle
     // reading keeps the FIRST pass's value (byte counts reproduce
     // exactly — they were never noisy). Streaming-harness queries are
-    // excluded: each re-run replays checkpointed micro-batch cycles,
-    // doubling wall time for no extra information.
+    // eligible too: every invocation builds fresh checkpoint/target
+    // temp dirs (a re-run is a complete fresh drain, not a resume), and
+    // their per-corpus source fixtures are memoized, so a second pass
+    // is the same deterministic work and min-of-passes denoises it
+    // like any batch query.
     val remeasureN = 10
     val remeasured = firstPass
-      .filter { case (name, _, _, err) => err.isEmpty && !name.contains("stream") }
+      .filter { case (_, _, _, err) => err.isEmpty }
       .sortBy(-_._2).take(remeasureN).map(_._1).toSet
     val secondPass: Map[String, Double] = {
       System.gc() // start the re-pass from a reclaimed heap
