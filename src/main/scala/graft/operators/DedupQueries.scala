@@ -536,20 +536,32 @@ object DedupQueries {
         .union(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct() // (u, v) with v < u by construction
         .checkpointed(false) // materialized by the convergence job below
-      // ONE driver round-trip per round: the symmetric-difference
+      rounds += 1
+      // ONE driver round-trip per CHECK: the symmetric-difference
       // aggregate's map side scans every partition of `next` (fully
-      // materializing its lazy checkpoint) AND of `cur`, and its result
-      // is the convergence test — replacing the count-then-confirming-
+      // materializing its — and, on a skipped round, its predecessor's
+      // — lazy checkpoint) AND of `cur`, and its result is the
+      // convergence test — replacing the count-then-confirming-
       // anti-join pair. Both inputs are distinct sets, so a per-(u,v)
       // signed sum is 0 exactly when the edge sets are equal; map-side
       // partial aggregation keeps the exchange at edge-count rows.
-      done = next.select(col("u"), col("v"), lit(1L).as("w"))
-        .unionAll(cur.select(col("u"), col("v"), lit(-1L).as("w")))
-        .groupBy("u", "v").agg(sum(col("w")).as("s"))
-        .filter(col("s") =!= 0L)
-        .isEmpty
+      // The check runs every SECOND round (and at the cap): the
+      // driver-latency-sensitive part of an iterative algorithm is the
+      // job count, and star contraction converges in ~log n rounds, so
+      // a graph converging at an odd round pays one extra cheap
+      // contraction of an already-star graph instead of every graph
+      // paying a check job per round. Comparing next to its IMMEDIATE
+      // predecessor stays the correct fixpoint test either way.
+      if (rounds % 2 == 0 || rounds == maxRounds) {
+        done = next.select(col("u"), col("v"), lit(1L).as("w"))
+          .unionAll(cur.select(col("u"), col("v"), lit(-1L).as("w")))
+          .groupBy("u", "v").agg(sum(col("w")).as("s"))
+          .filter(col("s") =!= 0L)
+          .isEmpty
+      }
       cur = next
-      rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] $tag round $rounds done=$done")
     }
     if (!done)
       throw new IllegalStateException(
