@@ -65,6 +65,25 @@ class DedupLawsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 3000L), "every chain vertex must label to the minimum")
   }
 
+  test("connectedComponents: the cap round always runs the convergence check") {
+    // The check fires on even rounds AND at the cap. With an odd cap of
+    // 1: an already-star graph must be detected as converged at round 1
+    // (not silently skipped past), and a graph that genuinely needs
+    // more rounds must fail loudly rather than return a
+    // partially-contracted labeling.
+    val star = Seq((5L, 1L), (1L, 5L)).toDF("a", "b")
+    val got = DedupQueries.connectedComponents(star, maxRounds = 1, tag = "cap1star")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L))
+    val path3 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }.toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      DedupQueries.connectedComponents(path3, maxRounds = 1, tag = "cap1path")
+        .as[(Long, Long)].collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("inverted-index Jaccard ≡ brute-force pairwise set algebra") {
     val rnd = new scala.util.Random(7)
     // 40 random docs over a 60-token vocabulary (dense enough to share).
