@@ -52,7 +52,20 @@ object Materialize {
       spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty) match {
         case Some(dir) =>
           ensureCheckpointDir(spark, dir)
-          ds.checkpoint(eager)
+          // A reliable RDD checkpoint re-COMPUTES the subtree in the
+          // checkpoint-write job that follows the materializing action
+          // (Spark's own docs say persist first) — exactly doubling the
+          // compute these materialization points exist to pay once.
+          // Persist before checkpointing so the write job reads cached
+          // blocks, and drop the cache once the checkpoint owns the
+          // data. The bracket requires the materializing action to run
+          // inside it, so the reliable path is always EAGER — a lazy
+          // call site just materializes here instead of under its next
+          // consumer (one extra job, same single computation).
+          val persisted = ds.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try persisted.checkpoint(eager = true)
+          finally persisted.unpersist(blocking = false)
         case None =>
           ds.localCheckpoint(eager)
       }

@@ -138,16 +138,23 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (elapsed, mb, err)
     }
-    // min-of-two wall (suite noise), shuffle from the first pass.
+    // min-of-two wall (suite noise), shuffle from the first pass. A
+    // pass-2 failure keeps pass 1's timing but is RECORDED — a silently
+    // single-pass number would claim denoising it never got, and a
+    // reproducible re-run failure is exactly what the probe exists to
+    // surface.
     def measure(frame: => DataFrame): (Double, Double, Option[String]) = {
       val (t1, mb, err) = measureOnce(frame)
       if (err.isDefined) (t1, mb, err)
       else { val (t2, _, e2) = measureOnce(frame)
-        (if (e2.isEmpty) math.min(t1, t2) else t1, mb, err) }
+        (if (e2.isEmpty) math.min(t1, t2) else t1, mb,
+          e2.map("second pass failed (first pass timing kept): " + _)) }
     }
 
     def f3(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    def jstr(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
 
     val rows = Heavy.map { name =>
       val (tS, mbS, eS) = measure(SparkEntry.queries(name)(spark, baseDir))
@@ -166,12 +173,19 @@ object ScaleProbe {
     // registered query; only the cell count differs.
     import graft.Materialize.CheckpointOps
     val scaledCells = {
-      val base = Tables.load(spark, sf1Dir, "embeddings")
-        .select(col("vec_id"),
-          functions.VectorOps.asDouble(col("embedding")).as("ev"))
-        .checkpointed()
-      val (t, mb, err) = measure(operators.SimilarityQueries.semanticPrune(
-        base, 64 * Copies, operators.SimilarityQueries.SemCellCap))
+      // The checkpointed base is rebuilt INSIDE the measured thunk:
+      // measureOnce unpersists all persistent RDDs after each pass, so
+      // a checkpoint shared across passes would lose its only blocks
+      // before pass 2 and fail the re-run. Rebuilding per pass also
+      // matches what every registered query pays per measurement.
+      val (t, mb, err) = measure {
+        val base = Tables.load(spark, sf1Dir, "embeddings")
+          .select(col("vec_id"),
+            functions.VectorOps.asDouble(col("embedding")).as("ev"))
+          .checkpointed()
+        operators.SimilarityQueries.semanticPrune(
+          base, 64 * Copies, operators.SimilarityQueries.SemCellCap)
+      }
       println(s"[probe] q99_scaled_cells sf1 ${f3(t)}s/${f3(mb)}MB" +
         err.fold("")(e => s" ERR $e"))
       (t, mb, err)
@@ -183,13 +197,13 @@ object ScaleProbe {
       s""""$name":{"sf01_sec":${f3(tS)},"sf01_shuffle_mb":${f3(mbS)},""" +
         s""""sf1_sec":${f3(tL)},"sf1_shuffle_mb":${f3(mbL)},""" +
         s""""wall_ratio":${f3(ratioT)},"shuffle_ratio":${f3(ratioMb)}""" +
-        err.fold("")(e => s""","error":"${e.replace("\"", "'")}"""") + "}"
+        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
     }.mkString("{", ",", "}")
     val extra = {
       val (t, mb, err) = scaledCells
       s""""q99_scaled_cells_sf1":{"cells":${64 * Copies},"sec":${f3(t)},""" +
         s""""shuffle_mb":${f3(mb)}""" +
-        err.fold("")(e => s""","error":"${e.replace("\"", "'")}"""") + "}"
+        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
     }
     // Input-volume context: the per-copy token suffix inflates CHAR
     // volume beyond the row ratio, and text-carrying shuffles scale

@@ -73,30 +73,42 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    // Estimate the scan's task count from the leaf file relations with
+    // Estimate the scan's task count from the physical scan nodes with
     // Spark's own split math (FilePartition.maxSplitBytes) instead of
     // probing df.rdd: building the RDD forces a second physical
     // planning pass, and under AQE it can even execute upstream
-    // stages. The logical file index is already cached by the scan.
+    // stages. Reading the FileSourceScanExec (sparkPlan — planned once,
+    // no AQE stage execution) rather than the logical relation keeps
+    // the estimate honest under PARTITION PRUNING: a filter that
+    // selects one of many partition directories must count only that
+    // directory's files, or the helper would see "plenty of files" and
+    // skip the very fan-out the pruned one-file scan needs.
     val conf = spark.sessionState.conf
-    val fileSizes = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
-      case org.apache.spark.sql.execution.datasources.LogicalRelation(
-          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
-        fs.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
-      case _ => Nil
-    }
     val estTasks =
-      if (fileSizes.isEmpty) df.rdd.getNumPartitions // non-file plan: old probe
-      else {
-        val openCost = conf.filesOpenCostInBytes
-        val padded = fileSizes.map(_ + openCost)
-        val bytesPerCore = padded.sum / math.max(1, target)
-        val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
-          math.max(openCost, bytesPerCore)))
-        // Parquet splits at maxSplit within a file; bin-packing across
-        // files only merges, so per-file splits summed bound the count.
-        fileSizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum.toInt
-      }
+      try {
+        val scans = df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        if (scans.isEmpty) df.rdd.getNumPartitions // non-file plan: old probe
+        else {
+          val fileSizes = scans.flatMap { f =>
+            // Dynamic (runtime) pruning filters can't be evaluated at
+            // planning time — estimate from the statically-pruned set.
+            val static = f.partitionFilters.filterNot(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+            f.relation.location.listFiles(static, f.dataFilters)
+              .flatMap(_.files.map(_.getLen))
+          }
+          val openCost = conf.filesOpenCostInBytes
+          val padded = fileSizes.map(_ + openCost)
+          val bytesPerCore = padded.sum / math.max(1, target)
+          val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+            math.max(openCost, bytesPerCore)))
+          // Parquet splits at maxSplit within a file; bin-packing across
+          // files only merges, so per-file splits summed bound the count.
+          fileSizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum.toInt
+        }
+      } catch { case scala.util.control.NonFatal(_) => df.rdd.getNumPartitions }
     if (estTasks < target) df.repartition(target) else df
   }
 

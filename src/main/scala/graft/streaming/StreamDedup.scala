@@ -33,17 +33,10 @@ object StreamDedup {
       statePartitions: Option[Int] = None,
       noDataBatches: Boolean = true): Unit = {
 
-    // noDataBatches=false drops the trailing empty micro-batch: dedup
-    // emits each first-seen key in the DATA batch that carries it, and
-    // the watermark never advances in an empty batch, so the only thing
-    // skipped is a state-eviction sweep a terminating drain never
-    // benefits from (see StreamIntervalJoin for the full rationale).
-    val session = if (statePartitions.isEmpty && noDataBatches) spark else {
-      val s = spark.newSession()
-      statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches)
-      s
-    }
+    // Dedup emits each first-seen key in the DATA batch that carries
+    // it, so a terminating drain can skip the trailing empty batch —
+    // rationale and sizing documented once on TunedSession.
+    val session = TunedSession(spark, statePartitions, noDataBatches)
 
     val reader = session.readStream.schema(schema)
     val stream = maxFilesPerTrigger

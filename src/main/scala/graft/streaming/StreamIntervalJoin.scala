@@ -66,21 +66,9 @@ object StreamIntervalJoin {
       maxFilesPerTrigger: Option[Int],
       noDataBatches: Boolean): Unit = {
 
-    // noDataBatches=false skips the trailing EMPTY micro-batch an
-    // AvailableNow drain otherwise runs after the last file. Safe to
-    // disable ONLY when the caller does not rely on post-drain eviction
-    // emissions: the watermark never ADVANCES in a no-data batch (it
-    // moves on data), so an inner join loses nothing, and a left-outer
-    // drain that finalizes its tail with flush DELIVERIES (q94) gets
-    // its eviction scan inside those data batches. A left-outer caller
-    // without flush traffic must keep the default: its last real
-    // batch's watermark gain is applied by exactly that empty batch.
-    val session = if (statePartitions.isEmpty && noDataBatches) spark else {
-      val s = spark.newSession() // same rationale as StreamingUpsert
-      statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches)
-      s
-    }
+    // State-store sizing and the empty-trailing-batch skip — the
+    // left-outer caveat included — are documented once on TunedSession.
+    val session = TunedSession(spark, statePartitions, noDataBatches)
 
     // Two independent sources over the same directory — each side scans
     // and filters its own event class (at scale these are two topics).

@@ -41,24 +41,10 @@ object StreamingUpsert {
       statePartitions: Option[Int] = None,
       noDataBatches: Boolean = true): Unit = {
 
-    // The stateful aggregation shards its state store by
-    // spark.sql.shuffle.partitions AT FIRST RUN (the layout is then
-    // pinned in the checkpoint). Each shard pays per-batch store
-    // open/commit file ops, so the count should track the DATA, not the
-    // session default — a catch-up over one day of files doesn't want
-    // hundreds of near-empty stores, a 100 TB backfill wants many. The
-    // override runs on a cloned session so the caller's conf is untouched.
-    // noDataBatches=false skips the trailing empty micro-batch: update
-    // mode emits re-aggregated keys in the data batch that changed
-    // them, and the watermark never advances in an empty batch, so a
-    // terminating drain only loses a state-eviction sweep it would
-    // never read again (see StreamIntervalJoin for the full rationale).
-    val session = if (statePartitions.isEmpty && noDataBatches) spark else {
-      val s = spark.newSession()
-      statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches)
-      s
-    }
+    // Update mode emits re-aggregated keys in the data batch that
+    // changed them, so a terminating drain can skip the trailing empty
+    // batch — rationale and store sizing documented on TunedSession.
+    val session = TunedSession(spark, statePartitions, noDataBatches)
 
     val reader = session.readStream.schema(schema)
     val stream = maxFilesPerTrigger

@@ -48,15 +48,39 @@ class MaterializeSpec extends AnyFunSuite {
     } finally spark.conf.unset(Materialize.ConfKey)
   }
 
-  test("lazy (eager=false) reliable checkpoint materializes on first action") {
+  test("lazy (eager=false) reliable checkpoint materializes inside the call (always-eager path)") {
+    // The reliable path brackets the checkpoint in persist/unpersist to
+    // avoid the write job recomputing the subtree, which requires the
+    // materializing action to run inside the bracket — so eager=false
+    // still checkpoints immediately there (locally it stays lazy).
     val dir = Files.createTempDirectory("graft-ckpt-lazy").toString
     spark.conf.set(Materialize.ConfKey, dir)
     try {
       val cp = freshFrame.checkpointed(false)
-      assert(cp.count() == 7)
       val entries = Files.walk(Paths.get(dir)).iterator().asScala
         .map(_.getFileName.toString).toList
-      assert(entries.exists(_.startsWith("rdd-")), s"no rdd-* under $dir: $entries")
+      assert(entries.exists(_.startsWith("rdd-")),
+        s"reliable checkpoint should have materialized in the call; $dir held: $entries")
+      assert(cp.count() == 7)
+    } finally spark.conf.unset(Materialize.ConfKey)
+  }
+
+  test("reliable checkpoint computes the subtree ONCE (persist absorbs the write job)") {
+    // An unpersisted reliable RDD checkpoint recomputes every partition
+    // in the checkpoint-write job that follows the materializing action
+    // — doubling exactly the compute a materialization point exists to
+    // pay once. The counter counts subtree evaluations per row.
+    val dir = Files.createTempDirectory("graft-ckpt-once").toString
+    spark.conf.set(Materialize.ConfKey, dir)
+    MaterializeSpec.evals.set(0)
+    try {
+      val ds = spark.range(0, 100).as[Long]
+        .map { x => MaterializeSpec.evals.incrementAndGet(); x * 2 }
+      val cp = ds.checkpointed()
+      assert(cp.count() == 100)
+      val n = MaterializeSpec.evals.get()
+      assert(n == 100, s"subtree evaluated $n row-computations for 100 rows — " +
+        "the checkpoint-write job recomputed instead of reading the persisted blocks")
     } finally spark.conf.unset(Materialize.ConfKey)
   }
 
@@ -75,4 +99,10 @@ class MaterializeSpec extends AnyFunSuite {
       assert(reliable == local)
     } finally spark.conf.unset(Materialize.ConfKey)
   }
+}
+
+/** JVM-wide evaluation counter for the single-computation test (tasks
+  * run in this JVM under local mode, so a static is visible to them). */
+object MaterializeSpec {
+  val evals = new java.util.concurrent.atomic.AtomicLong(0)
 }

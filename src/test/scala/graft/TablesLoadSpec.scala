@@ -91,4 +91,19 @@ class TablesLoadSpec extends AnyFunSuite {
     assert(Tables.spread(manyDf) eq manyDf,
       "many-file scan should pass through spread unchanged")
   }
+
+  test("spread counts only the partition-pruned files") {
+    // A partitioned table with `target`+ directories, filtered down to
+    // ONE partition: the estimate must see the pruned single-file scan
+    // (and fan it out), not the unpruned directory listing.
+    val target = spark.sparkContext.defaultParallelism
+    val dir = tmp()
+    spark.range(10000).toDF("id")
+      .withColumn("p", col("id") % (target + 4))
+      .repartition(col("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val pruned = Tables.spread(spark.read.parquet(dir).filter(col("p") === 3))
+    assert(pruned.rdd.getNumPartitions == target,
+      "pruned-to-one-file scan should be repartitioned to defaultParallelism")
+  }
 }

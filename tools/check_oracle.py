@@ -96,7 +96,12 @@ def compare():
     versions = {"duckdb": duckdb.__version__}
     vpath = f"{OUT}/versions.json"
     if os.path.exists(vpath):
-        versions.update(json.load(open(vpath)))
+        try:
+            versions.update(json.load(open(vpath)))
+        except (ValueError, OSError) as e:
+            # A truncated stamp (e.g. a killed Verify run) must not crash
+            # the gate after the per-query lines but before the summary.
+            versions["stamp_error"] = str(e)[:80]
     print(f"== versions: {json.dumps(versions, sort_keys=True)} ==")
     print(f"== {npass}/{len(results)} ok ==")
 
