@@ -20,8 +20,22 @@ object Embedder {
   val Dim = 64      // default: matches the testdata embeddings dim
   val RefDim = 1536 // reference schema fidelity: VECTOR(1536), pgvector_storage.py:92
 
-  /** raw(i) = Σ_tok sign(xxhash64(tok, i)), computed as ONE fold over
-    * the token array — each token contributes a ±1 vector to all Dim
+  /** 64-bit hash words needed to carry `dim` sign bits. */
+  private def words(dim: Int): Int = (dim + 63) / 64
+
+  /** sign_i(tok) = +1 if bit (i mod 64) of xxhash64(tok, i/64) is 0,
+    * else −1: ONE hash evaluation yields 64 independent sign bits
+    * (feature hashing's standard trick), so a token pays ⌈dim/64⌉
+    * hashes instead of dim — at Dim=64 exactly one, at RefDim=1536
+    * twenty-four instead of 1536. The bits of a 64-bit avalanche hash
+    * are pairwise independent coin flips, which is all the ±1
+    * projection needs. */
+  private def sign(word: Int => Column, i: Int): Column =
+    when(shiftright(word(i / 64), i % 64).bitwiseAND(lit(1L)) === 0L,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** raw(i) = Σ_tok sign_i(tok), computed as ONE fold over the token
+    * array — each token contributes a ±1 vector to all Dim
     * accumulators in a single pass. (The transposed formulation — one
     * aggregate per dimension — re-tokenizes the text Dim times per row:
     * ~40× slower at corpus scale. Values are identical: same per-dim
@@ -30,7 +44,7 @@ object Embedder {
     val zero = array((0 until dim).map(_ => lit(0.0)): _*)
     aggregate(toks, zero, (acc, t) =>
       zip_with(acc, array((0 until dim).map(i =>
-        when(pmod(xxhash64(t, lit(i)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))): _*),
+        sign(j => xxhash64(t, lit(j)), i)): _*),
         (a, b) => a + b))
   }
 
@@ -73,11 +87,16 @@ object Embedder {
     val texts = df.select(col(textCol).as("__text")).na.drop()
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("__text"))
       .distinct()
-    val toks = texts.select(col("__text"), explode(toksOf(col("__text"))).as("__t"))
+    // Hash words are PROJECTED once per token row, then the dim sums
+    // only extract bits — the aggregate's hash cost is ⌈dim/64⌉
+    // evaluations per occurrence, not dim (see [[sign]]).
+    val hashed = texts
+      .select(col("__text"), explode(toksOf(col("__text"))).as("__t"))
+      .select(col("__text") +: (0 until words(dim)).map(j =>
+        xxhash64(col("__t"), lit(j)).as(s"__h$j")): _*)
     val sums = (0 until dim).map(i =>
-      sum(when(pmod(xxhash64(col("__t"), lit(i)), lit(2)) === 0, lit(1.0))
-        .otherwise(lit(-1.0))).as(s"__e$i"))
-    val raw = toks.groupBy(col("__text"))
+      sum(sign(j => col(s"__h$j"), i)).as(s"__e$i"))
+    val raw = hashed.groupBy(col("__text"))
       .agg(sums.head, sums.tail: _*)
       .select(col("__text"),
         array((0 until dim).map(i => col(s"__e$i")): _*).as("__raw"))
