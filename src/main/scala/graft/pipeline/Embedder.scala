@@ -84,20 +84,31 @@ object Embedder {
     // by the same __text distribution and therefore exchange-free)
     // would run near-serially. REPARTITION_BY_NUM is preserved by AQE
     // and satisfies both the distinct and the aggregate downstream.
-    val texts = df.select(col(textCol).as("__text")).na.drop()
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("__text"))
-      .distinct()
+    // ONE exchange keyed by the compact md5 of the text carries the
+    // whole embed stage: the numbered repartition (AQE-preserved — a
+    // column-only one coalesces to near-serial at text byte sizes)
+    // satisfies the dedup aggregate, the per-token sign aggregate AND
+    // the text join-back, so none of them shuffles again. Grouping the
+    // per-token rows by 32 hex chars instead of the ~KB document text
+    // cuts the dominant memory traffic of the map-side aggregate; a
+    // 128-bit collision is not a practical concern and would only
+    // merge identical-by-hash texts' sums.
+    val keyed = df.select(col(textCol).as("__text")).na.drop()
+      .select(col("__text"), md5(col("__text")).as("__k"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("__k"))
+      .groupBy(col("__k")).agg(first(col("__text")).as("__text")) // distinct texts, by key
     // Hash words are PROJECTED once per token row, then the dim sums
     // only extract bits — the aggregate's hash cost is ⌈dim/64⌉
     // evaluations per occurrence, not dim (see [[sign]]).
-    val hashed = texts
-      .select(col("__text"), explode(toksOf(col("__text"))).as("__t"))
-      .select(col("__text") +: (0 until words(dim)).map(j =>
+    val hashed = keyed
+      .select(col("__k"), explode(toksOf(col("__text"))).as("__t"))
+      .select(col("__k") +: (0 until words(dim)).map(j =>
         xxhash64(col("__t"), lit(j)).as(s"__h$j")): _*)
     val sums = (0 until dim).map(i =>
       sum(sign(j => col(s"__h$j"), i)).as(s"__e$i"))
-    val raw = hashed.groupBy(col("__text"))
+    val raw = hashed.groupBy(col("__k"))
       .agg(sums.head, sums.tail: _*)
+      .join(keyed, "__k")
       .select(col("__text"),
         array((0 until dim).map(i => col(s"__e$i")): _*).as("__raw"))
     val zero = array((0 until dim).map(_ => lit(0.0)): _*)
