@@ -237,7 +237,33 @@ object Bench {
     // queries get a second pass and keep the smaller reading, with both
     // readings preserved in remeasured_passes. spark_version stamps the
     // engine so an environment bump names itself in the artifact.
-    val meta = s""""spark_version":"${spark.version}","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass""""
+    // Host calibration: identical code on this box has measured 72-102s
+    // across a single day (the untouched entry pipeline alone varied
+    // 1.3-2.8s), so a cross-round total is only comparable through a
+    // same-run speed reference. A fixed deterministic workload — 64-bit
+    // mix over a preallocated window, no allocation — is timed single-
+    // threaded and at defaultParallelism; ops/ms lets a reader normalize
+    // one round's total against another's before reading it as a
+    // code-level regression or win.
+    def mixOps(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) { // splitmix64 finalizer: CPU-bound, allocation-free
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL
+        x ^= x >>> 31; i += 1
+      }
+      x
+    }
+    def opsPerMs(threads: Int): Long = {
+      val iters = 20000000L
+      val t0 = System.nanoTime()
+      val pool = (0 until threads).map(_ => new Thread(() => { mixOps(iters); () }))
+      pool.foreach(_.start()); pool.foreach(_.join())
+      (threads * iters) / math.max(1L, (System.nanoTime() - t0) / 1000000L)
+    }
+    mixOps(2000000L) // JIT warm
+    val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":${opsPerMs(spark.sparkContext.defaultParallelism)},"threads_nt":${spark.sparkContext.defaultParallelism}}"""
+    val meta = s""""spark_version":"${spark.version}","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass",$calib"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"spark_version":"${spark.version}","sf":"$sfDir"}"""
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},$meta,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
     // Stdout AND a file: the driver's tail-capture truncated the r3
