@@ -89,19 +89,7 @@ object ScaleProbe {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outFile = args.lift(1).getOrElse("SCALE_r08.json")
     val sf1Dir = "/tmp/graft_scaleprobe_sf1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ui.retainedExecutions", "5")
-      .config("spark.ui.retainedJobs", "20")
-      .config("spark.ui.retainedStages", "50")
-      .config("spark.ui.retainedTasks", "2000")
-      .withExtensions(new plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    Tables.configure(spark)
+    val spark = ProbeHarness.session()
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -128,33 +116,19 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val err =
         try { frame.write.mode("overwrite").format("noop").save(); None }
-        catch { case scala.util.control.NonFatal(e) =>
-          Some(e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160))
-        }
+        catch { case scala.util.control.NonFatal(e) => Some(ProbeHarness.errMsg(e)) }
       val elapsed = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
       val mb = (shuffleBytes.get() - s0) / 1048576.0
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (elapsed, mb, err)
     }
-    // min-of-two wall (suite noise), shuffle from the first pass. A
-    // pass-2 failure keeps pass 1's timing but is RECORDED — a silently
-    // single-pass number would claim denoising it never got, and a
-    // reproducible re-run failure is exactly what the probe exists to
-    // surface.
-    def measure(frame: => DataFrame): (Double, Double, Option[String]) = {
-      val (t1, mb, err) = measureOnce(frame)
-      if (err.isDefined) (t1, mb, err)
-      else { val (t2, _, e2) = measureOnce(frame)
-        (if (e2.isEmpty) math.min(t1, t2) else t1, mb,
-          e2.map("second pass failed (first pass timing kept): " + _)) }
-    }
+    // min-of-two wall, shuffle from the first pass; pass-2 failures
+    // recorded — see ProbeHarness.minOfTwo.
+    def measure(frame: => DataFrame): (Double, Double, Option[String]) =
+      ProbeHarness.minOfTwo(() => measureOnce(frame))
 
-    def f3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    def jstr(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    import ProbeHarness.{f3, jstr}
 
     val rows = Heavy.map { name =>
       val (tS, mbS, eS) = measure(SparkEntry.queries(name)(spark, baseDir))

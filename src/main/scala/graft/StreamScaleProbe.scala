@@ -56,20 +56,7 @@ object StreamScaleProbe {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outFile = args.lift(1).getOrElse("SCALE_r08_streaming.json")
     val sf1Dir = "/tmp/graft_scaleprobe_sf1ev"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ui.retainedExecutions", "5")
-      .config("spark.ui.retainedJobs", "20")
-      .config("spark.ui.retainedStages", "50")
-      .config("spark.ui.retainedTasks", "2000")
-      .config("spark.sql.session.timeZone", "UTC")
-      .withExtensions(new plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    Tables.configure(spark)
+    val spark = ProbeHarness.session()
 
     synthesize(spark, baseDir, sf1Dir)
 
@@ -99,25 +86,13 @@ object StreamScaleProbe {
       val t0 = System.nanoTime()
       try { val n = frame.count(); ((System.nanoTime() - t0) / 1e9, n, None) }
       catch { case scala.util.control.NonFatal(e) =>
-        ((System.nanoTime() - t0) / 1e9, -1L,
-          Some(e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160)))
+        ((System.nanoTime() - t0) / 1e9, -1L, Some(ProbeHarness.errMsg(e)))
       }
     }
-    // A pass-2 failure keeps pass 1's timing but is RECORDED (see
-    // ScaleProbe.measure — a silent single-pass number would claim
-    // denoising it never got).
-    def measure(frame: => DataFrame): (Double, Long, Option[String]) = {
-      val (t1, n1, e1) = measureOnce(frame)
-      if (e1.isDefined) (t1, n1, e1)
-      else { val (t2, _, e2) = measureOnce(frame)
-        (if (e2.isEmpty) math.min(t1, t2) else t1, n1,
-          e2.map("second pass failed (first pass timing kept): " + _)) }
-    }
-    def f3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    def jstr(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Min-of-two with pass-2 failures recorded — ProbeHarness.minOfTwo.
+    def measure(frame: => DataFrame): (Double, Long, Option[String]) =
+      ProbeHarness.minOfTwo(() => measureOnce(frame))
+    import ProbeHarness.{f3, jstr}
 
     val rows = Probed.map { name =>
       val (tS, nS, eS) = measure(SparkEntry.queries(name)(spark, baseDir))
