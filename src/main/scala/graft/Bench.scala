@@ -191,12 +191,12 @@ object Bench {
     val results = firstPass.map { case (name, elapsed, shuffleMb, err) =>
       (name, secondPass.get(name).fold(elapsed)(math.min(elapsed, _)), shuffleMb, err)
     }
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
-    // renders a comma decimal separator on e.g. de_DE hosts — invalid JSON.
-    // 3 decimals (1 ms): full double precision bloated the record to the
-    // point the driver's tail-capture truncated it (r5's parsed: null).
-    def f3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    // Shared JSON formatting (ProbeHarness): Locale.ROOT 3-decimal
+    // doubles (de_DE comma separators are invalid JSON; full precision
+    // bloated r5's record past the driver's tail-capture) and the one
+    // copy of string escaping — the probes' old quote-swap escaping bug
+    // is exactly the drift a second inline copy invites.
+    import ProbeHarness.{f3, jstr}
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val shuffles = results.map { case (k, _, mb, _) =>
@@ -205,7 +205,7 @@ object Bench {
     // Failed queries keep their elapsed time but are flagged explicitly —
     // a timing with no error entry is a COMPLETED materialization.
     val errs = results.collect { case (k, _, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jstr(m) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // n_queries/avg keep totals comparable across rounds as the query
@@ -254,15 +254,24 @@ object Bench {
       }
       x
     }
+    // Every mixOps result is SUNK into this accumulator and the final
+    // checksum is stamped into the artifact: a discarded pure-loop
+    // result is exactly what lets C2 dead-code-eliminate the loop (the
+    // reason JMH has Blackhole), which would inflate ops/ms by orders
+    // of magnitude. The stamped checksum both keeps the loop live and
+    // proves it ran (it is a deterministic function of the iteration
+    // counts).
+    val calibSink = new java.util.concurrent.atomic.AtomicLong(0L)
     def opsPerMs(threads: Int): Long = {
       val iters = 20000000L
       val t0 = System.nanoTime()
-      val pool = (0 until threads).map(_ => new Thread(() => { mixOps(iters); () }))
+      val pool = (0 until threads).map(_ =>
+        new Thread(() => { calibSink.addAndGet(mixOps(iters)); () }))
       pool.foreach(_.start()); pool.foreach(_.join())
       (threads * iters) / math.max(1L, (System.nanoTime() - t0) / 1000000L)
     }
-    mixOps(2000000L) // JIT warm
-    val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":${opsPerMs(spark.sparkContext.defaultParallelism)},"threads_nt":${spark.sparkContext.defaultParallelism}}"""
+    calibSink.addAndGet(mixOps(2000000L)) // JIT warm
+    val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":${opsPerMs(spark.sparkContext.defaultParallelism)},"threads_nt":${spark.sparkContext.defaultParallelism},"checksum":${calibSink.get()}}"""
     val meta = s""""spark_version":"${spark.version}","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass",$calib"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"spark_version":"${spark.version}","sf":"$sfDir"}"""
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},$meta,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""

@@ -22,10 +22,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     a reliable `Dataset.checkpoint` into that directory — replicated
   *     storage, survives executor loss, safe under dynamic allocation.
   *
-  * Eagerness is forwarded unchanged; the eager-vs-lazy decisions at the
-  * call sites (e.g. eager before anything feeding a broadcast exchange,
-  * whose job runs on its own thread before a lazy checkpoint would
-  * materialize) are orthogonal to durability.
+  * Eagerness: the local path forwards it unchanged (the call sites'
+  * eager-vs-lazy decisions — e.g. eager before anything feeding a
+  * broadcast exchange, whose job runs on its own thread before a lazy
+  * checkpoint would materialize — stay in force). The RELIABLE path is
+  * always eager: it brackets the checkpoint in persist/unpersist so
+  * the checkpoint-write job reads cached blocks instead of recomputing
+  * the subtree, and the materializing action must run inside that
+  * bracket.
   */
 object Materialize {
   /** Fault-tolerant directory for reliable checkpoints; unset = local. */
@@ -62,10 +66,19 @@ object Materialize {
           // inside it, so the reliable path is always EAGER — a lazy
           // call site just materializes here instead of under its next
           // consumer (one extra job, same single computation).
-          val persisted = ds.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try persisted.checkpoint(eager = true)
-          finally persisted.unpersist(blocking = false)
+          // Guard: if the CALLER already cached this plan, piggyback on
+          // their cache and leave it alone — persisting again is a
+          // no-op, but the finally-unpersist would evict the caller's
+          // deliberately cached data behind their back.
+          val alreadyCached =
+            ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+          if (alreadyCached) ds.checkpoint(eager = true)
+          else {
+            val persisted = ds.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try persisted.checkpoint(eager = true)
+            finally persisted.unpersist(blocking = false)
+          }
         case None =>
           ds.localCheckpoint(eager)
       }

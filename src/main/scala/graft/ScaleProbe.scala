@@ -135,7 +135,10 @@ object ScaleProbe {
       System.gc()
       val (tL, mbL, eL) = measure(SparkEntry.queries(name)(spark, sf1Dir))
       System.gc()
-      val err = eS.orElse(eL)
+      // Record BOTH scales' failures, labeled — eS.orElse(eL) would
+      // silently drop an sf1 failure whenever sf0.1 also failed.
+      val err = (eS.map("sf0.1: " + _) ++ eL.map("sf1: " + _))
+        .reduceOption(_ + "; " + _)
       println(s"[probe] $name sf0.1 ${f3(tS)}s/${f3(mbS)}MB " +
         s"sf1 ${f3(tL)}s/${f3(mbL)}MB" + err.fold("")(e => s" ERR $e"))
       (name, tS, mbS, tL, mbL, err)

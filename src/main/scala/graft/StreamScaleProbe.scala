@@ -103,7 +103,10 @@ object StreamScaleProbe {
         case "q49_streaming_daily" => nL == nS
         case _ => nL == Copies * nS
       }
-      val err = eS.orElse(eL)
+      // Record BOTH scales' failures, labeled — eS.orElse(eL) would
+      // silently drop an sf1 failure whenever sf0.1 also failed.
+      val err = (eS.map("sf0.1: " + _) ++ eL.map("sf1: " + _))
+        .reduceOption(_ + "; " + _)
       println(s"[sprobe] $name sf0.1 ${f3(tS)}s/${nS}r sf1 ${f3(tL)}s/${nL}r " +
         s"law=${if (lawOk) "ok" else "VIOLATED"}" + err.fold("")(e => s" ERR $e"))
       (name, tS, nS, tL, nL, lawOk, err)

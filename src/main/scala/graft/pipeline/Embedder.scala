@@ -84,17 +84,20 @@ object Embedder {
     // by the same __text distribution and therefore exchange-free)
     // would run near-serially. REPARTITION_BY_NUM is preserved by AQE
     // and satisfies both the distinct and the aggregate downstream.
-    // ONE exchange keyed by the compact md5 of the text carries the
+    // ONE exchange keyed by a compact digest of the text carries the
     // whole embed stage: the numbered repartition (AQE-preserved — a
     // column-only one coalesces to near-serial at text byte sizes)
     // satisfies the dedup aggregate, the per-token sign aggregate AND
     // the text join-back, so none of them shuffles again. Grouping the
-    // per-token rows by 32 hex chars instead of the ~KB document text
-    // cuts the dominant memory traffic of the map-side aggregate; a
-    // 128-bit collision is not a practical concern and would only
-    // merge identical-by-hash texts' sums.
+    // per-token rows by 64 hex chars instead of the ~KB document text
+    // cuts the dominant memory traffic of the map-side aggregate.
+    // SHA-256, not md5: a key collision here is not a benign merge —
+    // the surviving text would take the normalized sum of BOTH
+    // colliding documents' tokens and the dropped text the zero vector
+    // — and md5 collisions are practical to craft (web corpora contain
+    // published collision pairs), while a SHA-256 collision is not.
     val keyed = df.select(col(textCol).as("__text")).na.drop()
-      .select(col("__text"), md5(col("__text")).as("__k"))
+      .select(col("__text"), sha2(col("__text"), 256).as("__k"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("__k"))
       .groupBy(col("__k")).agg(first(col("__text")).as("__text")) // distinct texts, by key
     // Hash words are PROJECTED once per token row, then the dim sums
