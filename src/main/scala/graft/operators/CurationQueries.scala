@@ -27,6 +27,10 @@ object CurationQueries {
   private val hashSql =
     "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
+  /** DuckDB mirror of [[TextOps.tokens]]. */
+  private def tokensSql(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+
   /** Target mixture for q62 (must sum to 1 over the corpus langs). */
   private val Mixture: Seq[(String, Double)] = Seq(
     "de" -> 0.15, "en" -> 0.4, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
@@ -561,6 +565,89 @@ object CurationQueries {
           lit(null).cast("int").as("valid_to"), lit(true).as("is_current"))
       closedOrOpen.unionByName(opened)
         .orderBy("doc_id", "valid_from") // row-per-(key, version): parallel sort
+    },
+
+    // ----- X4+ (data selection): DSIR-style importance selection —
+    // rank raw-corpus docs by how target-like their hashed-unigram
+    // distribution is (Xie et al. 2023, "Data Selection for Language
+    // Models via Importance Resampling": per-doc log-likelihood ratio
+    // between target and raw bag-of-hashed-ngrams models). Target =
+    // the 'en' slice; every other doc is raw. DETERMINISTIC variant:
+    // the selection takes the top-k by length-normalized log ratio
+    // (resampling noise can't be oracle-checked; thresholding is the
+    // production mode anyway).
+    //
+    // Float parity with the oracle is by construction: each bucket's
+    // log ratio is rounded to 6dp and cast DECIMAL(18,6), so the
+    // per-doc Σ count·lr is an EXACT decimal in both engines (ln may
+    // differ in the last ulp between libms, but never by the 5e-7 a
+    // 6dp rounding boundary needs); the final division divides the
+    // identical decimal-cast double by the identical integer.
+    //
+    // Scale shape: one tokenize pass → compact (doc_id, lang, bucket)
+    // rows, eager-checkpointed (three consumers, one of which feeds a
+    // broadcast build thread); the two corpus histograms and the totals
+    // are map-side-combinable counts that collapse to ≤ NumBuckets
+    // rows; the 4096-row log-ratio table broadcasts back to the
+    // per-doc counts, so the raw corpus shuffles once (per-doc bucket
+    // counts) and the ranking is a top-k (TakeOrdered), never a global
+    // sort of the corpus.
+    q("q102_dsir_select",
+      "X4+: DSIR hashed-ngram importance selection (deterministic top-k, target = lang 'en')",
+      {
+        val toks = tokensSql("text")
+        val h = "CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+        s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS t FROM documents),
+           |  bk AS (SELECT doc_id, lang, $h % 4096 AS b FROM tok),
+           |  tgt AS (SELECT b, COUNT(*) AS n_t FROM bk WHERE lang = 'en' GROUP BY 1),
+           |  rawh AS (SELECT b, COUNT(*) AS n_r FROM bk WHERE lang <> 'en' GROUP BY 1),
+           |  tot AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+           |                 SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nr FROM bk),
+           |  lr AS (SELECT rawh.b,
+           |           CAST(ROUND(
+           |             LN(CAST(COALESCE(n_t, 0) + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
+           |           - LN(CAST(n_r + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)), 6)
+           |           AS DECIMAL(18,6)) AS lr
+           |         FROM rawh LEFT JOIN tgt USING (b) CROSS JOIN tot),
+           |  pd AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM bk
+           |         WHERE lang <> 'en' GROUP BY 1, 2, 3),
+           |  w AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tok,
+           |               SUM(c * lr) AS w
+           |        FROM pd JOIN lr USING (b) GROUP BY 1, 2)
+           |SELECT doc_id, lang, n_tok,
+           |       ROUND(CAST(w AS DOUBLE) / n_tok, 6) AS avg_lr
+           |FROM w ORDER BY avg_lr DESC, doc_id LIMIT 50""".stripMargin
+      }) { (s, dir) =>
+      val B = 4096
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("lang"),
+          (TextOps.hash60(col("t")) % B).as("b"))
+        .checkpointed() // eager: the lr side feeds a broadcast build thread
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("n_t"))
+      val rawHist = tok.filter(col("lang") =!= "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("n_r"))
+      val totals = tok.groupBy().agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"))
+      val lr = rawHist.join(tgt, Seq("b"), "left_outer")
+        .na.fill(0L, Seq("n_t"))
+        .crossJoin(broadcast(totals))
+        .select(col("b"), round(
+            log((col("n_t") + lit(1)).cast("double") / (col("nt") + lit(B)).cast("double")) -
+            log((col("n_r") + lit(1)).cast("double") / (col("nr") + lit(B)).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lr"))
+      tok.filter(col("lang") =!= "en")
+        .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c") * col("lr")).as("w"), sum(col("c")).as("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          round(col("w").cast("double") / col("n_tok"), 6).as("avg_lr"))
+        .orderBy(col("avg_lr").desc, col("doc_id")) // + limit → TakeOrdered top-k
+        .limit(50)
     }
   )
 }

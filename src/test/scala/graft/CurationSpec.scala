@@ -129,4 +129,30 @@ class CurationSpec extends AnyFunSuite {
         s"planted near-copy of eval doc $i not flagged")
     }
   }
+
+  test("q102: a target-vocabulary raw doc outranks a disjoint-vocabulary one") {
+    // Synthetic corpus on disk (the query reads $dir/documents.parquet):
+    // target ('en') docs speak vocabulary A; raw doc 100 speaks A, raw
+    // doc 101 speaks a disjoint vocabulary B. DSIR's whole premise is
+    // that 100 must score a higher importance weight than 101.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val vocabA = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val vocabB = (0 until 20).map(i => s"zeta$i").mkString(" ")
+    val docs = Seq(
+      (1L, vocabA, "en", "s", vocabA.length.toLong),
+      (2L, vocabA, "en", "s", vocabA.length.toLong),
+      (100L, vocabA, "de", "s", vocabA.length.toLong),
+      (101L, vocabB, "de", "s", vocabB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q102_dsir_select")(spark, tmp).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(100L, 101L),
+      "target-vocab raw doc must rank first")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_lr")).toMap
+    assert(byId(100L) > byId(101L),
+      s"importance must separate the vocabularies: $byId")
+    assert(out.forall(_.getAs[String]("lang") != "en"),
+      "only raw docs are selectable")
+  }
 }
