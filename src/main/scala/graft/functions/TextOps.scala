@@ -43,6 +43,17 @@ object TextOps {
   def hash60(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
+  /** DuckDB mirror of [[tokens]] — the ONE copy. Every oracle that
+    * tokenizes must build from here: the string is parity-critical
+    * with the Spark expression above, and hand-copies in individual
+    * query files can drift apart silently. */
+  def tokensSql(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB mirror of [[hash60]] — the ONE copy (same rationale). */
+  def hash60Sql(tok: String): String =
+    s"CAST(CONCAT('0x', substr(md5($tok), 1, 15)) AS BIGINT)"
+
   /** SimHash over a distinct term array (tokens or shingles): 60 bits,
     * bit j set iff the ±1 majority vote of term-hash bit j is positive.
     * Single pass over the term array: fold a 60-long vote vector with

@@ -27,9 +27,8 @@ object CurationQueries {
   private val hashSql =
     "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
-  /** DuckDB mirror of [[TextOps.tokens]]. */
-  private def tokensSql(text: String): String =
-    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+  /** DuckDB mirror of [[TextOps.tokens]] (canonical copy lives there). */
+  private def tokensSql(text: String): String = TextOps.tokensSql(text)
 
   /** Target mixture for q62 (must sum to 1 over the corpus langs). */
   private val Mixture: Seq[(String, Double)] = Seq(
@@ -584,19 +583,19 @@ object CurationQueries {
     // 6dp rounding boundary needs); the final division divides the
     // identical decimal-cast double by the identical integer.
     //
-    // Scale shape: one tokenize pass → compact (doc_id, lang, bucket)
-    // rows, eager-checkpointed (three consumers, one of which feeds a
-    // broadcast build thread); the two corpus histograms and the totals
-    // are map-side-combinable counts that collapse to ≤ NumBuckets
-    // rows; the 4096-row log-ratio table broadcasts back to the
-    // per-doc counts, so the raw corpus shuffles once (per-doc bucket
-    // counts) and the ranking is a top-k (TakeOrdered), never a global
-    // sort of the corpus.
+    // Scale shape: one tokenize pass reduces straight to per-(doc,
+    // lang, bucket) COUNTS — the corpus's only corpus-sized shuffle —
+    // and that reduced frame is eager-checkpointed for its four
+    // consumers (two histograms, the totals, the per-doc weights; the
+    // histogram side feeds a broadcast build thread). The histograms
+    // and totals collapse to ≤ NumBuckets rows, the 4096-row log-ratio
+    // table broadcasts back to the per-doc counts, and the ranking is
+    // a top-k (TakeOrdered), never a global sort of the corpus.
     q("q102_dsir_select",
       "X4+: DSIR hashed-ngram importance selection (deterministic top-k, target = lang 'en')",
       {
         val toks = tokensSql("text")
-        val h = "CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+        val h = TextOps.hash60Sql("t")
         s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS t FROM documents),
            |  bk AS (SELECT doc_id, lang, $h % 4096 AS b FROM tok),
            |  tgt AS (SELECT b, COUNT(*) AS n_t FROM bk WHERE lang = 'en' GROUP BY 1),
@@ -619,19 +618,26 @@ object CurationQueries {
            |FROM w ORDER BY avg_lr DESC, doc_id LIMIT 50""".stripMargin
       }) { (s, dir) =>
       val B = 4096
-      val tok = docs(s, dir)
+      // The checkpoint holds the REDUCED per-(doc, lang, bucket) counts
+      // — one row per distinct bucket per doc, not one per token
+      // occurrence — so its four consumers (two histograms, the totals,
+      // the per-doc weights) re-read the smallest frame that still
+      // carries everything they need. Eager: the lr side feeds a
+      // broadcast build thread.
+      val cnt = docs(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(TextOps.tokens(col("text"))).as("t"))
         .select(col("doc_id"), col("lang"),
           (TextOps.hash60(col("t")) % B).as("b"))
-        .checkpointed() // eager: the lr side feeds a broadcast build thread
-      val tgt = tok.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("n_t"))
-      val rawHist = tok.filter(col("lang") =!= "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("n_r"))
-      val totals = tok.groupBy().agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"))
+        .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+        .checkpointed()
+      val tgt = cnt.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("c")).as("n_t"))
+      val rawHist = cnt.filter(col("lang") =!= "en")
+        .groupBy(col("b")).agg(sum(col("c")).as("n_r"))
+      val totals = cnt.groupBy().agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("nt"),
+        sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("nr"))
       val lr = rawHist.join(tgt, Seq("b"), "left_outer")
         .na.fill(0L, Seq("n_t"))
         .crossJoin(broadcast(totals))
@@ -639,8 +645,7 @@ object CurationQueries {
             log((col("n_t") + lit(1)).cast("double") / (col("nt") + lit(B)).cast("double")) -
             log((col("n_r") + lit(1)).cast("double") / (col("nr") + lit(B)).cast("double")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lr"))
-      tok.filter(col("lang") =!= "en")
-        .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      cnt.filter(col("lang") =!= "en")
         .join(broadcast(lr), "b")
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("c") * col("lr")).as("w"), sum(col("c")).as("n_tok"))

@@ -135,13 +135,11 @@ object DedupQueries {
       .select(col("doc_id"), coalesce(sigExpr, lit(0L)).as("sig"))
   }
 
-  /** DuckDB mirror of [[TextOps.hash60]]. */
-  private def hash60Sql(tok: String): String =
-    s"CAST(CONCAT('0x', substr(md5($tok), 1, 15)) AS BIGINT)"
+  /** DuckDB mirror of [[TextOps.hash60]] (canonical copy lives there). */
+  private def hash60Sql(tok: String): String = TextOps.hash60Sql(tok)
 
-  /** DuckDB mirror of [[TextOps.tokens]]. */
-  private def tokensSql(text: String): String =
-    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+  /** DuckDB mirror of [[TextOps.tokens]] (canonical copy lives there). */
+  private def tokensSql(text: String): String = TextOps.tokensSql(text)
 
   /** DuckDB mirror of [[TextOps.shingles]] (word 3-grams, distinct). */
   private def shinglesSql(toks: String): String =

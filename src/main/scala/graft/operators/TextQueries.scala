@@ -19,9 +19,8 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** DuckDB mirror of [[TextOps.tokens]]. */
-  private def tokensSql(text: String): String =
-    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+  /** DuckDB mirror of [[TextOps.tokens]] (canonical copy lives there). */
+  private def tokensSql(text: String): String = TextOps.tokensSql(text)
 
   /** Shared ASCII stopword profiles for the language-ID heuristic.
     * (The corpus is synthetic English-ish word bags under synthetic lang

@@ -137,22 +137,28 @@ class CurationSpec extends AnyFunSuite {
     // that 100 must score a higher importance weight than 101.
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
-    val vocabA = (0 until 20).map(i => s"alpha$i").mkString(" ")
-    val vocabB = (0 until 20).map(i => s"zeta$i").mkString(" ")
-    val docs = Seq(
-      (1L, vocabA, "en", "s", vocabA.length.toLong),
-      (2L, vocabA, "en", "s", vocabA.length.toLong),
-      (100L, vocabA, "de", "s", vocabA.length.toLong),
-      (101L, vocabB, "de", "s", vocabB.length.toLong))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.write.parquet(s"$tmp/documents.parquet")
-    val out = SparkEntry.queries("q102_dsir_select")(spark, tmp).collect()
-    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(100L, 101L),
-      "target-vocab raw doc must rank first")
-    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_lr")).toMap
-    assert(byId(100L) > byId(101L),
-      s"importance must separate the vocabularies: $byId")
-    assert(out.forall(_.getAs[String]("lang") != "en"),
-      "only raw docs are selectable")
+    try {
+      val vocabA = (0 until 20).map(i => s"alpha$i").mkString(" ")
+      val vocabB = (0 until 20).map(i => s"zeta$i").mkString(" ")
+      val docs = Seq(
+        (1L, vocabA, "en", "s", vocabA.length.toLong),
+        (2L, vocabA, "en", "s", vocabA.length.toLong),
+        (100L, vocabA, "de", "s", vocabA.length.toLong),
+        (101L, vocabB, "de", "s", vocabB.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.parquet(s"$tmp/documents.parquet")
+      val out = SparkEntry.queries("q102_dsir_select")(spark, tmp).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(100L, 101L),
+        "target-vocab raw doc must rank first")
+      val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_lr")).toMap
+      assert(byId(100L) > byId(101L),
+        s"importance must separate the vocabularies: $byId")
+      assert(out.forall(_.getAs[String]("lang") != "en"),
+        "only raw docs are selectable")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
