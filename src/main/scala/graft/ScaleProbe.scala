@@ -45,7 +45,7 @@ object ScaleProbe {
     "q28_minhash_pairs", "q32_simhash_bands", "q59_dup_clusters",
     "q64_repetition_filter", "q69_pmi_bigrams", "q81_ngram_jaccard",
     "q86_canonical_pick", "q95_dup_spans", "q98_novelty_score",
-    "q99_semantic_prune")
+    "q99_semantic_prune", "q102_dsir_select")
 
   /** Synthesize the 10× corpus (documents + embeddings — all the heavy
     * tier reads) into `outDir`, memoized on a marker file. */
