@@ -29,7 +29,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * always eager: it brackets the checkpoint in persist/unpersist so
   * the checkpoint-write job reads cached blocks instead of recomputing
   * the subtree, and the materializing action must run inside that
-  * bracket.
+  * bracket. Known trade (ADVICE r8 #5): under a reliable config,
+  * `checkpointed(false)` call sites in iterative loops (the CC rounds)
+  * each pay their checkpoint job at call time instead of riding the
+  * loop's own convergence action, adding one driver round-trip per
+  * round. That is durability-mode latency, not extra compute (the
+  * persist bracket keeps every subtree single-computation); if a
+  * reliable deployment's iteration latency ever matters more than
+  * recompute-on-loss, the call site — not this helper — should drop to
+  * `ds.checkpoint(eager = false)` explicitly and accept the unbracketed
+  * recompute Spark documents.
   */
 object Materialize {
   /** Fault-tolerant directory for reliable checkpoints; unset = local. */

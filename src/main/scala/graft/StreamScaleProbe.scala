@@ -89,27 +89,37 @@ object StreamScaleProbe {
         ((System.nanoTime() - t0) / 1e9, -1L, Some(ProbeHarness.errMsg(e)))
       }
     }
-    // Min-of-two with pass-2 failures recorded — ProbeHarness.minOfTwo.
-    def measure(frame: => DataFrame): (Double, Long, Option[String]) =
+    // Min-of-two with pass-2 failures/payloads recorded separately —
+    // ProbeHarness.minOfTwo. A pass-2 ROW COUNT that differs from
+    // pass 1 is a nondeterminism signal in its own right (each pass is
+    // a complete fresh drain of the same fixture) and is surfaced as a
+    // law violation, not discarded.
+    def measure(frame: => DataFrame): ProbeHarness.Measured[Long] =
       ProbeHarness.minOfTwo(() => measureOnce(frame))
     import ProbeHarness.{f3, jstr}
 
+    final case class Row(name: String, small: ProbeHarness.Measured[Long],
+        big: ProbeHarness.Measured[Long], lawOk: Boolean, stable: Boolean)
     val rows = Probed.map { name =>
-      val (tS, nS, eS) = measure(SparkEntry.queries(name)(spark, baseDir))
-      val (tL, nL, eL) = measure(SparkEntry.queries(name)(spark, sf1Dir))
+      val mS = measure(SparkEntry.queries(name)(spark, baseDir))
+      val mL = measure(SparkEntry.queries(name)(spark, sf1Dir))
+      val (nS, nL) = (mS.payload, mL.payload)
       // Cardinality law by construction: q49 keeps its (day, type) key
       // set; the joins/dedup must come out exactly Copies ×.
       val lawOk = name match {
         case "q49_streaming_daily" => nL == nS
         case _ => nL == Copies * nS
       }
+      val stable = mS.payload2.forall(_ == nS) && mL.payload2.forall(_ == nL)
       // Record BOTH scales' failures, labeled — eS.orElse(eL) would
       // silently drop an sf1 failure whenever sf0.1 also failed.
-      val err = (eS.map("sf0.1: " + _) ++ eL.map("sf1: " + _))
+      val err = (mS.error.map("sf0.1: " + _) ++ mL.error.map("sf1: " + _))
         .reduceOption(_ + "; " + _)
-      println(s"[sprobe] $name sf0.1 ${f3(tS)}s/${nS}r sf1 ${f3(tL)}s/${nL}r " +
-        s"law=${if (lawOk) "ok" else "VIOLATED"}" + err.fold("")(e => s" ERR $e"))
-      (name, tS, nS, tL, nL, lawOk, err)
+      println(s"[sprobe] $name sf0.1 ${f3(mS.sec)}s/${nS}r sf1 ${f3(mL.sec)}s/${nL}r " +
+        s"law=${if (lawOk) "ok" else "VIOLATED"}" +
+        (if (stable) "" else " ROWS-UNSTABLE-ACROSS-PASSES") +
+        err.fold("")(e => s" ERR $e"))
+      Row(name, mS, mL, lawOk, stable)
     }
 
     // The state-partition knob at 10×: q53's join through the same
@@ -117,7 +127,7 @@ object StreamScaleProbe {
     val knob = {
       import streaming.{NormalizedEvents, StreamIntervalJoin}
       val src = NormalizedEvents.sourceDir(spark, sf1Dir)
-      def run(parts: Int): (Double, Long, Option[String]) = measure {
+      def run(parts: Int): ProbeHarness.Measured[Long] = measure {
         val root = java.nio.file.Files.createTempDirectory("graft_sprobe53")
           .toFile.getAbsolutePath
         StreamIntervalJoin.runAvailableNow(spark, src, NormalizedEvents.schema,
@@ -125,24 +135,28 @@ object StreamScaleProbe {
           noDataBatches = false)
         spark.read.parquet(s"$root/t")
       }
-      val (t, n, err) = run(4 * Copies)
-      println(s"[sprobe] q53_scaled_stores sf1 parts=${4 * Copies} ${f3(t)}s/${n}r" +
-        err.fold("")(e => s" ERR $e"))
-      (t, n, err)
+      val m = run(4 * Copies)
+      println(s"[sprobe] q53_scaled_stores sf1 parts=${4 * Copies} " +
+        s"${f3(m.sec)}s/${m.payload}r" + m.error.fold("")(e => s" ERR $e"))
+      m
     }
 
-    val qjson = rows.map { case (name, tS, nS, tL, nL, lawOk, err) =>
-      s""""$name":{"sf01_sec":${f3(tS)},"sf01_rows":$nS,""" +
-        s""""sf1_sec":${f3(tL)},"sf1_rows":$nL,""" +
-        s""""wall_ratio":${f3(if (tS > 0) tL / tS else -1.0)},""" +
-        s""""cardinality_law_ok":$lawOk""" +
-        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+    val qjson = rows.map { case Row(name, mS, mL, lawOk, stable) =>
+      val err = (mS.error.map("sf0.1: " + _) ++ mL.error.map("sf1: " + _))
+        .reduceOption(_ + "; " + _)
+      val rerr = (mS.remeasureError.map("sf0.1: " + _) ++
+        mL.remeasureError.map("sf1: " + _)).reduceOption(_ + "; " + _)
+      s""""$name":{"sf01_sec":${f3(mS.sec)},"sf01_rows":${mS.payload},""" +
+        s""""sf1_sec":${f3(mL.sec)},"sf1_rows":${mL.payload},""" +
+        s""""wall_ratio":${f3(if (mS.sec > 0) mL.sec / mS.sec else -1.0)},""" +
+        s""""cardinality_law_ok":$lawOk,"rows_stable_across_passes":$stable""" +
+        err.fold("")(e => s""","error":"${jstr(e)}"""") +
+        rerr.fold("")(e => s""","remeasure_error":"${jstr(e)}"""") + "}"
     }.mkString("{", ",", "}")
     val knobJson = {
-      val (t, n, err) = knob
       s""""q53_scaled_stores_sf1":{"state_partitions":${4 * Copies},""" +
-        s""""sec":${f3(t)},"rows":$n""" +
-        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+        s""""sec":${f3(knob.sec)},"rows":${knob.payload}""" +
+        knob.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
     }
     val out = s"""{"copies":$Copies,"spark_version":"${spark.version}",""" +
       s""""queries":$qjson,$knobJson}"""
@@ -150,5 +164,10 @@ object StreamScaleProbe {
       out.getBytes("UTF-8"))
     println(out)
     spark.stop()
+    // The probe ASSERTS its construction laws (ADVICE r8 #1): a
+    // violated cardinality law or a row count that differs between two
+    // complete drains of the same fixture must fail the run, not just
+    // print VIOLATED — the JSON above is already on disk for diagnosis.
+    if (rows.exists(r => !r.lawOk || !r.stable)) sys.exit(2)
   }
 }

@@ -71,6 +71,12 @@ object Tables {
     * structural no-op there. Call it AFTER filters/projections so
     * pushdown still reaches the scan. */
   def spread(df: DataFrame): DataFrame = {
+    // A/B escape hatch (one-JVM interleaved measurement — the only
+    // reliable comparison on this host, see bench notes): with
+    // -Dgraft.noSpread=1 every spread call site degrades to identity,
+    // so a harness can alternate spread/unspread per pass without
+    // recompiling. Production reads the default (spread on).
+    if (sys.props.get("graft.noSpread").contains("1")) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     // Estimate the scan's task count from the physical scan nodes with
@@ -91,22 +97,29 @@ object Tables {
         }
         if (scans.isEmpty) df.rdd.getNumPartitions // non-file plan: old probe
         else {
-          val fileSizes = scans.flatMap { f =>
+          // Estimate PER SCAN and take the minimum (ADVICE r8 #3): each
+          // scan computes its own bytesPerCore from its own files —
+          // pooling all scans' sizes into one pot let a large scan
+          // inflate a small one's split count — and the LEAST-parallel
+          // scan is the one whose serialized compute the fan-out
+          // exists to prevent, so it governs the decision.
+          scans.map { f =>
             // Dynamic (runtime) pruning filters can't be evaluated at
             // planning time — estimate from the statically-pruned set.
             val static = f.partitionFilters.filterNot(_.exists(
               _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
-            f.relation.location.listFiles(static, f.dataFilters)
+            val fileSizes = f.relation.location.listFiles(static, f.dataFilters)
               .flatMap(_.files.map(_.getLen))
-          }
-          val openCost = conf.filesOpenCostInBytes
-          val padded = fileSizes.map(_ + openCost)
-          val bytesPerCore = padded.sum / math.max(1, target)
-          val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
-            math.max(openCost, bytesPerCore)))
-          // Parquet splits at maxSplit within a file; bin-packing across
-          // files only merges, so per-file splits summed bound the count.
-          fileSizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum.toInt
+            val openCost = conf.filesOpenCostInBytes
+            val padded = fileSizes.map(_ + openCost)
+            val bytesPerCore = padded.sum / math.max(1, target)
+            val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+              math.max(openCost, bytesPerCore)))
+            // Parquet splits at maxSplit within a file; bin-packing
+            // across files only merges, so per-file splits summed bound
+            // the count from above.
+            fileSizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum.toInt
+          }.min
         }
       } catch { case scala.util.control.NonFatal(_) => df.rdd.getNumPartitions }
     if (estTasks < target) df.repartition(target) else df

@@ -381,7 +381,10 @@ object AdvancedQueries {
       // high-precision HLL buffer (~16 KB at rsd 0.01) through partial
       // aggregation — per-KEY sketch churn instead of per-GROUP. Split,
       // the sketch count equals the group count in both phases.
-      val ev = Tables.load(s, dir, "events")
+      // Spread (r9 contended A/B): both aggregates' map sides run the
+      // distinct/sketch partials over the whole scan — serialized on a
+      // one-file scan, contention-amplified; see TextQueries.docsSpread.
+      val ev = Tables.spread(Tables.load(s, dir, "events"))
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))
       val approx = ev.groupBy(col("event_type"))

@@ -309,21 +309,137 @@ object DedupQueries {
     // broadcast the CANDIDATE PAIRS (tiny — the tiers already pruned
     // them) and stream the array frame, so the intersect stage runs on
     // the array side's partitions and only ONE array broadcast (the
-    // id_b probe) is built instead of two.
+    // id_b probe) is built instead of two. The arrays are h-SORTED once
+    // per doc (amortized across every candidate pair the doc appears
+    // in) so the per-pair intersect is the codegen'd two-pointer merge
+    // — array_intersect rebuilds a boxed hash set per ROW, which
+    // profiled as the dominant stage (860 s taskRun) on the
+    // adversarial 10× corpus's dense candidate set.
     val vside = shared.select(col("doc_id"),
-      expr("transform(s, x -> x.h)").as("arr"), col("n"))
+      expr("array_sort(transform(s, x -> x.h))").as("arr"), col("n"))
     vside.select(col("doc_id").as("id_a"),
         col("arr").as("arr_a"), col("n").as("n_a"))
       .join(broadcast(cand), "id_a")
       .join(vside.select(col("doc_id").as("id_b"),
         col("arr").as("arr_b"), col("n").as("n_b")), "id_b")
       .withColumn("n_shared",
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        graft.plans.SortedIntersectSize(col("arr_a"), col("arr_b")).cast("long"))
       .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "n_shared", "jaccard")
+  }
+
+  /** q58/q84's shared containment engine with the 100 TB hot-gram
+    * guard (VERDICT r8 #1): one-sided n-gram containment
+    * `|E ∩ T| / |E| >= tau` between a SMALL eval corpus and a large
+    * train corpus, bit-identical to the naive gram equi-join
+    * (`eg ⋈ tg` then count per pair) the DuckDB oracle runs, but with
+    * candidate-pair cost guarded against hot boilerplate grams on both
+    * sides — the df² trap that collapsed q28's old r=1 banding.
+    *
+    * Inputs: `eg` = `(eval_id, g)` DISTINCT per-doc gram rows;
+    * `tg` = `(train_id, g)` gram rows, NOT necessarily distinct, and
+    * allowed to be a superset-filtered stream (q84 passes its
+    * bloom-prefiltered rows — false positives are harmless everywhere
+    * below: they rank nothing, match no prefix, and `array_intersect`
+    * drops them from verification).
+    *
+    *  - EVAL-GRAM SEMI-JOIN: the train gram stream is semi-joined
+    *    (broadcast — the eval corpus is the small side by the
+    *    operator's contract; past broadcast size the same semi-join
+    *    runs as a shuffle without touching the guard) against the
+    *    distinct eval gram set. Only grams that can possibly be shared
+    *    survive, so the FULL train stream is read once and never
+    *    shuffled; everything downstream — df ranking, candidates,
+    *    verification arrays — reads this small frame.
+    *  - PREFIX bound (one-sided positional filter): rank each eval
+    *    doc's grams by (train-df ascending, gram) — rarest-in-train
+    *    first; absent-from-train grams rank df = 0 and cost nothing. A
+    *    pair with round(c, 6) >= tau shares >= ceil((tau−1e-6)·n)
+    *    grams, so its rarest-in-train shared gram sits among E's first
+    *    n − floor(tauGen·n) + 1 ranked grams (floor keeps the prefix a
+    *    gram longer than the bound needs — float slack on the safe
+    *    side). Indexing ONLY prefix-resident eval entries is lossless.
+    *    This is what kills the adversarial corpus: a boilerplate gram
+    *    hot on both sides ranks LAST in every eval doc that has enough
+    *    rarer content, lands in no prefix, and generates ZERO
+    *    candidates — it enters E's prefix only when >= floor(tauGen·n)
+    *    of E's grams are at least as hot, i.e. E itself is
+    *    tau-fraction boilerplate, in which case E genuinely contains-
+    *    matches those train docs and the output is the cost.
+    *  - CANDIDATES: train entries probe the broadcast prefix; pair
+    *    cost per gram is df_e(prefix-resident) × df_t, not df².
+    *  - EXACT verification: `n_shared = |E ∩ T|` via array_intersect
+    *    of per-doc gram arrays — train arrays built ONLY for candidate
+    *    train docs (broadcast semi-join on the pruned candidate ids),
+    *    eval arrays are the ranked arrays already built. The tau
+    *    filter runs on the exact rounded containment; no approximation
+    *    anywhere. */
+  private[graft] def containmentJoin(eg: DataFrame, tg0: DataFrame,
+      tau: Double): DataFrame = {
+    val tauGen = tau - 1e-6 // candidate recall must survive ROUND(c, 6)
+    // `eg` is read twice (the evalGrams broadcast and the ranked join)
+    // WITHOUT a materialization bracket: the eval corpus is the small
+    // side by contract, so recomputing its gram rows costs less than an
+    // extra checkpoint job. A caller whose eval side is expensive
+    // passes a checkpointed frame (q84 does — its bloom build already
+    // needs one).
+    val evalGrams = eg.select(col("g")).distinct()
+    // distinct AFTER the semi-join: only matching grams pay the
+    // dedup exchange, never the full train stream. CHECKPOINTED, like
+    // every multi-consumer frame in this file: per-branch column
+    // pruning makes the three consumers' exchanges canonicalize
+    // differently, so AQE exchange reuse does NOT fire (profiled: the
+    // checkpoint-free plan recomputed the train shingling 4×,
+    // 12+8+5+7 s of taskRun for one 12 s subtree).
+    val tgE = tg0.join(broadcast(evalGrams), "g")
+      .distinct()
+      .checkpointed() // eager: df, candidates, and verify arrays read it
+    // Train-side df per shared gram — the guard's ranking key. Any
+    // fixed total order on grams keeps the prefix bound exact; ranking
+    // by train-df makes it CHEAP (hottest grams excluded first).
+    val dfT = tgE.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = eg.join(dfT, Seq("g"), "left")
+      .select(col("eval_id"),
+        struct(coalesce(col("df"), lit(0L)).as("df"), col("g").as("g")).as("e"))
+      .groupBy(col("eval_id"))
+      .agg(sort_array(collect_list(col("e"))).as("s"))
+      .withColumn("n", size(col("s")).cast("long"))
+      .checkpointed() // eager: the prefix broadcast reads it
+    val prefix = ranked
+      .select(col("eval_id"), explode(expr(
+        s"slice(s, 1, cast(size(s) - floor($tauGen * size(s)) + 1 as int))")).as("e"))
+      .filter(col("e.df") > 0) // absent-from-train grams join nothing
+      .select(col("eval_id"), col("e.g").as("g"))
+    val cand = tgE.join(broadcast(prefix), "g")
+      .filter(col("eval_id") =!= col("train_id"))
+      .select(col("eval_id"), col("train_id")).distinct()
+      .checkpointed() // eager: broadcast twice below (ids + pairs)
+    // Verify arrays: only candidate train docs aggregate; duplicates
+    // can't arise (tgE is distinct, cand ids are distinct). Hash-keyed
+    // callers (q84) get g-sorted arrays + the codegen'd two-pointer
+    // merge (one sort per doc amortized across its candidate pairs);
+    // string-gram callers (q58) keep array_intersect.
+    val hashKeyed = eg.schema("g").dataType == org.apache.spark.sql.types.LongType
+    val trainArr = tgE
+      .join(broadcast(cand.select(col("train_id")).distinct()), "train_id")
+      .groupBy(col("train_id")).agg(
+        (if (hashKeyed) sort_array(collect_list(col("g")))
+         else collect_list(col("g"))).as("ta"))
+    val evalArr = ranked.select(col("eval_id"),
+      (if (hashKeyed) expr("array_sort(transform(s, x -> x.g))")
+       else expr("transform(s, x -> x.g)")).as("ea"), col("n").as("n_eval"))
+    trainArr.join(broadcast(cand), "train_id")
+      .join(evalArr, "eval_id")
+      .withColumn("n_shared",
+        (if (hashKeyed) graft.plans.SortedIntersectSize(col("ta"), col("ea")).cast("long")
+         else size(array_intersect(col("ta"), col("ea"))).cast("long")))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_eval"), 6))
+      .filter(col("containment") >= tau)
+      .select("eval_id", "train_id", "n_shared", "containment")
   }
 
   /** q28's MinHash near-dup join, pre-sort (PlanShapeSpec pins its
@@ -347,7 +463,10 @@ object DedupQueries {
     val shr = shingleRows(u, 3, dedup = false) // sig aggs are dup-insensitive
       .withColumn("h31", TextOps.hash60(col("t")).bitwiseAND(lit(2147483647L)))
     val sig = shr.groupBy(col("doc_id"))
-      .agg(collect_set(col("h31")).as("h31s"),
+      // sort_array: the verify below runs the codegen'd two-pointer
+      // merge over each candidate pair, so each doc's set is sorted
+      // once here instead of hashed per pair there.
+      .agg(sort_array(collect_set(col("h31"))).as("h31s"),
         MinhashParams.zipWithIndex.map { case ((a, b), j) =>
           min((lit(a) * col("h31") + lit(b)) % MinhashP).as(s"m$j")
         }: _*)
@@ -379,9 +498,13 @@ object DedupQueries {
     sig.select(col("doc_id").as("id_a"), col("h31s").as("sh_a"))
       .join(broadcast(candSized), "id_a")
       .join(sig.select(col("doc_id").as("id_b"), col("h31s").as("sh_b")), "id_b")
+      // |A ∪ B| = |A| + |B| − |A ∩ B| on the distinct sets, so ONE
+      // sorted merge replaces both the intersect and union hash builds.
+      .withColumn("ni",
+        graft.plans.SortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        round(col("ni").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("ni")), 6))
       .filter(col("jaccard") >= JaccardThresh)
       .select("id_a", "id_b", "jaccard")
   }
@@ -421,33 +544,33 @@ object DedupQueries {
     * side is probed with might_contain BEFORE its dedup exchange, so
     * the sketch kills non-candidate grams map-side and only survivors
     * cross the wire; the exact join then restores bit-identical
-    * containment results. */
+    * containment results. The containment itself runs through
+    * [[containmentJoin]] (the hot-gram-guarded engine): the bloom is
+    * the map-side prefilter that kills the cold bulk of the raw train
+    * gram stream BEFORE any exchange; the engine's exact eval-gram
+    * semi-join + prefix guard handles everything that survives,
+    * including the bloom's false positives. */
   private[graft] def bloomDecontamPairs(evalDocs: DataFrame, train: DataFrame): DataFrame = {
     import graft.functions.BloomOps
-    // Distinct hashed 6-grams per side (join key = the compact long).
+    // Distinct hashed 6-grams, eval side (join key = the compact long).
+    // Checkpointed eagerly here so the driver-side bloom build and the
+    // engine's internal re-checkpoint share one computation.
+    // Lazy checkpoint: the bloom build below is an action and
+    // materializes it — one job instead of two; every later consumer
+    // (including broadcast threads) reads the then-materialized blocks.
     val eg = shingleRows(evalDocs, 6)
-      .select(col("doc_id").as("eval_id"), TextOps.hash60(col("t")).as("h"))
+      .select(col("doc_id").as("eval_id"), TextOps.hash60(col("t")).as("g"))
       .distinct()
-      .checkpointed(false) // sketch, join, and totals all read it
+      .checkpointed(false)
     // One binary sketch row crosses the driver; the corpus does not.
-    val bloom = BloomOps.build(eg, "h", estimatedItems = 1 << 18)
+    val bloom = BloomOps.build(eg, "g", estimatedItems = 1 << 18)
     // Numbered repartition: AQE would coalesce a column-only one back
     // to ~1 partition at this data size, serializing the shingling.
     val tg = shingleRows(train.repartition(
         train.sparkSession.sparkContext.defaultParallelism, col("doc_id")), 6, dedup = false)
-      .select(col("doc_id").as("train_id"), TextOps.hash60(col("t")).as("h"))
-      .filter(BloomOps.mightContain(bloom, col("h")))
-      .distinct()
-    val shared = eg.join(tg, "h")
-      .filter(col("eval_id") =!= col("train_id"))
-      .groupBy(col("eval_id"), col("train_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    val totals = eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
-    shared.join(totals, "eval_id")
-      .withColumn("containment",
-        round(col("n_shared").cast("double") / col("n_eval"), 6))
-      .filter(col("containment") >= ContamThresh)
-      .select("eval_id", "train_id", "n_shared", "containment")
+      .select(col("doc_id").as("train_id"), TextOps.hash60(col("t")).as("g"))
+      .filter(BloomOps.mightContain(bloom, col("g")))
+    containmentJoin(eg, tg, ContamThresh)
   }
 
   /** Blocking edges: two normalization keys per doc (content md5 and
@@ -709,10 +832,12 @@ object DedupQueries {
     // is the base plus PLANTED near-copies of eval docs (first token
     // dropped, id+40000). A train doc is contaminated when it contains
     // ≥ half of an eval doc's distinct word-8-grams (the industry-usual
-    // n-gram containment test). Candidate generation is the 8-gram
-    // equi-join — work scales with shared n-grams, never |eval|×|train|;
-    // at 100 TB the join key becomes the n-gram HASH (and the eval side
-    // is small enough to broadcast), same plan shape.
+    // n-gram containment test). Runs through the hot-gram-guarded
+    // [[containmentJoin]] engine — the eval gram set broadcasts
+    // (eval corpora are small by contract), the train stream is read
+    // once and never shuffled, and boilerplate grams hot on BOTH sides
+    // generate zero candidates via the train-df prefix bound. At
+    // 100 TB the join key becomes the n-gram HASH; same plan shape.
     q("q58_contamination",
       "X3: train/eval 8-gram containment (decontamination sweep)",
       s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
@@ -737,23 +862,18 @@ object DedupQueries {
       val train = base.unionAll(
         evalDocs.select((col("doc_id") + 40000).as("doc_id"),
           dropFirstTok(col("text")).as("text")))
-      // Distinct word-8-grams as rows, each side (the window exchange on
-      // doc_id doubles as the corpus spread).
+      // Distinct word-8-grams on the eval side; RAW gram rows on the
+      // train side — the engine's eval-gram semi-join dedups only the
+      // matching slice, so the full train stream never pays a distinct
+      // exchange. Numbered repartition spreads the train shingling
+      // (AQE coalesces the window exchange to ~3 partitions at this
+      // size, serializing the dominant compute).
       val eg = shingleRows(evalDocs, 8)
-        .select(col("doc_id").as("eval_id"), col("t"))
-        .checkpointed(false) // feeds the join AND the totals
-      val tg = shingleRows(train, 8)
-        .select(col("doc_id").as("train_id"), col("t"))
-      val shared = eg.join(tg, "t")
-        .filter(col("eval_id") =!= col("train_id"))
-        .groupBy(col("eval_id"), col("train_id"))
-        .agg(count(lit(1)).as("n_shared"))
-      val totals = eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
-      shared.join(totals, "eval_id")
-        .withColumn("containment",
-          round(col("n_shared").cast("double") / col("n_eval"), 6))
-        .filter(col("containment") >= ContamThresh)
-        .select("eval_id", "train_id", "n_shared", "containment")
+        .select(col("doc_id").as("eval_id"), col("t").as("g"))
+      val tg = shingleRows(train.repartition(
+          s.sparkContext.defaultParallelism, col("doc_id")), 8, dedup = false)
+        .select(col("doc_id").as("train_id"), col("t").as("g"))
+      containmentJoin(eg, tg, ContamThresh)
         .rangeSorted("eval_id", "train_id") // containment child runs once
     },
 

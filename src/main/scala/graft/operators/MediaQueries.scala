@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.NamedQuery.{noOracle, q, PresentationOps}
+import graft.NamedQuery.{q, PresentationOps}
 import graft.pipeline.MediaOps
 import org.apache.spark.sql.functions._
 
@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * q39 is pure columnar binary algebra and oracle-checked (the DuckDB
   * mirror computes on the source text, which is byte-identical to the
   * UTF-8 payload for this ASCII corpus). q40 exercises the typed
-  * mapPartitions decode path — not SQL-expressible by design (that is
-  * the point of the kernel boundary), so it carries the rows-only check.
+  * mapPartitions decode path; since r9 it is hash-checked too — values
+  * roll up q101's oracled per-asset features, and the batch surface is
+  * pinned as a boolean invariant rather than exact runtime sizes.
   */
 object MediaQueries {
 
@@ -80,12 +81,30 @@ object MediaQueries {
     },
 
     // ----- the batched kernel path: typed Dataset boundary →
-    // mapPartitions decode stub → per-kind rollup. Rows-only check (the
-    // batch accounting depends on runtime partition slicing — exactly
-    // the part an oracle cannot express; the kernel's VALUES are
-    // oracle-checked per asset by q101).
-    noOracle("q40_media_decode_stub",
-      "multimodal: batched mapPartitions decode (stubbed kernel) + rollup") { (s, dir) =>
+    // mapPartitions decode stub → per-kind rollup. Hash-checked since
+    // r9 (VERDICT r8 #6): the VALUE columns roll up the same per-asset
+    // kernel outputs q101 oracles (micro-unit longs, so the sums are
+    // integer-exact and order-independent), and the genuinely non-SQL
+    // batch surface ships as an INVARIANT — batches_ok must read true,
+    // which the oracle states as a literal, so a kernel whose batch
+    // slicing breaks its 1..BatchSize contract flips the column and
+    // fails the hash. Exact per-partition batch sizes remain runtime
+    // artifacts by design; their LAW is what the gate now pins.
+    q("q40_media_decode_stub",
+      "multimodal: batched mapPartitions decode (stubbed kernel) + rollup",
+      s"""SELECT kind, COUNT(*) AS n_assets,
+         |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+         |  CAST(SUM(brightness_micro) AS BIGINT) AS sum_brightness_micro,
+         |  TRUE AS batches_ok
+         |FROM (
+         |  SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    CAST(ROUND(CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE list_avg(list_transform(range(1, least(64, length(text)) + 1),
+         |                                       i -> unicode(text[i]))) END * 1e6, 0) AS BIGINT)
+         |      AS brightness_micro
+         |  FROM documents)
+         |GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = MediaOps.mediaTable(Tables.load(s, dir, "documents"))
         .as[MediaOps.MediaRow]
@@ -94,8 +113,9 @@ object MediaQueries {
         .agg(
           count(lit(1)).as("n_assets"),
           sum(col("n_bytes")).as("sum_bytes"),
-          avg(col("brightness")).as("avg_brightness"),
-          max(col("batch_size")).as("max_batch"))
+          sum(rint(col("brightness") * 1e6).cast("long")).as("sum_brightness_micro"),
+          expr(s"bool_and(batch_size >= 1 AND batch_size <= ${MediaOps.BatchSize})")
+            .as("batches_ok"))
         .presented("kind")
     }
   )

@@ -19,6 +19,19 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** docs() + round-robin fan-out, for the map-heavy per-doc scorers
+    * (q33/q34/q36). The quiet-host A/B read spread as a ~0.2 s loss on
+    * these sub-second stages (r8 memory), but the r8 driver gate ran
+    * the same queries at 4-7 s under host contention — a serialized
+    * stage amplifies contention by its full slowdown factor, while a
+    * spread stage amortizes it across cores. The r9 contended A/B
+    * (calibration workload in background threads, one JVM, alternating
+    * variants) picked spread as the variance-minimizing config; at
+    * production file counts this is a structural no-op (Tables.spread
+    * only fans out when the scan starts under-parallel). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(s, dir))
+
   /** DuckDB mirror of [[TextOps.tokens]] (canonical copy lives there). */
   private def tokensSql(text: String): String = TextOps.tokensSql(text)
 
@@ -92,7 +105,7 @@ object TextQueries {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
-      val scored = docs(s, dir).select(col("lang") +:
+      val scored = docsSpread(s, dir).select(col("lang") +:
         Profiles.map { case (l, ws) =>
           size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
         }: _*)
@@ -138,7 +151,7 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
-      val ratios = docs(s, dir).select(
+      val ratios = docsSpread(s, dir).select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         round((length(col("text")) -
@@ -261,7 +274,7 @@ object TextQueries {
            |  FROM u)
            |GROUP BY fp ORDER BY keep_id""".stripMargin
       }) { (s, dir) =>
-      val base = docs(s, dir).select("doc_id", "text")
+      val base = docsSpread(s, dir).select("doc_id", "text")
       val u = base
         .unionAll(base.filter(col("doc_id") % 11 === 0)
           .select((col("doc_id") + 40000).as("doc_id"),

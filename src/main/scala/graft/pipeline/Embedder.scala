@@ -15,10 +15,22 @@ import org.apache.spark.sql.functions._
   * Like the real service, embeddings are L2-normalized and the text is
   * newline-flattened first (embedding_service.py:67 — the reference's
   * literal-"\\n" bug is fixed here per SURVEY F3).
+  *
+  * VALUE VERSIONING (ADVICE r8 #4): round 8 changed the sign scheme
+  * (per-dim `pmod(xxhash64(t, i), 2)` → bit i of `xxhash64(t, i/64)`),
+  * which changed every embedding value. In-repo consumers recompute per
+  * run, but an embedding store persisted ACROSS engine versions (e.g. a
+  * pgvector table kept between deployments) will no longer match
+  * recomputation — stamp [[Version]] beside persisted vectors at write
+  * time and re-embed on mismatch rather than mixing schemes silently.
   */
 object Embedder {
   val Dim = 64      // default: matches the testdata embeddings dim
   val RefDim = 1536 // reference schema fidelity: VECTOR(1536), pgvector_storage.py:92
+  /** Embedding-scheme version — bump on ANY change to embed()'s VALUES
+    * (see the value-versioning scaladoc above). v2: r8's one-hash-word
+    * sign bits; v1: per-dim pmod parity. */
+  val Version = 2
 
   /** 64-bit hash words needed to carry `dim` sign bits. */
   private def words(dim: Int): Int = (dim + 63) / 64

@@ -229,6 +229,110 @@ class DedupLawsSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force one-sided containment reference: per (eval, train)
+    * pair, |E ∩ T| / |E| over distinct word n-grams. */
+  private def bruteContainment(evalDocs: Seq[(Long, String)],
+      train: Seq[(Long, String)], n: Int, tau: Double)
+      : Map[(Long, Long), (Long, Double)] = {
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    }
+    val es = evalDocs.map { case (id, t) => id -> grams(t) }.filter(_._2.nonEmpty)
+    val ts = train.map { case (id, t) => id -> grams(t) }.filter(_._2.nonEmpty)
+    (for {
+      (e, ge) <- es; (t, gt) <- ts if e != t
+      shared = (ge & gt).size if shared > 0
+      c = BigDecimal(shared.toDouble / ge.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= tau
+    } yield (e, t) -> (shared.toLong, c)).toMap
+  }
+
+  private def gramRows(docs: Seq[(Long, String)], n: Int): Seq[(Long, String)] =
+    docs.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(n).filter(_.length == n).map(g => (id, g.mkString(" "))).toSeq
+    }
+
+  /** The q58/q84 scale guard (eval-gram semi-join + train-df prefix
+    * bound) is LOSSLESS: a corpus with a planted hot boilerplate
+    * banner — its grams shared by every train doc AND present in eval
+    * docs, the exact shape whose df² pair cost the round-8 verdict
+    * flagged — yields bit-identical containment results, including an
+    * eval doc made ONLY of hot grams (whose matches must all be
+    * recalled through the hot path the prefix cannot exclude). */
+  test("containment join ≡ brute force under a planted hot boilerplate gram") {
+    val rnd = new scala.util.Random(17)
+    val banner = "this material is provided as is without any warranty whatsoever"
+    val n = 4 // word 4-grams: the banner yields 7 hot grams
+    // 50 train docs: banner + unique 16-token tail (banner grams have
+    // train-df 50+, tail grams df 1).
+    val train = (0 until 50).map { i =>
+      (1000L + i, banner + " " + Seq.fill(16)(s"t${i}q${rnd.nextInt(997)}").mkString(" "))
+    } ++ Seq(
+      // A genuine containment hit: train doc 2000 embeds eval doc 3's
+      // full text plus extra tokens.
+      (2000L, "prefix filler words here alpha beta gamma delta epsilon zeta eta theta iota kappa and trailing junk"),
+      // Banner-only train docs — every gram hot.
+      (2001L, banner), (2002L, banner))
+    val evalDocs = Seq(
+      // Eval docs with the banner + unique tails: their hot grams must
+      // rank last and generate no candidates, yet n_shared must still
+      // count them exactly for any pair found through cold grams.
+      (1L, banner + " " + Seq.fill(12)(s"e1u${rnd.nextInt(997)}").mkString(" ")),
+      (2L, banner + " " + Seq.fill(12)(s"e2u${rnd.nextInt(997)}").mkString(" ")),
+      // The doc train 2000 contains.
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // Pure-boilerplate eval doc: EVERY gram hot — its (many, genuine)
+      // matches must all come back through the hot path.
+      (4L, banner))
+    val tau = 0.5
+    val want = bruteContainment(evalDocs, train, n, tau)
+    assert(want.contains((3L, 2000L)), "fixture: the embedded doc must qualify")
+    assert(want.keySet.count(_._1 == 4L) >= 50,
+      "fixture: the boilerplate eval doc must match the banner-carrying train docs")
+    assert(!want.exists(_._1._1 == 1L), "fixture: banner-tail eval docs must NOT qualify")
+
+    val eg = gramRows(evalDocs, n).distinct.toDF("eval_id", "g")
+    val tg = gramRows(train, n).toDF("train_id", "g") // raw rows, like q58
+    val got = DedupQueries.containmentJoin(eg, tg, tau)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (e, t, s, c) => (e, t) -> (s, c) }.toMap
+    assert(got == want,
+      s"guarded containment diverges: missing=${want.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- want.keySet}")
+  }
+
+  /** Randomized containment law over a dense shared vocabulary: every
+    * df regime (hot, cold, absent-from-train) lands in the thick of
+    * real data, for several thresholds. */
+  test("containment join ≡ brute force on random corpora, any tau") {
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(300 + trial)
+      val vocab = 10 + trial * 10
+      val evalDocs = (0 until 12).map { i =>
+        (i.toLong, Seq.fill(6 + rnd.nextInt(6))(s"w${rnd.nextInt(vocab)}").mkString(" "))
+      }
+      val train = (0 until 40).map { i =>
+        (500L + i, Seq.fill(8 + rnd.nextInt(8))(s"w${rnd.nextInt(vocab)}").mkString(" "))
+      } ++ evalDocs.take(3).map { case (id, t) => // guaranteed full-containment hits
+        (900L + id, t + s" w${rnd.nextInt(vocab)} w${rnd.nextInt(vocab)}")
+      }
+      val n = 3
+      val tau = 0.3 + 0.15 * trial
+      val want = bruteContainment(evalDocs, train, n, tau)
+      assert(want.nonEmpty, s"trial $trial: fixture must qualify pairs")
+      val eg = gramRows(evalDocs, n).distinct.toDF("eval_id", "g")
+      val tg = gramRows(train, n).toDF("train_id", "g")
+      val got = DedupQueries.containmentJoin(eg, tg, tau)
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (e, t, s, c) => (e, t) -> (s, c) }.toMap
+      assert(got == want, s"trial $trial tau $tau: " +
+        s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    }
+  }
+
   /** The novelty score's semantic contract: the first carrier of
     * content owns it; later verbatim copies score zero; partial copies
     * score exactly their unshared fraction. */

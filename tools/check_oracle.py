@@ -38,6 +38,13 @@ def run_verify():
     if r.returncode != 0:
         print(r.stderr[-3000:]); sys.exit(1)
 
+# Oracle-engine pin, the DuckDB analog of AAEnvCanarySpec's Spark pin:
+# every hash comparison in the gate is only as stable as the engine that
+# computed the expected side, so a silent DuckDB bump must NAME itself
+# as a failing check (VERDICT r8 #7) instead of surfacing as mysterious
+# value diffs (or, worse, not surfacing at all while semantics shift).
+EXPECTED_DUCKDB = "1.0.0"
+
 def compare():
     import duckdb
     con = duckdb.connect()
@@ -87,6 +94,9 @@ def compare():
                 i = int((~eq).idxmax())
                 bad.append(f"{c}: {int((~eq).sum())} diffs, first@{i}: {a[i]!r} vs {b[i]!r}")
         results[name] = "OK" if not bad else "VALUE MISMATCH: " + "; ".join(bad[:4])
+    results["aa_env_duckdb_pin"] = ("OK" if duckdb.__version__ == EXPECTED_DUCKDB
+        else f"DUCKDB VERSION DRIFT: running {duckdb.__version__}, pinned {EXPECTED_DUCKDB} "
+             "— re-validate the oracle SQL surface, then bump EXPECTED_DUCKDB")
     npass = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only") and "EMPTY" not in v)
     for name, v in sorted(results.items()):
         mark = "PASS" if v == "OK" else ("INFO" if v.startswith("rows-only") and "EMPTY" not in v else "FAIL")
