@@ -381,10 +381,12 @@ object AdvancedQueries {
       // high-precision HLL buffer (~16 KB at rsd 0.01) through partial
       // aggregation — per-KEY sketch churn instead of per-GROUP. Split,
       // the sketch count equals the group count in both phases.
-      // Spread (r9 contended A/B): both aggregates' map sides run the
-      // distinct/sketch partials over the whole scan — serialized on a
-      // one-file scan, contention-amplified; see TextQueries.docsSpread.
-      val ev = Tables.spread(Tables.load(s, dir, "events"))
+      // Deliberately NOT spread: the r9 contended A/B (16- and
+      // 128-thread noise, one JVM, alternating variants) measured the
+      // added raw-row exchange losing in BOTH regimes (quiet 0.74 s →
+      // 1.55 s, oversubscribed 3.5 s → 5.6 s) — the heavy work here is
+      // the distinct exchange itself, which is already parallel.
+      val ev = Tables.load(s, dir, "events")
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))
       val approx = ev.groupBy(col("event_type"))

@@ -20,15 +20,17 @@ object TextQueries {
     Tables.load(s, dir, "documents")
 
   /** docs() + round-robin fan-out, for the map-heavy per-doc scorers
-    * (q33/q34/q36). The quiet-host A/B read spread as a ~0.2 s loss on
-    * these sub-second stages (r8 memory), but the r8 driver gate ran
-    * the same queries at 4-7 s under host contention — a serialized
+    * (q33/q34/q36). The r8 driver gate ran these at 4-7 s under host
+    * contention (committed record: sub-second) — a serialized one-task
     * stage amplifies contention by its full slowdown factor, while a
     * spread stage amortizes it across cores. The r9 contended A/B
-    * (calibration workload in background threads, one JVM, alternating
-    * variants) picked spread as the variance-minimizing config; at
-    * production file counts this is a structural no-op (Tables.spread
-    * only fans out when the scan starts under-parallel). */
+    * (splitmix noise threads, one JVM, alternating variants) measured:
+    * q33 spread wins in every regime (0.33 vs 0.52 s quiet); q34/q36
+    * pay ~0.2 s quiet but save 0.5-1.6 s at 4× oversubscription — the
+    * variance-minimizing config. (q45's events scan measured the
+    * opposite and stays unspread.) At production file counts this is a
+    * structural no-op (Tables.spread only fans out when the scan
+    * starts under-parallel). */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Tables.spread(docs(s, dir))
 
