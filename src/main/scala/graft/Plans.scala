@@ -20,7 +20,7 @@ object Plans {
     "q04_eq_range_pred" -> "equality+range predicates pushed to the parquet scan (PushedFilters)",
     "q09_multiway_join" -> "small dims broadcast; fact side never shuffles for the join",
     "q26_knn_topk" -> "CollectTopK map-side k-heaps; queries broadcast; one exchange of Q*P*k rows",
-    "q28_minhash_pairs" -> "codegen shingle window + one wide signature agg; r=5 banded buckets (hot-shingle-safe, SCALE_r08) pre-aggregated before pairs; exact size bound kills mismatched candidates before the array verify",
+    "q28_minhash_pairs" -> "codegen shingle window + one wide signature agg; r=5 banded buckets (hot-shingle-safe, SCALE_r08) pre-aggregated before pairs; exact size bound kills mismatched candidates before the sorted-merge verify (sorted_intersect_size, r9)",
     "q42_ivf_knn" -> "min_by assignment aggregate (no ranking window); centroids broadcast",
     "q52_asof_enrich" -> "custom AsOfJoinExec with co-clustered+sorted children via EnsureRequirements",
     "q59_dup_clusters" -> "blocking-key bucket agg; alternating large-star/small-star contraction (~log n rounds), each round equi-joins + min-aggs keyed on the vertex id",
@@ -28,8 +28,9 @@ object Plans {
     "q70_sequence_packing" -> "running-sum window then interval explode; integer math only",
     "q76_heavy_hitters" -> "frequent_items sketch reduces map-side (partial ObjectHashAggregate); exact top-k beside it",
     "q68_incremental_dedup" -> "persisted signature index SCANNED, not recomputed; batch-vs-index equi-joins only",
-    "q81_ngram_jaccard" -> "PPJoin: posting-list pre-agg kills singletons; both df-split tiers index only prefix-resident entries; positional filter bounds overlap at the rarest generating shingle; exact array verify",
-    "q84_bloom_decontam" -> "might_contain literal-sketch probe filters train grams before the dedup exchange",
+    "q81_ngram_jaccard" -> "PPJoin: posting-list pre-agg kills singletons; both df-split tiers index only prefix-resident entries; positional filter bounds overlap at the rarest generating shingle; exact sorted-merge verify (r9)",
+    "q58_contamination" -> "containment guard (r9): broadcast eval-gram semi-join — the train stream is read once, never shuffled; train-df prefix ranking keeps hot grams out of candidate generation; exact array verify on candidates only",
+    "q84_bloom_decontam" -> "might_contain literal-sketch probe filters train grams before the dedup exchange; then the same containment guard as q58, hash-keyed with the sorted-merge verify",
     "q89_pq_adc" -> "distance-table lookup join + decimal sum; both top-k sides are CollectTopK heaps",
     "q91_rag_context" -> "CollectTopK retrieve, id-list doc fetch join, columnar block render",
     "q93_kmeans_train" -> "3 chained assign+mean rounds; centroids broadcast each round, vectors never shuffle",

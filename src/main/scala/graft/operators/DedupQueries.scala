@@ -76,6 +76,25 @@ object DedupQueries {
       "q32_simhash_bands" -> (b => simhashPairs(planted(9, 30000)(b))),
       "q81_ngram_jaccard" -> (b =>
         jaccardSelfJoin(planted(11, 50000)(b), JaccardThresh, JaccardDfCap)),
+      "q58_contamination" -> (b => {
+        val evalDocs = b.filter(col("doc_id") % 50 === 0)
+        val train = b.unionAll(
+          evalDocs.select((col("doc_id") + 40000).as("doc_id"),
+            dropFirstTok(col("text")).as("text")))
+        // Distinct word-8-grams on the eval side; RAW gram rows on the
+        // train side — the engine's eval-gram semi-join dedups only the
+        // matching slice, so the full train stream never pays a
+        // distinct exchange. Numbered repartition spreads the train
+        // shingling (AQE coalesces the window exchange to ~3
+        // partitions at this size, serializing the dominant compute).
+        val eg = shingleRows(evalDocs, 8)
+          .select(col("doc_id").as("eval_id"), col("t").as("g"))
+        val tg = shingleRows(train.repartition(
+            b.sparkSession.sparkContext.defaultParallelism, col("doc_id")), 8,
+            dedup = false)
+          .select(col("doc_id").as("train_id"), col("t").as("g"))
+        containmentJoin(eg, tg, ContamThresh)
+      }),
       "q84_bloom_decontam" -> (b => {
         val evalDocs = b.filter(col("doc_id") % 40 === 0)
         bloomDecontamPairs(evalDocs, b.unionAll(
@@ -858,22 +877,7 @@ object DedupQueries {
          |WHERE ROUND(CAST(s.n_shared AS DOUBLE) / t.n_eval, 6) >= $ContamThresh
          |ORDER BY eval_id, train_id""".stripMargin) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-      val evalDocs = base.filter(col("doc_id") % 50 === 0)
-      val train = base.unionAll(
-        evalDocs.select((col("doc_id") + 40000).as("doc_id"),
-          dropFirstTok(col("text")).as("text")))
-      // Distinct word-8-grams on the eval side; RAW gram rows on the
-      // train side — the engine's eval-gram semi-join dedups only the
-      // matching slice, so the full train stream never pays a distinct
-      // exchange. Numbered repartition spreads the train shingling
-      // (AQE coalesces the window exchange to ~3 partitions at this
-      // size, serializing the dominant compute).
-      val eg = shingleRows(evalDocs, 8)
-        .select(col("doc_id").as("eval_id"), col("t").as("g"))
-      val tg = shingleRows(train.repartition(
-          s.sparkContext.defaultParallelism, col("doc_id")), 8, dedup = false)
-        .select(col("doc_id").as("train_id"), col("t").as("g"))
-      containmentJoin(eg, tg, ContamThresh)
+      preSortFrames("q58_contamination")(base)
         .rangeSorted("eval_id", "train_id") // containment child runs once
     },
 

@@ -92,10 +92,13 @@ object StreamingUpsert {
           .select(incoming.columns.map(col).toSeq: _*)
         existing.unionByName(incoming)
       }
-    // Materialize before overwriting paths the plan may have read from.
-    val resolved = Upsert.lastWins(merged, keys, Seq(col("__v").desc))
+    // Materialize before overwriting paths the plan may have read from —
+    // needed only when the target pre-exists (a fresh catch-up's first
+    // batch reads nothing it is about to overwrite, and the checkpoint
+    // job would be a pure extra barrier on the common cold-start path).
+    val resolved0 = Upsert.lastWins(merged, keys, Seq(col("__v").desc))
       .drop("__v")
-      .checkpointed(true)
+    val resolved = if (targetExists) resolved0.checkpointed(true) else resolved0
     SinkOps.writePartitioned(resolved, targetDir, Seq(dateCol))
   }
 }

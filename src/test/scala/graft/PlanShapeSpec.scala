@@ -81,8 +81,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // helpers run on the raw corpus.
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val preSort: Seq[(String, org.apache.spark.sql.DataFrame)] =
-      Seq("q28_minhash_pairs", "q32_simhash_bands", "q81_ngram_jaccard",
-        "q95_dup_spans", "q98_novelty_score")
+      Seq("q28_minhash_pairs", "q32_simhash_bands", "q58_contamination",
+        "q81_ngram_jaccard", "q84_bloom_decontam", "q95_dup_spans",
+        "q98_novelty_score")
         .map(n => n -> operators.DedupQueries.preSortFrames(n)(docs))
     val plans = preSort.map { case (n, df) => n -> df.queryExecution.executedPlan } ++
       Seq("q31_embedding_neardup", "q59_dup_clusters", "q68_incremental_dedup",
@@ -130,6 +131,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(distinctAggs.isEmpty,
       s"q95 share test plans a distinct aggregate (hot-key set build): $distinctAggs")
+  }
+
+  /** The r9 containment guard's load-bearing claim: the train gram
+    * stream is consumed through BROADCAST joins (eval-gram semi-join,
+    * prefix probe, candidate-id semi-join) — candidate generation never
+    * shuffles the train side on the gram key. Pinned on the pre-sort
+    * frame (the registered plan ends in rangeSorted). */
+  test("q58/q84 containment: train side flows through broadcast joins only") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    Seq("q58_contamination", "q84_bloom_decontam").foreach { q =>
+      val ns = nodes(operators.DedupQueries.preSortFrames(q)(docs)
+        .queryExecution.executedPlan)
+      val bhj = ns.count(_.isInstanceOf[BroadcastHashJoinExec])
+      assert(bhj >= 2,
+        s"$q: expected the guard's broadcast joins (semi + prefix/cand), found $bhj")
+    }
   }
 
   test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids") {
