@@ -287,10 +287,15 @@ object Bench {
     // Reference point: the round-8 committed record (e51ecb2, 84.0 s)
     // measured ops_per_ms_nt = 5,289,256 on this box. calibrated_total
     // = total × median/ref expresses this run's total at that record's
-    // host speed — the one number to compare across rounds.
+    // host speed — the one number to compare across rounds. Caveat,
+    // stamped in the artifact: the ref is that record's single
+    // END-OF-RUN snapshot (interleaved sampling didn't exist yet), so
+    // r8-to-r9 comparisons carry whatever gap existed between r8's
+    // end-of-run speed and its true in-suite median; from r9 on, both
+    // sides of the division use in-suite medians.
     val refNt = 5289256L
     val calibratedTotal = total * ntMedian.toDouble / refNt
-    val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":$ntMedian,"ops_per_ms_nt_samples":${ntSorted.mkString("[", ",", "]")},"ref_ops_per_ms_nt":$refNt,"threads_nt":${spark.sparkContext.defaultParallelism},"checksum":${calibSink.get()}}"""
+    val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":$ntMedian,"ops_per_ms_nt_samples":${ntSorted.mkString("[", ",", "]")},"ref_ops_per_ms_nt":$refNt,"ref_protocol":"r8 end-of-run snapshot (pre-interleaving)","threads_nt":${spark.sparkContext.defaultParallelism},"checksum":${calibSink.get()}}"""
     val meta = s""""spark_version":"${spark.version}","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass; calibrated_total = total x median(nt samples)/ref",$calib"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibrated_total":${f3(calibratedTotal)},"n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"spark_version":"${spark.version}","sf":"$sfDir"}"""
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibrated_total":${f3(calibratedTotal)},"n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},$meta,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""

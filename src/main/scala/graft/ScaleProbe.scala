@@ -87,8 +87,12 @@ object ScaleProbe {
       // Adversarial mode picks the suffix that SPLITS ("_c3"),
       // interleaving a marker token between every pair of words — the
       // r8 boilerplate stress — and prepends the corpus-wide banner.
+      // EVERY adversarial copy is marked, including copy 0: the 1-copy
+      // baseline must carry the same per-doc hostile structure (~2×
+      // tokens, within-copy stop-shingles) as the replicas, or the
+      // 10× ratio would mix scale growth with per-doc gram inflation.
       val suffixed =
-        if (i == 0) col("text")
+        if (!adversarial && i == 0) col("text")
         else array_join(transform(split(col("text"), " "),
           t => concat(t, lit(if (adversarial) s"_c$i" else s"zq$i"))), " ")
       val text =
@@ -225,7 +229,7 @@ object ScaleProbe {
       val rerr = (mS.remeasureError.map("base: " + _) ++
         mL.remeasureError.map("10x: " + _)).reduceOption(_ + "; " + _)
       s""""$name":{"base_sec":${f3(mS.sec)},"base_shuffle_mb":${f3(mS.payload)},""" +
-        s""""sf1_sec":${f3(mL.sec)},"sf1_shuffle_mb":${f3(mL.payload)},""" +
+        s""""big_sec":${f3(mL.sec)},"big_shuffle_mb":${f3(mL.payload)},""" +
         s""""wall_ratio":${f3(ratioT)},"shuffle_ratio":${f3(ratioMb)}""" +
         err.fold("")(e => s""","error":"${jstr(e)}"""") +
         rerr.fold("")(e => s""","remeasure_error":"${jstr(e)}"""") + "}"

@@ -99,27 +99,34 @@ object StreamScaleProbe {
     import ProbeHarness.{f3, jstr}
 
     final case class Row(name: String, small: ProbeHarness.Measured[Long],
-        big: ProbeHarness.Measured[Long], lawOk: Boolean, stable: Boolean)
+        big: ProbeHarness.Measured[Long], measured: Boolean,
+        lawOk: Boolean, stable: Boolean)
     val rows = Probed.map { name =>
       val mS = measure(SparkEntry.queries(name)(spark, baseDir))
       val mL = measure(SparkEntry.queries(name)(spark, sf1Dir))
       val (nS, nL) = (mS.payload, mL.payload)
       // Cardinality law by construction: q49 keeps its (day, type) key
-      // set; the joins/dedup must come out exactly Copies ×.
-      val lawOk = name match {
+      // set; the joins/dedup must come out exactly Copies ×. Laws are
+      // only EVALUATED on clean measurements — the -1 error sentinel
+      // must neither satisfy a law (-1 == -1 for q49) nor be reported
+      // as a law VIOLATION (an environment failure is its own failure
+      // class, recorded under `error` and failing the run separately).
+      val measured = mS.error.isEmpty && mL.error.isEmpty
+      val lawOk = measured && (name match {
         case "q49_streaming_daily" => nL == nS
         case _ => nL == Copies * nS
-      }
-      val stable = mS.payload2.forall(_ == nS) && mL.payload2.forall(_ == nL)
+      })
+      val stable = measured &&
+        mS.payload2.forall(_ == nS) && mL.payload2.forall(_ == nL)
       // Record BOTH scales' failures, labeled — eS.orElse(eL) would
       // silently drop an sf1 failure whenever sf0.1 also failed.
       val err = (mS.error.map("sf0.1: " + _) ++ mL.error.map("sf1: " + _))
         .reduceOption(_ + "; " + _)
       println(s"[sprobe] $name sf0.1 ${f3(mS.sec)}s/${nS}r sf1 ${f3(mL.sec)}s/${nL}r " +
-        s"law=${if (lawOk) "ok" else "VIOLATED"}" +
-        (if (stable) "" else " ROWS-UNSTABLE-ACROSS-PASSES") +
+        s"law=${if (!measured) "unmeasured" else if (lawOk) "ok" else "VIOLATED"}" +
+        (if (!measured || stable) "" else " ROWS-UNSTABLE-ACROSS-PASSES") +
         err.fold("")(e => s" ERR $e"))
-      Row(name, mS, mL, lawOk, stable)
+      Row(name, mS, mL, measured, lawOk, stable)
     }
 
     // The state-partition knob at 10×: q53's join through the same
@@ -141,15 +148,18 @@ object StreamScaleProbe {
       m
     }
 
-    val qjson = rows.map { case Row(name, mS, mL, lawOk, stable) =>
+    val qjson = rows.map { case Row(name, mS, mL, measured, lawOk, stable) =>
       val err = (mS.error.map("sf0.1: " + _) ++ mL.error.map("sf1: " + _))
         .reduceOption(_ + "; " + _)
       val rerr = (mS.remeasureError.map("sf0.1: " + _) ++
         mL.remeasureError.map("sf1: " + _)).reduceOption(_ + "; " + _)
+      // null, not false, when unmeasured: a consumer must not read an
+      // environment failure as a violated construction law.
+      def flag(b: Boolean) = if (measured) b.toString else "null"
       s""""$name":{"sf01_sec":${f3(mS.sec)},"sf01_rows":${mS.payload},""" +
         s""""sf1_sec":${f3(mL.sec)},"sf1_rows":${mL.payload},""" +
         s""""wall_ratio":${f3(if (mS.sec > 0) mL.sec / mS.sec else -1.0)},""" +
-        s""""cardinality_law_ok":$lawOk,"rows_stable_across_passes":$stable""" +
+        s""""cardinality_law_ok":${flag(lawOk)},"rows_stable_across_passes":${flag(stable)}""" +
         err.fold("")(e => s""","error":"${jstr(e)}"""") +
         rerr.fold("")(e => s""","remeasure_error":"${jstr(e)}"""") + "}"
     }.mkString("{", ",", "}")
@@ -168,6 +178,9 @@ object StreamScaleProbe {
     // violated cardinality law or a row count that differs between two
     // complete drains of the same fixture must fail the run, not just
     // print VIOLATED — the JSON above is already on disk for diagnosis.
-    if (rows.exists(r => !r.lawOk || !r.stable)) sys.exit(2)
+    // Measurement errors fail too, under their own exit code: an
+    // environment failure is not a law violation.
+    if (rows.exists(r => r.measured && (!r.lawOk || !r.stable))) sys.exit(2)
+    if (rows.exists(!_.measured)) sys.exit(3)
   }
 }

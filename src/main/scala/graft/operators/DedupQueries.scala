@@ -572,8 +572,6 @@ object DedupQueries {
   private[graft] def bloomDecontamPairs(evalDocs: DataFrame, train: DataFrame): DataFrame = {
     import graft.functions.BloomOps
     // Distinct hashed 6-grams, eval side (join key = the compact long).
-    // Checkpointed eagerly here so the driver-side bloom build and the
-    // engine's internal re-checkpoint share one computation.
     // Lazy checkpoint: the bloom build below is an action and
     // materializes it — one job instead of two; every later consumer
     // (including broadcast threads) reads the then-materialized blocks.

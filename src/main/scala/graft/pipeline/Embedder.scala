@@ -29,7 +29,10 @@ object Embedder {
   val RefDim = 1536 // reference schema fidelity: VECTOR(1536), pgvector_storage.py:92
   /** Embedding-scheme version — bump on ANY change to embed()'s VALUES
     * (see the value-versioning scaladoc above). v2: r8's one-hash-word
-    * sign bits; v1: per-dim pmod parity. */
+    * sign bits; v1: per-dim pmod parity. ADVISORY constant: the in-repo
+    * store (VectorStore) rewrites its vectors every run and keeps no
+    * cross-version state, so nothing here consumes it — it exists for
+    * external persistence layers to stamp and compare. */
   val Version = 2
 
   /** 64-bit hash words needed to carry `dim` sign bits. */

@@ -19,11 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * candidate pairs) turns every verify into an allocation-free linear
   * merge inside WholeStageCodegen.
   *
-  * Contract: inputs sorted ascending; result counts DISTINCT common
-  * values (duplicates skipped, matching `array_intersect`'s set
-  * semantics, though the dedup callers' arrays are distinct anyway).
-  * Null array → NULL; a null ELEMENT poisons to NULL (checked only
-  * when the schema admits null elements, like [[CosineSim]]).
+  * Contract: inputs sorted ascending with NO null elements (every
+  * caller builds them from non-null hash columns); result counts
+  * DISTINCT common values (duplicates skipped, matching
+  * `array_intersect`'s set semantics, though the dedup callers' arrays
+  * are distinct anyway). Null ARRAY → NULL. When the schema admits
+  * null elements anyway, a null is poisoned to NULL only if the merge
+  * reaches its position before one side exhausts (array_sort places
+  * nulls last, where the merge may stop early) — a best-effort guard,
+  * not a contract; pass null-free arrays.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
   extends BinaryExpression {
