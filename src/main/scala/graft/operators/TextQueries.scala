@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
+import graft.Materialize.CheckpointOps
 import graft.NamedQuery.{q, PresentationOps}
 import graft.functions.{Exact, ExactSql, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -55,6 +56,7 @@ object TextQueries {
 
   /** Bigram count floor for PMI mining (drops unstable rare pairs). */
   private val PmiMinCount = 20
+
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -481,6 +483,100 @@ object TextQueries {
           (col("pos") + 1).cast("long").as("rnk"),
           col("p.vec_id").as("doc_id"), col("p.sim").cast("long").as("tf"))
         .orderBy("tok", "rnk") // row-per-(term,posting): parallel range sort
+    },
+
+    // ----- X4 (model-based filtering): LM-perplexity scoring, the
+    // CCNet/Wikipedia-LM quality filter — train an add-k-smoothed
+    // BIGRAM language model on the corpus itself (deterministic,
+    // self-contained: p(w2|w1) = (c(w1w2)+0.5)/(c(w1·)+0.5·V)), score
+    // every document's per-token cross-entropy H = −(1/N)·Σ log2 p,
+    // and bucket the corpus into CCNet's head/middle/tail TERCILES of
+    // the H distribution (the split CCNet trains on). H (bits/token)
+    // ships instead of 2^H: the perplexity exponentiation is a
+    // monotone presentation step whose libm pow() is not cross-engine
+    // reproducible, while H itself is — per-bigram log2 rounded to 6dp
+    // (the q60 idf trick), per-doc sums decimal-exact (Exact.dsum,
+    // order-independent), and the tercile cuts are exact interpolated
+    // percentiles of those already-rounded doubles (Spark `percentile`
+    // and DuckDB `quantile_cont` share the type-7 formula).
+    // 100 TB plan: ONE bigram explode feeds both model aggregates
+    // (counts keyed by bigram and by left-token — map-side combined)
+    // and, checkpointed, the scoring join; the model table joins back
+    // keyed by the bigram (AQE broadcasts it at test scale; at corpus
+    // scale it is a plain shuffle join co-keyed with the bigram rows —
+    // never a per-doc loop, never a driver-side model). Vocabulary
+    // size and the two tercile cuts cross as one-row broadcasts like
+    // q82's corpus stats; at 100 TB the exact percentile becomes
+    // approx_percentile — the cut choice is a policy knob, not a law.
+    q("q103_lm_perplexity",
+      "X4: bigram-LM cross-entropy scoring + CCNet head/middle/tail terciles",
+      {
+        val toks = tokensSql("text")
+        s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+           |  bgw AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w1 FROM (
+           |            SELECT doc_id,
+           |              unnest([list_aggregate(list_slice(t, i, i + 1), 'string_agg', ' ')
+           |                      for i in range(1, len(t))]) AS b
+           |            FROM toks)),
+           |  bgc AS (SELECT b, w1, COUNT(*) AS cbg FROM bgw GROUP BY 1, 2),
+           |  ugc AS (SELECT w1, COUNT(*) AS cug FROM bgw GROUP BY 1),
+           |  vf AS (SELECT COUNT(DISTINCT tok) AS v
+           |         FROM (SELECT unnest(t) AS tok FROM toks)),
+           |  lp AS (SELECT b,
+           |           ROUND(LOG2((cbg + CAST(0.5 AS DOUBLE)) /
+           |                      (cug + CAST(0.5 AS DOUBLE) * v)), 6) AS logp
+           |         FROM bgc JOIN ugc USING (w1) CROSS JOIN vf),
+           |  scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+           |               ROUND(-(${ExactSql.dsum("logp")}) / COUNT(*), 6) AS h_bits
+           |             FROM bgw JOIN lp USING (b) GROUP BY doc_id),
+           |  th AS (SELECT quantile_cont(h_bits, CAST(1 AS DOUBLE) / 3) AS t1,
+           |                quantile_cont(h_bits, CAST(2 AS DOUBLE) / 3) AS t2
+           |         FROM scored)
+           |SELECT doc_id, n_bigrams, h_bits,
+           |       CASE WHEN h_bits <= t1 THEN 'head'
+           |            WHEN h_bits <= t2 THEN 'middle'
+           |            ELSE 'tail' END AS bucket
+           |FROM scored CROSS JOIN th
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      // Raw (per-occurrence) bigram rows; w1 = the conditioning token.
+      // Checkpointed eagerly: THREE consumers (both model aggregates
+      // and the scoring join) whose per-branch column pruning defeats
+      // exchange reuse, and the model side feeds a broadcast build.
+      val bgw = DedupQueries.shingleRowsOf(
+          docsSpread(s, dir).select("doc_id", "text"), 2)
+        .select(col("doc_id"), col("t").as("b"),
+          substring_index(col("t"), " ", 1).as("w1"))
+        .checkpointed()
+      val bgc = bgw.groupBy(col("b"), col("w1")).agg(count(lit(1)).as("cbg"))
+      val ugc = bgw.groupBy(col("w1")).agg(count(lit(1)).as("cug"))
+      // Vocabulary size: one row, broadcast (includes doc-final tokens
+      // that never condition a bigram — V is the token vocabulary, not
+      // the context vocabulary; the oracle counts the same set).
+      val vf = docs(s, dir).select(
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(countDistinct(col("tok")).as("v"))
+      val lp = bgc.join(ugc, "w1").crossJoin(broadcast(vf))
+        .select(col("b"), round(log2(
+          (col("cbg") + lit(0.5)) / (col("cug") + lit(0.5) * col("v"))), 6)
+          .as("logp"))
+      // Scored frame is read twice (tercile aggregate + bucket assign):
+      // eager checkpoint, the tercile frame feeds a broadcast build.
+      val scored = bgw.join(lp, "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-dsum(col("logp")) / count(lit(1)), 6).as("h_bits"))
+        .checkpointed()
+      val th = scored.agg(
+        expr("percentile(h_bits, CAST(1 AS DOUBLE) / 3)").as("t1"),
+        expr("percentile(h_bits, CAST(2 AS DOUBLE) / 3)").as("t2"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_bigrams"), col("h_bits"),
+          when(col("h_bits") <= col("t1"), "head")
+            .when(col("h_bits") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id") // row-per-doc output: parallel range sort
     }
   )
 }

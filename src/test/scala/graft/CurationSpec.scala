@@ -161,4 +161,47 @@ class CurationSpec extends AnyFunSuite {
         .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  /** q103's semantic law against an independent driver-side reference:
+    * per-doc cross-entropy equals the add-0.5-smoothed bigram-LM
+    * formula (within float-rounding tolerance — the oracle hash pins
+    * exactness; this pins the MATH), terciles are balanced, and bucket
+    * assignment is monotone in h. */
+  test("q103: h_bits matches a driver-side bigram-LM reference; terciles balanced") {
+    val rows = run("q103_lm_perplexity")
+    // Independent reference from the raw corpus.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String): Array[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val bigrams = docs.flatMap { case (id, t) =>
+      toks(t).sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val cbg = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length).toMap
+    val cug = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val v = docs.flatMap(d => toks(d._2)).distinct.length
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { b =>
+        r6(math.log((cbg((b._2, b._3)) + 0.5) / (cug(b._2) + 0.5 * v)) / math.log(2.0))
+      }.sum
+      id -> r6(-s / bs.length)
+    }
+    val got = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("h_bits")).toMap
+    assert(got.keySet == want.keySet, "doc coverage differs from reference")
+    got.foreach { case (id, h) =>
+      assert(math.abs(h - want(id)) < 2e-6, s"doc $id: got $h want ${want(id)}")
+    }
+    // Terciles: balanced within 1, and bucket order tracks h order.
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Double]("h_bits"))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 2, s"unbalanced terciles: $sizes")
+    assert(byBucket("head").max <= byBucket("middle").min + 1e-9)
+    assert(byBucket("middle").max <= byBucket("tail").min + 1e-9)
+  }
 }
