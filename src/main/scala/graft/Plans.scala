@@ -37,6 +37,7 @@ object Plans {
     "q95_dup_spans" -> "positional window hashes; min/max share test (no distinct-set state) + flag join on the hash; islands ranking — no doc-pair join",
     "q98_novelty_score" -> "first-carrier table is a map-side-combinable min agg on the shingle hash; one per-doc fold; no doc-pair join",
     "q99_semantic_prune" -> "centroids broadcast; argmin assignment is a min_by aggregate; pairs only within a cell (equi-join on cell_id)",
+    "q103_lm_perplexity" -> "one bigram explode feeds both model aggregates (map-side combined); scoring is a PINNED shuffle-hash join co-keyed by the bigram with the model as build side (a stats-less checkpoint scan let the optimizer broadcast the corpus side); vocab + tercile cuts cross as one-row broadcasts",
     "q100_ivf_append" -> "persisted assignment index SCANNED for occupancy; only the batch is scored (one broadcast centroid join)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy

@@ -539,35 +539,9 @@ object TextQueries {
            |FROM scored CROSS JOIN th
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      // Raw (per-occurrence) bigram rows; w1 = the conditioning token.
-      // Checkpointed eagerly: THREE consumers (both model aggregates
-      // and the scoring join) whose per-branch column pruning defeats
-      // exchange reuse, and the model side feeds a broadcast build.
-      val bgw = DedupQueries.shingleRowsOf(
-          docsSpread(s, dir).select("doc_id", "text"), 2)
-        .select(col("doc_id"), col("t").as("b"),
-          substring_index(col("t"), " ", 1).as("w1"))
-        .checkpointed()
-      val bgc = bgw.groupBy(col("b"), col("w1")).agg(count(lit(1)).as("cbg"))
-      val ugc = bgw.groupBy(col("w1")).agg(count(lit(1)).as("cug"))
-      // Vocabulary size: one row, broadcast (includes doc-final tokens
-      // that never condition a bigram — V is the token vocabulary, not
-      // the context vocabulary; the oracle counts the same set).
-      val vf = docs(s, dir).select(
-          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-        .filter(col("tok") =!= "")
-        .agg(countDistinct(col("tok")).as("v"))
-      val lp = bgc.join(ugc, "w1").crossJoin(broadcast(vf))
-        .select(col("b"), round(log2(
-          (col("cbg") + lit(0.5)) / (col("cug") + lit(0.5) * col("v"))), 6)
-          .as("logp"))
       // Scored frame is read twice (tercile aggregate + bucket assign):
       // eager checkpoint, the tercile frame feeds a broadcast build.
-      val scored = bgw.join(lp, "b")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(-dsum(col("logp")) / count(lit(1)), 6).as("h_bits"))
-        .checkpointed()
+      val scored = lmScoredFrame(s, dir).checkpointed()
       val th = scored.agg(
         expr("percentile(h_bits, CAST(1 AS DOUBLE) / 3)").as("t1"),
         expr("percentile(h_bits, CAST(2 AS DOUBLE) / 3)").as("t2"))
@@ -579,4 +553,49 @@ object TextQueries {
         .orderBy("doc_id") // row-per-doc output: parallel range sort
     }
   )
+
+  /** q103's model-train + scoring frame `(doc_id, n_bigrams, h_bits)`,
+    * BEFORE its checkpoint — the registered query's exact input, kept
+    * separately callable because the checkpoint truncates the
+    * registered plan to an RDD scan and this is where the
+    * load-bearing shape lives (PlanShapeSpec pins the shuffle-hash
+    * scoring join here; graft.Plans documents it). */
+  private[graft] def lmScoredFrame(s: SparkSession, dir: String): DataFrame = {
+    // Raw (per-occurrence) bigram rows; w1 = the conditioning token.
+    // Checkpointed eagerly: THREE consumers (both model aggregates
+    // and the scoring join) whose per-branch column pruning defeats
+    // exchange reuse, and the model side feeds a broadcast build.
+    val bgw = DedupQueries.shingleRowsOf(
+        docsSpread(s, dir).select("doc_id", "text"), 2)
+      .select(col("doc_id"), col("t").as("b"),
+        substring_index(col("t"), " ", 1).as("w1"))
+      .checkpointed()
+    val bgc = bgw.groupBy(col("b"), col("w1")).agg(count(lit(1)).as("cbg"))
+    val ugc = bgw.groupBy(col("w1")).agg(count(lit(1)).as("cug"))
+    // Vocabulary size: one row, broadcast (includes doc-final tokens
+    // that never condition a bigram — V is the token vocabulary, not
+    // the context vocabulary; the oracle counts the same set).
+    val vf = docs(s, dir).select(
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).as("v"))
+    val lp = bgc.join(ugc, "w1").crossJoin(broadcast(vf))
+      .select(col("b"), round(log2(
+        (col("cbg") + lit(0.5)) / (col("cug") + lit(0.5) * col("v"))), 6)
+        .as("logp"))
+    // The scoring join is PINNED as a shuffle-hash join with the
+    // MODEL as the build side: a checkpoint scan reports no
+    // statistics, and the optimizer's default broadcast the 6M-row
+    // bigram side while streaming the 21k-row model on one task
+    // (profiled: the dominant 5-7 s serialized stage on the hostile
+    // 10× corpus). shuffle_hash is also the only shape that survives
+    // 100 TB, where the model table outgrows any broadcast; the
+    // NUMBERED repartition keeps the probe side at full parallelism
+    // (AQE would coalesce the ~tens-of-MB exchange).
+    bgw.repartition(s.sparkContext.defaultParallelism, col("b"))
+      .join(lp.hint("shuffle_hash"), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-dsum(col("logp")) / count(lit(1)), 6).as("h_bits"))
+  }
 }

@@ -150,6 +150,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  /** q103's scoring join must stay a SHUFFLE-hash join with the model
+    * as build side: the stats-less checkpoint scan once let the
+    * optimizer broadcast the 6M-row bigram side and stream the model
+    * on one task. Pinned on the pre-checkpoint scored frame. */
+  test("q103 scoring is a shuffle-hash join keyed on the bigram") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val ns = nodes(operators.TextQueries.lmScoredFrame(spark, dir)
+      .queryExecution.executedPlan)
+    val shj = ns.collect {
+      case j: ShuffledHashJoinExec if j.leftKeys.exists(_.toString.contains("b#")) ||
+        j.rightKeys.exists(_.toString.contains("b#")) => j
+    }
+    assert(shj.nonEmpty,
+      s"q103's scoring join is not a ShuffledHashJoin on the bigram key:\n${ns.mkString("\n")}")
+  }
+
   test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids") {
     Seq("q60_bm25", "q26_knn_topk", "q99_semantic_prune").foreach { q =>
       assert(nodes(plan(q)).exists(_.isInstanceOf[BroadcastExchangeExec]),
