@@ -48,7 +48,13 @@ object Plans {
   private def preSort(spark: SparkSession, sfDir: String)
       : Map[String, org.apache.spark.sql.DataFrame] = {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
-    operators.DedupQueries.preSortFrames.map { case (n, f) => n -> f(docs) }
+    operators.DedupQueries.preSortFrames.map { case (n, f) => n -> f(docs) } +
+      // q103's load-bearing shape (bigram explode, model aggregates,
+      // pinned shuffle-hash scoring join) lives BELOW the registered
+      // frame's eager checkpoint; dump the pre-checkpoint scored frame
+      // like the rangeSorted queries dump their pre-sort frames.
+      ("q103_lm_perplexity" ->
+        operators.TextQueries.lmScoredFrame(spark, sfDir))
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,7 +85,10 @@ object Plans {
       pw.println()
       pw.println(s"## $name")
       pw.println()
-      if (pre.contains(name))
+      if (name == "q103_lm_perplexity")
+        pw.println("(pre-checkpoint scored frame — the registered query " +
+          "adds the tercile bucketing on top)")
+      else if (pre.contains(name))
         pw.println("(pre-sort frame — the registered query adds a " +
           "materialize-once range sort on top)")
       pw.println()

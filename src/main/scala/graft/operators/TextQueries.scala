@@ -497,8 +497,11 @@ object TextQueries {
     // reproducible, while H itself is — per-bigram log2 rounded to 6dp
     // (the q60 idf trick), per-doc sums decimal-exact (Exact.dsum,
     // order-independent), and the tercile cuts are exact interpolated
-    // percentiles of those already-rounded doubles (Spark `percentile`
-    // and DuckDB `quantile_cont` share the type-7 formula).
+    // percentiles of those already-rounded doubles, themselves rounded
+    // to 6dp before the comparison (Spark `percentile` and DuckDB
+    // `quantile_cont` interpolate equivalently but with different
+    // arithmetic forms — a tied order statistic can differ in the
+    // last ulp, and the cut feeds an exact boundary comparison).
     // 100 TB plan: ONE bigram explode feeds both model aggregates
     // (counts keyed by bigram and by left-token — map-side combined)
     // and, checkpointed, the scoring join; the model table joins back
@@ -529,8 +532,8 @@ object TextQueries {
            |  scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
            |               ROUND(-(${ExactSql.dsum("logp")}) / COUNT(*), 6) AS h_bits
            |             FROM bgw JOIN lp USING (b) GROUP BY doc_id),
-           |  th AS (SELECT quantile_cont(h_bits, CAST(1 AS DOUBLE) / 3) AS t1,
-           |                quantile_cont(h_bits, CAST(2 AS DOUBLE) / 3) AS t2
+           |  th AS (SELECT ROUND(quantile_cont(h_bits, CAST(1 AS DOUBLE) / 3), 6) AS t1,
+           |                ROUND(quantile_cont(h_bits, CAST(2 AS DOUBLE) / 3), 6) AS t2
            |         FROM scored)
            |SELECT doc_id, n_bigrams, h_bits,
            |       CASE WHEN h_bits <= t1 THEN 'head'
@@ -542,9 +545,15 @@ object TextQueries {
       // Scored frame is read twice (tercile aggregate + bucket assign):
       // eager checkpoint, the tercile frame feeds a broadcast build.
       val scored = lmScoredFrame(s, dir).checkpointed()
+      // Tercile cuts ROUNDED to 6dp before the bucket comparison (the
+      // engine-parity convention every oracle-compared percentile here
+      // follows): Spark's exact `percentile` and DuckDB's
+      // `quantile_cont` interpolate with different arithmetic forms
+      // whose last ulp can differ on TIED order statistics, and an
+      // unrounded cut would flip the boundary doc's bucket per engine.
       val th = scored.agg(
-        expr("percentile(h_bits, CAST(1 AS DOUBLE) / 3)").as("t1"),
-        expr("percentile(h_bits, CAST(2 AS DOUBLE) / 3)").as("t2"))
+        round(expr("percentile(h_bits, CAST(1 AS DOUBLE) / 3)"), 6).as("t1"),
+        round(expr("percentile(h_bits, CAST(2 AS DOUBLE) / 3)"), 6).as("t2"))
       scored.crossJoin(broadcast(th))
         .select(col("doc_id"), col("n_bigrams"), col("h_bits"),
           when(col("h_bits") <= col("t1"), "head")

@@ -195,7 +195,9 @@ class CurationSpec extends AnyFunSuite {
     got.foreach { case (id, h) =>
       assert(math.abs(h - want(id)) < 2e-6, s"doc $id: got $h want ${want(id)}")
     }
-    // Terciles: balanced within 1, and bucket order tracks h order.
+    // Terciles: balanced within 2 (slack for tied h values at a cut —
+    // exact interpolated terciles over distinct values balance within
+    // 1), and bucket order tracks h order.
     val byBucket = rows.groupBy(_.getAs[String]("bucket"))
       .view.mapValues(_.map(_.getAs[Double]("h_bits"))).toMap
     assert(byBucket.keySet == Set("head", "middle", "tail"))

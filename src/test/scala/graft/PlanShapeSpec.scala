@@ -164,6 +164,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(shj.nonEmpty,
       s"q103's scoring join is not a ShuffledHashJoin on the bigram key:\n${ns.mkString("\n")}")
+    // The BUILD side must be the MODEL (right) side — building over the
+    // corpus side is the per-task memory hazard the pin exists for.
+    shj.foreach { j =>
+      assert(j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight,
+        s"q103's scoring join builds over the corpus side: $j")
+    }
   }
 
   test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids") {
