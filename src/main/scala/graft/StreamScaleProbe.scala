@@ -179,8 +179,14 @@ object StreamScaleProbe {
     // complete drains of the same fixture must fail the run, not just
     // print VIOLATED — the JSON above is already on disk for diagnosis.
     // Measurement errors fail too, under their own exit code: an
-    // environment failure is not a law violation.
+    // environment failure is not a law violation. A PASS-2 failure
+    // (remeasureError) is a measurement error like any other (ADVICE
+    // r9 #2): a drain that completes once and fails on the identical
+    // re-run is exactly the reproducibility signal the probe exists to
+    // surface, so it exits 3 rather than landing only in the JSON.
     if (rows.exists(r => r.measured && (!r.lawOk || !r.stable))) sys.exit(2)
-    if (rows.exists(!_.measured)) sys.exit(3)
+    if (rows.exists(r => !r.measured ||
+        r.small.remeasureError.isDefined || r.big.remeasureError.isDefined))
+      sys.exit(3)
   }
 }

@@ -367,9 +367,14 @@ object DedupQueries {
     *
     *  - EVAL-GRAM SEMI-JOIN: the train gram stream is semi-joined
     *    (broadcast — the eval corpus is the small side by the
-    *    operator's contract; past broadcast size the same semi-join
-    *    runs as a shuffle without touching the guard) against the
-    *    distinct eval gram set. Only grams that can possibly be shared
+    *    operator's CONTRACT, and the explicit `broadcast()` hint is
+    *    honored regardless of autoBroadcastJoinThreshold up to Spark's
+    *    hard 8 GB / 512M-row broadcast limits, so an eval side past
+    *    those limits FAILS the job rather than degrading; a deployment
+    *    whose "eval" side can outgrow a broadcast must drop the hint at
+    *    this one join — the guard itself is hint-independent, since
+    *    ranking, prefix and verification all key off the same frames)
+    *    against the distinct eval gram set. Only grams that can possibly be shared
     *    survive, so the FULL train stream is read once and never
     *    shuffled; everything downstream — df ranking, candidates,
     *    verification arrays — reads this small frame.

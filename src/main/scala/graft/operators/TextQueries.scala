@@ -496,12 +496,15 @@ object TextQueries {
     // monotone presentation step whose libm pow() is not cross-engine
     // reproducible, while H itself is — per-bigram log2 rounded to 6dp
     // (the q60 idf trick), per-doc sums decimal-exact (Exact.dsum,
-    // order-independent), and the tercile cuts are exact interpolated
-    // percentiles of those already-rounded doubles, themselves rounded
-    // to 6dp before the comparison (Spark `percentile` and DuckDB
-    // `quantile_cont` interpolate equivalently but with different
-    // arithmetic forms — a tied order statistic can differ in the
-    // last ulp, and the cut feeds an exact boundary comparison).
+    // order-independent), and the tercile cuts are ORDER STATISTICS of
+    // those already-rounded doubles — t1 = the ceil(N/3)-th smallest
+    // h_bits, t2 = the ceil(2N/3)-th (ADVICE r9 #5): a cut snapped to
+    // an actual corpus value involves NO interpolation arithmetic at
+    // all, so the boundary comparison is an exact-equality question
+    // both engines answer identically (the previous 6dp-rounded
+    // interpolated percentile still carried a residual half-ulp
+    // boundary risk when the interpolated value straddled a rounding
+    // boundary).
     // 100 TB plan: ONE bigram explode feeds both model aggregates
     // (counts keyed by bigram and by left-token — map-side combined)
     // and, checkpointed, the scoring join; the model table joins back
@@ -532,9 +535,10 @@ object TextQueries {
            |  scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
            |               ROUND(-(${ExactSql.dsum("logp")}) / COUNT(*), 6) AS h_bits
            |             FROM bgw JOIN lp USING (b) GROUP BY doc_id),
-           |  th AS (SELECT ROUND(quantile_cont(h_bits, CAST(1 AS DOUBLE) / 3), 6) AS t1,
-           |                ROUND(quantile_cont(h_bits, CAST(2 AS DOUBLE) / 3), 6) AS t2
-           |         FROM scored)
+           |  th AS (SELECT MIN(CASE WHEN rn = (n + 2) // 3 THEN h_bits END) AS t1,
+           |                MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN h_bits END) AS t2
+           |         FROM (SELECT h_bits, ROW_NUMBER() OVER (ORDER BY h_bits) AS rn,
+           |                      COUNT(*) OVER () AS n FROM scored))
            |SELECT doc_id, n_bigrams, h_bits,
            |       CASE WHEN h_bits <= t1 THEN 'head'
            |            WHEN h_bits <= t2 THEN 'middle'
@@ -545,15 +549,24 @@ object TextQueries {
       // Scored frame is read twice (tercile aggregate + bucket assign):
       // eager checkpoint, the tercile frame feeds a broadcast build.
       val scored = lmScoredFrame(s, dir).checkpointed()
-      // Tercile cuts ROUNDED to 6dp before the bucket comparison (the
-      // engine-parity convention every oracle-compared percentile here
-      // follows): Spark's exact `percentile` and DuckDB's
-      // `quantile_cont` interpolate with different arithmetic forms
-      // whose last ulp can differ on TIED order statistics, and an
-      // unrounded cut would flip the boundary doc's bucket per engine.
-      val th = scored.agg(
-        round(expr("percentile(h_bits, CAST(1 AS DOUBLE) / 3)"), 6).as("t1"),
-        round(expr("percentile(h_bits, CAST(2 AS DOUBLE) / 3)"), 6).as("t2"))
+      // Tercile cuts SNAPPED to actual h_bits order statistics (ADVICE
+      // r9 #5): t1/t2 are corpus VALUES at ranks ceil(N/3)/ceil(2N/3),
+      // picked by integer rank arithmetic — no interpolation, so no
+      // cross-engine float form exists to disagree (ties under
+      // row_number pick a rank arbitrarily, but the VALUE at a rank is
+      // tie-invariant under a sort by that value). The single-task
+      // global ranking window runs over one double column of the
+      // already-aggregated per-doc frame — at 100 TB this cut
+      // computation is the policy knob the scaladoc names
+      // (approx_percentile), not a law.
+      val rankW = org.apache.spark.sql.expressions.Window.orderBy("h_bits")
+      val th = scored.select(col("h_bits"))
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .agg(
+          min(when(col("rn") === expr("(n + 2) div 3"), col("h_bits"))).as("t1"),
+          min(when(col("rn") === expr("(2 * n + 2) div 3"), col("h_bits"))).as("t2"))
       scored.crossJoin(broadcast(th))
         .select(col("doc_id"), col("n_bigrams"), col("h_bits"),
           when(col("h_bits") <= col("t1"), "head")

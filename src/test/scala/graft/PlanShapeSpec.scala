@@ -139,7 +139,8 @@ class PlanShapeSpec extends AnyFunSuite {
     * shuffles the train side on the gram key. Pinned on the pre-sort
     * frame (the registered plan ends in rangeSorted). */
   test("q58/q84 containment: train side flows through broadcast joins only") {
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     Seq("q58_contamination", "q84_bloom_decontam").foreach { q =>
       val ns = nodes(operators.DedupQueries.preSortFrames(q)(docs)
@@ -147,6 +148,18 @@ class PlanShapeSpec extends AnyFunSuite {
       val bhj = ns.count(_.isInstanceOf[BroadcastHashJoinExec])
       assert(bhj >= 2,
         s"$q: expected the guard's broadcast joins (semi + prefix/cand), found $bhj")
+      // And the NEGATIVE half (ADVICE r9 #3): no shuffled join keyed on
+      // the gram column may appear anywhere in candidate generation — a
+      // regression that re-introduces a train-side gram shuffle ALONGSIDE
+      // the broadcasts would otherwise still satisfy the count above.
+      def gramKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "g"))
+      val shuffledOnGram = ns.collect {
+        case j: SortMergeJoinExec if gramKeyed(j.leftKeys) || gramKeyed(j.rightKeys) => j
+        case j: ShuffledHashJoinExec if gramKeyed(j.leftKeys) || gramKeyed(j.rightKeys) => j
+      }
+      assert(shuffledOnGram.isEmpty,
+        s"$q: candidate generation plans a SHUFFLED join on the gram key:\n$shuffledOnGram")
     }
   }
 

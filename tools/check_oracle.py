@@ -98,8 +98,10 @@ def compare():
         else f"DUCKDB VERSION DRIFT: running {duckdb.__version__}, pinned {EXPECTED_DUCKDB} "
              "— re-validate the oracle SQL surface, then bump EXPECTED_DUCKDB")
     npass = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only") and "EMPTY" not in v)
+    nfail = 0
     for name, v in sorted(results.items()):
         mark = "PASS" if v == "OK" else ("INFO" if v.startswith("rows-only") and "EMPTY" not in v else "FAIL")
+        nfail += mark == "FAIL"
         print(f"{mark}  {name}: {v}")
     # Version stamp: which engines produced/judged this run, so an
     # environment bump names itself in the gate output.
@@ -114,8 +116,12 @@ def compare():
             versions["stamp_error"] = str(e)[:80]
     print(f"== versions: {json.dumps(versions, sort_keys=True)} ==")
     print(f"== {npass}/{len(results)} ok ==")
+    # Exit non-zero on ANY FAIL line — including the duckdb version pin —
+    # so automation keyed on exit status sees what stdout says (ADVICE
+    # r9 #4): a gate whose failures are stdout-only is not a gate.
+    return nfail
 
 if __name__ == "__main__":
     if "--skip-run" not in sys.argv:
         run_verify()
-    compare()
+    sys.exit(min(compare(), 125))
