@@ -71,7 +71,7 @@ object ScaleProbe {
     "q59_dup_clusters", "q64_repetition_filter", "q69_pmi_bigrams",
     "q81_ngram_jaccard", "q84_bloom_decontam", "q86_canonical_pick",
     "q95_dup_spans", "q98_novelty_score", "q99_semantic_prune",
-    "q102_dsir_select", "q103_lm_perplexity")
+    "q102_dsir_select", "q103_lm_perplexity", "q104_media_phash_dedup")
 
   /** Synthesize a `copies`-replica corpus (documents + embeddings — all
     * the heavy tier reads) into `outDir`, memoized on a marker file. */

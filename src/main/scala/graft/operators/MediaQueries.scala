@@ -3,6 +3,7 @@ package graft.operators
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{q, PresentationOps}
 import graft.pipeline.MediaOps
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (north-star brief: binary payloads with
@@ -16,6 +17,59 @@ import org.apache.spark.sql.functions._
   * pinned as a boolean invariant rather than exact runtime sizes.
   */
 object MediaQueries {
+
+  /** q104's Hamming verify threshold. MUST stay < [[PHashBands]]: with
+    * d < k bands, a qualifying pair's d flipped bits leave at least one
+    * band untouched (pigeonhole), so exact band-bucket candidate
+    * generation is LOSSLESS — which is why the oracle can be the naive
+    * all-pairs join and the hash gate doubles as the losslessness
+    * proof. */
+  private[graft] val PHashHamming = 3
+  private[graft] val PHashBands = 4 // × 16 bits = the 64-bit fingerprint
+
+  /** q104's banded perceptual-hash near-dup join, pre-sort
+    * (PlanShapeSpec pins no-cross-product here — the registered query's
+    * trailing rangeSorted checkpoint truncates the inspectable plan).
+    * Input: `(media_id, payload)` media rows. Same candidate discipline
+    * as q28/q32: band buckets PRE-AGGREGATE (collect_list keyed by the
+    * 16-bit band value — singleton buckets die before any pair row
+    * exists), pairs explode only within a bucket, Hamming verify is
+    * exact on the fingerprints already in hand (no join-back — the
+    * 8-byte signature travels with its id, unlike q28's arrays).
+    *
+    * 100 TB: one shuffle keyed by (band_id, band_val) — ≤ 4 rows of
+    * (long, long) per asset — then pair work bounded by per-bucket
+    * occupancy. A degenerate corpus (millions of FLAT payloads hashing
+    * to the same fingerprint) makes a bucket quadratic, but an
+    * equal-fingerprint class IS pairwise-duplicate output — quadratic
+    * in the result, not the plan; a deployment that wants cluster-
+    * rather than pair-shaped output for such classes runs the q59-style
+    * connected-components pass over these edges. */
+  private[graft] def phashPairs(u: DataFrame): DataFrame = {
+    val media = MediaOps.mediaTable(u)
+    val ph = media.select(col("media_id"),
+      graft.plans.PHash64(col("payload")).as("phash"))
+    val banded = ph.select(col("media_id"), col("phash"), explode(array(
+        (0 until PHashBands).map(b => struct(lit(b).as("band_id"),
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))
+            .as("band_val"))): _*)).as("bv"))
+      .select(col("media_id"), col("phash"),
+        col("bv.band_id").as("band_id"), col("bv.band_val").as("band_val"))
+    banded.groupBy(col("band_id"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("media_id"), col("phash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a.media_id").as("id_a"), col("a.phash").as("ph_a"),
+        explode(col("ms")).as("b"))
+      .filter(col("id_a") < col("b.media_id"))
+      .select(col("id_a"), col("ph_a"),
+        col("b.media_id").as("id_b"), col("b.phash").as("ph_b"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= PHashHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -117,6 +171,66 @@ object MediaQueries {
           expr(s"bool_and(batch_size >= 1 AND batch_size <= ${MediaOps.BatchSize})")
             .as("batches_ok"))
         .presented("kind")
+    },
+
+    // ----- perceptual-hash near-dup dedup for the media tier (round-10
+    // lead item): dHash-style 64-bit fingerprints ([[graft.plans
+    // .PHash64]], codegen'd byte arithmetic — no UDF), 4×16-bit band
+    // buckets for candidates, exact Hamming verify ≤ 3. The corpus
+    // plants EXACT payload copies (every 10th asset, id+80000) and
+    // LAST-BYTE-PERTURBED copies (every 6th, id+90000): a single byte
+    // edit touches one grid cell, so only the one bit comparing that
+    // cell to its left neighbor can flip — planted near-dups sit at
+    // Hamming ≤ 1 by the expression's locality law (PHashSpec).
+    // ORACLE = the NAIVE ALL-PAIRS join over the same fingerprints:
+    // with threshold 3 < 4 bands the banding is lossless (pigeonhole —
+    // see [[PHashHamming]]), so hash-matching the quadratic reference
+    // PROVES the banded plan drops nothing. The oracle recomputes the
+    // fingerprint from the source text (byte-identical to the UTF-8
+    // payload — the q39 ASCII identity) with pure integer arithmetic,
+    // so parity is exact, not float-lucky.
+    q("q104_media_phash_dedup",
+      "multimodal/X3: banded 64-bit perceptual-hash near-dup + Hamming verify",
+      {
+        val cell = "(b//8)*9+(b%8)" // left cell of bit b, 0-based
+        s"""WITH u AS (
+           |  SELECT doc_id AS media_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 80000, text FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 90000, concat(substring(text, 1, length(text) - 1), 'q')
+           |  FROM documents WHERE doc_id % 6 = 0),
+           |cells AS (SELECT media_id,
+           |  [coalesce(list_sum(list_transform(range(CAST((c*length(text))//72 AS INT)+1,
+           |                                          CAST(((c+1)*length(text))//72 AS INT)+1),
+           |                                    i -> unicode(text[i]))), 0) for c in range(0,72)] AS s,
+           |  [CAST(((c+1)*length(text))//72 - (c*length(text))//72 AS BIGINT) for c in range(0,72)] AS w
+           |  FROM u),
+           |bits AS (SELECT media_id,
+           |  [CASE WHEN w[$cell+1] > 0 AND w[$cell+2] > 0
+           |         AND s[$cell+1]*w[$cell+2] > s[$cell+2]*w[$cell+1]
+           |    THEN 1 ELSE 0 END for b in range(0,64)] AS bit
+           |  FROM cells),
+           |ph AS (SELECT media_id,
+           |  CAST(CASE WHEN bit[64] = 1 THEN -9223372036854775807 - 1 ELSE 0 END
+           |   + list_sum(list_transform(range(0,63),
+           |       b -> CASE WHEN bit[b+1] = 1 THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS BIGINT) AS phash
+           |  FROM bits)
+           |SELECT a.media_id AS id_a, b.media_id AS id_b,
+           |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+           |FROM ph a JOIN ph b ON a.media_id < b.media_id
+           |WHERE bit_count(xor(a.phash, b.phash)) <= $PHashHamming
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val u = base
+        .unionAll(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+        .unionAll(base.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 90000).as("doc_id"),
+            concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q"))
+              .as("text")))
+      phashPairs(u).rangeSorted("id_a", "id_b")
     }
   )
 }

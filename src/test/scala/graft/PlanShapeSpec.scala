@@ -84,7 +84,8 @@ class PlanShapeSpec extends AnyFunSuite {
       Seq("q28_minhash_pairs", "q32_simhash_bands", "q58_contamination",
         "q81_ngram_jaccard", "q84_bloom_decontam", "q95_dup_spans",
         "q98_novelty_score")
-        .map(n => n -> operators.DedupQueries.preSortFrames(n)(docs))
+        .map(n => n -> operators.DedupQueries.preSortFrames(n)(docs)) :+
+        ("q104_media_phash_dedup" -> operators.MediaQueries.phashPairs(docs))
     val plans = preSort.map { case (n, df) => n -> df.queryExecution.executedPlan } ++
       Seq("q31_embedding_neardup", "q59_dup_clusters", "q68_incremental_dedup",
         "q86_canonical_pick").map(q => q -> plan(q))
