@@ -431,7 +431,13 @@ object DedupQueries {
       .groupBy(col("eval_id"))
       .agg(sort_array(collect_list(col("e"))).as("s"))
       .withColumn("n", size(col("s")).cast("long"))
-      .checkpointed() // eager: the prefix broadcast reads it
+      // Eager, like cand below: a one-JVM interleaved A/B (r10, 6
+      // alternating pairs at sf0.1) measured lazy variants of BOTH
+      // trailing checkpoints as a wash (eager mean 4.63 s vs lazy
+      // 4.60 s for q58+q84 combined) — the broadcast threads recompute
+      // what the eager job pays once, and neither wins. The barrier
+      // premium VERDICT r9 priced is stage-count floor, not eagerness.
+      .checkpointed() // the prefix broadcast reads it
     val prefix = ranked
       .select(col("eval_id"), explode(expr(
         s"slice(s, 1, cast(size(s) - floor($tauGen * size(s)) + 1 as int))")).as("e"))
@@ -455,8 +461,14 @@ object DedupQueries {
     val evalArr = ranked.select(col("eval_id"),
       (if (hashKeyed) expr("array_sort(transform(s, x -> x.g))")
        else expr("transform(s, x -> x.g)")).as("ea"), col("n").as("n_eval"))
+    // evalArr is BROADCAST (r10): the eval side is small by the same
+    // contract that already broadcasts its full gram set above, and
+    // broadcasting the per-eval-doc arrays means the candidate-pair
+    // stream — the side that grows with corpus density — never
+    // reshuffles after its train_id aggregation (A/B'd vs the shuffle
+    // join: mean 4.18 s vs 4.45 s for q58+q84 combined at sf0.1).
     trainArr.join(broadcast(cand), "train_id")
-      .join(evalArr, "eval_id")
+      .join(broadcast(evalArr), "eval_id")
       .withColumn("n_shared",
         (if (hashKeyed) graft.plans.SortedIntersectSize(col("ta"), col("ea")).cast("long")
          else size(array_intersect(col("ta"), col("ea"))).cast("long")))
