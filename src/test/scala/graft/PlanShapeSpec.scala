@@ -186,11 +186,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids") {
-    Seq("q60_bm25", "q26_knn_topk", "q99_semantic_prune").foreach { q =>
+  test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids, q105 steps") {
+    Seq("q60_bm25", "q26_knn_topk", "q99_semantic_prune", "q105_mmr_context").foreach { q =>
       assert(nodes(plan(q)).exists(_.isInstanceOf[BroadcastExchangeExec]),
         s"$q plans no broadcast exchange")
     }
+    // q105's greedy steps must stay broadcast/aggregate-shaped: after
+    // the one CollectTopK corpus pass, nothing may plan a cartesian
+    // product over candidates.
+    assert(!nodes(plan("q105_mmr_context")).exists(_.isInstanceOf[CartesianProductExec]),
+      "q105 plans a CartesianProduct")
   }
 
   test("the flagship pipeline broadcast-joins its weather dimension (J2)") {
