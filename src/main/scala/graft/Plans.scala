@@ -38,6 +38,8 @@ object Plans {
     "q98_novelty_score" -> "first-carrier table is a map-side-combinable min agg on the shingle hash; one per-doc fold; no doc-pair join",
     "q99_semantic_prune" -> "centroids broadcast; argmin assignment is a min_by aggregate; pairs only within a cell (equi-join on cell_id)",
     "q103_lm_perplexity" -> "one bigram explode feeds both model aggregates (map-side combined); scoring is a PINNED shuffle-hash join co-keyed by the bigram with the model as build side (a stats-less checkpoint scan let the optimizer broadcast the corpus side); vocab + tercile cuts cross as one-row broadcasts",
+    "q104_media_phash_dedup" -> "codegen'd phash64 rides the scan; 4x16-bit band buckets PRE-AGGREGATED (singletons die before any pair); Hamming verify on fingerprints already in hand — no join-back; threshold < bands = lossless vs the all-pairs oracle (r10)",
+    "q105_mmr_context" -> "one CollectTopK corpus pass; candidate vectors via broadcast semi join-back; QxM^2 pair-cosine table checkpointed once; each greedy step is broadcast joins + max_by aggregates — no corpus re-scan, no cartesian (r10)",
     "q100_ivf_append" -> "persisted assignment index SCANNED for occupancy; only the batch is scored (one broadcast centroid join)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy
@@ -54,7 +56,11 @@ object Plans {
       // frame's eager checkpoint; dump the pre-checkpoint scored frame
       // like the rangeSorted queries dump their pre-sort frames.
       ("q103_lm_perplexity" ->
-        operators.TextQueries.lmScoredFrame(spark, sfDir))
+        operators.TextQueries.lmScoredFrame(spark, sfDir)) +
+      // q104's banded candidate generation + Hamming verify, pre-sort
+      // (same rangeSorted truncation as the dedup tier).
+      ("q104_media_phash_dedup" ->
+        operators.MediaQueries.phashPairs(docs))
   }
 
   def main(args: Array[String]): Unit = {

@@ -71,7 +71,7 @@ object ScaleProbe {
     "q59_dup_clusters", "q64_repetition_filter", "q69_pmi_bigrams",
     "q81_ngram_jaccard", "q84_bloom_decontam", "q86_canonical_pick",
     "q95_dup_spans", "q98_novelty_score", "q99_semantic_prune",
-    "q102_dsir_select", "q103_lm_perplexity", "q104_media_phash_dedup")
+    "q102_dsir_select", "q103_lm_perplexity")
 
   /** Synthesize a `copies`-replica corpus (documents + embeddings — all
     * the heavy tier reads) into `outDir`, memoized on a marker file. */
@@ -153,7 +153,8 @@ object ScaleProbe {
     // Codegen warm pass (same rationale as Bench): every probed query
     // once at the smallest SF so measured numbers are data cost.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) Heavy.foreach { name =>
+    if (new java.io.File(warmDir).isDirectory)
+      (Heavy :+ "q104_media_phash_dedup").foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () }
@@ -221,6 +222,84 @@ object ScaleProbe {
       m
     }
 
+    // q103 under a DEGENERATE-VOCABULARY corpus (VERDICT r9 #5):
+    // every token remapped onto a 50-word vocabulary, so the bigram
+    // MODEL table collapses to ~2.5k rows while the bigram stream
+    // keeps its full row count — exactly the shape where a stats-blind
+    // plan would broadcast the corpus side onto one task (the trap the
+    // pinned shuffle_hash build side exists for). Measured at BOTH
+    // scales; the law is shuffle ≈ copies like every hash-keyed row.
+    // Adversarial mode only — this is a hostile-structure stress.
+    val tinyVocab = if (!adversarial) None else Some {
+      def synthTiny(outDir: String, copies: Int): Unit = {
+        val marker = new java.io.File(s"$outDir/_GRAFT_DONE")
+        if (marker.exists()) return
+        val docs = Tables.load(spark, baseDir, "documents")
+        (0 until copies).map { i =>
+          val text = array_join(transform(
+            split(lower(col("text")), "[^a-z0-9]+"),
+            t => concat(lit("w"), pmod(xxhash64(t), lit(50)))), " ")
+          docs.select((col("doc_id") + i * Stride).as("doc_id"),
+            text.as("text"), col("lang"), col("source"),
+            length(text).cast("long").as("n_chars"))
+        }.reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+        marker.createNewFile()
+      }
+      val tinyBase = "/tmp/graft_scaleprobe_tinyvbase"
+      val tinyBig = "/tmp/graft_scaleprobe_tinyvsf1"
+      synthTiny(tinyBase, 1); synthTiny(tinyBig, Copies)
+      val mS = measure(SparkEntry.queries("q103_lm_perplexity")(spark, tinyBase))
+      val mL = measure(SparkEntry.queries("q103_lm_perplexity")(spark, tinyBig))
+      println(s"[probe] q103_tiny_vocab base ${f3(mS.sec)}s/${f3(mS.payload)}MB " +
+        s"10x ${f3(mL.sec)}s/${f3(mL.payload)}MB" +
+        (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+          .reduceOption(_ + "; " + _).fold("")(e => s" ERR $e"))
+      (mS, mL)
+    }
+
+    // q104 probes its OWN copy structure (both modes): the shared
+    // transforms perturb every token by a SAME-LENGTH suffix/marker,
+    // which a perceptual hash correctly reads as near-identical bytes —
+    // measured on the shared clean 10× corpus, every cross-copy
+    // same-doc pair sits within Hamming 3, so output there is quadratic
+    // in copies BY THE CORPUS'S CONSTRUCTION (those are real byte-level
+    // near-dups), not a plan defect. The dedicated corpus instead
+    // prepends copy i with a 7·i-byte prefix: all 72 cell boundaries
+    // shift by more than a cell per copy step, block means decorrelate,
+    // and cross-copy fingerprints scatter — the structure under which
+    // output and shuffle MUST read ~copies ×, which is the law this row
+    // asserts for the banded plan.
+    val phashShifted = {
+      def synth(outDir: String, copies: Int): Unit = {
+        val marker = new java.io.File(s"$outDir/_GRAFT_DONE")
+        if (marker.exists()) return
+        val docs = Tables.load(spark, baseDir, "documents")
+        (0 until copies).map { i =>
+          val text =
+            if (i == 0) col("text")
+            else concat(lit("z" * (7 * i) + " "), col("text"))
+          docs.select((col("doc_id") + i * Stride).as("doc_id"),
+            text.as("text"), col("lang"), col("source"),
+            length(text).cast("long").as("n_chars"))
+        }.reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+        marker.createNewFile()
+      }
+      val phBase = "/tmp/graft_scaleprobe_phbase"
+      val phBig = "/tmp/graft_scaleprobe_phsf1"
+      synth(phBase, 1); synth(phBig, Copies)
+      val mS = measure(SparkEntry.queries("q104_media_phash_dedup")(spark, phBase))
+      val mL = measure(SparkEntry.queries("q104_media_phash_dedup")(spark, phBig))
+      println(s"[probe] q104_shifted_copies base ${f3(mS.sec)}s/${f3(mS.payload)}MB " +
+        s"10x ${f3(mL.sec)}s/${f3(mL.payload)}MB" +
+        (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+          .reduceOption(_ + "; " + _).fold("")(e => s" ERR $e"))
+      (mS, mL)
+    }
+
     val qjson = rows.map { case Row(name, mS, mL) =>
       val ratioT = if (mS.sec > 0) mL.sec / mS.sec else -1.0
       val ratioMb = if (mS.payload > 0.005) mL.payload / mS.payload else -1.0
@@ -238,6 +317,23 @@ object ScaleProbe {
       s""","q99_scaled_cells_sf1":{"cells":${64 * Copies},"sec":${f3(m.sec)},""" +
         s""""shuffle_mb":${f3(m.payload)}""" +
         m.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+    } + tinyVocab.fold("") { case (mS, mL) =>
+      val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+        .reduceOption(_ + "; " + _)
+      s""","q103_tiny_vocab":{"vocab":50,"base_sec":${f3(mS.sec)},""" +
+        s""""base_shuffle_mb":${f3(mS.payload)},"big_sec":${f3(mL.sec)},""" +
+        s""""big_shuffle_mb":${f3(mL.payload)},""" +
+        s""""shuffle_ratio":${f3(if (mS.payload > 0.005) mL.payload / mS.payload else -1.0)}""" +
+        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+    } + {
+      val (mS, mL) = phashShifted
+      val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+        .reduceOption(_ + "; " + _)
+      s""","q104_shifted_copies":{"prefix_bytes_per_copy":7,"base_sec":${f3(mS.sec)},""" +
+        s""""base_shuffle_mb":${f3(mS.payload)},"big_sec":${f3(mL.sec)},""" +
+        s""""big_shuffle_mb":${f3(mL.payload)},""" +
+        s""""shuffle_ratio":${f3(if (mS.payload > 0.005) mL.payload / mS.payload else -1.0)}""" +
+        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
     }
     // Input-volume context: suffix/banner tokens inflate CHAR volume
     // beyond the row ratio, and text-carrying shuffles scale with
@@ -249,8 +345,13 @@ object ScaleProbe {
       chars(bigDir).toDouble / chars(smallDir)
     }
     val mode = if (adversarial) "adversarial" else "clean"
+    // Engine stamps (VERDICT r9 #8): the hostile-corpus numbers are only
+    // comparable under the engines that produced them — a version drift
+    // must name itself in the artifact, as in the oracle gate.
     val json = s"""{"probe":"heavy-tier 10x scale ($mode)","copies":$Copies,""" +
       s""""base":"$smallDir","spark_version":"${spark.version}",""" +
+      s""""scala_version":"${scala.util.Properties.versionNumberString}",""" +
+      s""""java_version":"${System.getProperty("java.version")}",""" +
       s""""chars_ratio":${f3(charsRatio)},""" +
       s""""law":"shuffle_ratio ~<= copies (hash-keyed) / chars_ratio (text-carrying); wall_ratio documented per query",""" +
       s""""queries":$qjson$extra}"""

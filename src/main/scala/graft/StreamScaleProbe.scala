@@ -169,6 +169,8 @@ object StreamScaleProbe {
         knob.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
     }
     val out = s"""{"copies":$Copies,"spark_version":"${spark.version}",""" +
+      s""""scala_version":"${scala.util.Properties.versionNumberString}",""" +
+      s""""java_version":"${System.getProperty("java.version")}",""" +
       s""""queries":$qjson,$knobJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       out.getBytes("UTF-8"))
