@@ -40,6 +40,8 @@ object Plans {
     "q103_lm_perplexity" -> "one bigram explode feeds both model aggregates (map-side combined); scoring is a PINNED shuffle-hash join co-keyed by the bigram with the model as build side (a stats-less checkpoint scan let the optimizer broadcast the corpus side); vocab + tercile cuts cross as one-row broadcasts",
     "q104_media_phash_dedup" -> "codegen'd phash64 rides the scan; 4x16-bit band buckets PRE-AGGREGATED (singletons die before any pair); Hamming verify on fingerprints already in hand — no join-back; threshold < bands = lossless vs the all-pairs oracle (r10)",
     "q105_mmr_context" -> "one CollectTopK corpus pass; candidate vectors via broadcast semi join-back; QxM^2 pair-cosine table checkpointed once; each greedy step is broadcast joins + max_by aggregates — no corpus re-scan, no cartesian (r10)",
+    "q50_chunking" -> "MAP-ONLY chunking: tokenize + start-grid explode + slice ride the scan at input-split parallelism (full tail coverage, r10); the only exchange is the trailing range sort",
+    "q107_priority_sample" -> "priority sampling: exact integer priorities computed in the scan project; per-stratum top-(k+1) via CollectTopK map-side k-heaps (exchange = langs*partitions*(k+1) rows); winner set broadcast-joins back for weights (r10)",
     "q100_ivf_append" -> "persisted assignment index SCANNED for occupancy; only the batch is scored (one broadcast centroid join)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy

@@ -37,6 +37,16 @@ object CurationQueries {
   /** Tokens per packed training context (q70). */
   private val PackLen = 512
 
+  /** q107 priority-sampling knobs: k docs per language stratum; the
+    * hash-uniform denominator (2^20) and the priority scale (2^32).
+    * Scale / denominator = 2^12 = 4096 converts weights into priority
+    * units; all three are powers of two so every priority and
+    * threshold is an exact integer below 2^53 (doubles round-trip). */
+  private val SampleK = 100
+  private val USize = 1048576L // 2^20
+  private val PriScale = 4294967296L // 2^32
+  private val WScale = PriScale / USize // 2^12
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- Deterministic stratified train/val/test split: bucket each
@@ -653,6 +663,64 @@ object CurationQueries {
           round(col("w").cast("double") / col("n_tok"), 6).as("avg_lr"))
         .orderBy(col("avg_lr").desc, col("doc_id")) // + limit → TakeOrdered top-k
         .limit(50)
+    },
+
+    // ----- X4+/selection: PRIORITY SAMPLING (Duffield, Lund & Thorup,
+    // "Priority sampling for estimation of arbitrary subset sums",
+    // JACM 2007) — weighted WITHOUT-replacement k-sample per language
+    // stratum, weight = n_chars (the "sample long docs
+    // proportionally" knob; any positive per-doc quality weight slots
+    // in). Each doc draws priority w/u from a hash-uniform
+    // u ∈ (0,1]; the k highest priorities are the sample and the
+    // (k+1)-th is the threshold τ, giving the unbiased subset-sum
+    // estimator ŵ = max(w, τ) stamped per row. Everything is INTEGER:
+    // u as a 2^20-grid hash draw, priority as (w·2^32) div u — exact
+    // in both engines, no ln/pow parity risk (the q103-tercile lesson
+    // applied from the start), and < 2^53 so the heap's double
+    // round-trips losslessly. SCALE: one scan; per-stratum top-(k+1)
+    // via CollectTopK map-side k-heaps, so the exchange carries
+    // langs·partitions·(k+1) tiny rows — never a corpus sort, and no
+    // rand(): re-runs and corpus extensions never reshuffle selection.
+    // The k-row winner set broadcast-joins back for its weights.
+    q("q107_priority_sample",
+      "X4+/selection: per-stratum weighted k-sample (priority sampling, exact integer priorities)",
+      {
+        val h = "CAST(CONCAT('0x', substr(md5(CONCAT(CAST(doc_id AS VARCHAR), ':ps')), 1, 15)) AS BIGINT)"
+        s"""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+           |      ($h % $USize) + 1 AS u FROM documents),
+           |p AS (SELECT *, (w * $PriScale) // u AS pri FROM d),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+           |        ORDER BY pri DESC, doc_id) AS rn FROM p),
+           |tau AS (SELECT lang, pri AS tau FROM r WHERE rn = ${SampleK + 1})
+           |SELECT r.lang, CAST(rn AS BIGINT) AS rank, doc_id, w, u, pri,
+           |  COALESCE(tau.tau, 0) AS tau,
+           |  GREATEST(w * $WScale, COALESCE(tau.tau, 0)) AS w_est_scaled
+           |FROM r LEFT JOIN tau USING (lang) WHERE rn <= $SampleK
+           |ORDER BY lang, rank""".stripMargin
+      }) { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
+        .withColumn("u", pmod(TextOps.hash60(
+          concat(col("doc_id").cast("string"), lit(":ps"))), lit(USize)) + 1)
+        .withColumn("pri", expr(s"(w * ${PriScale}L) div u"))
+      val heaps = d.groupBy(col("lang"))
+        .agg(graft.plans.CollectTopK.topk(
+          col("pri").cast("double"), col("doc_id"), SampleK + 1).as("tk"))
+        // τ = the (k+1)-th priority; a stratum smaller than k+1 has no
+        // threshold (every doc is sampled, ŵ = w exactly) → 0.
+        .withColumn("tau", coalesce(
+          try_element_at(col("tk"), lit(SampleK + 1)).getField("sim"),
+          lit(0.0)).cast("long"))
+      val sel = heaps
+        .select(col("tau"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .filter(col("pos") < SampleK)
+        .select(col("t.vec_id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("tau"))
+      d.join(broadcast(sel), "doc_id")
+        .select(col("lang"), col("rank"), col("doc_id"), col("w"), col("u"),
+          col("pri"), col("tau"),
+          greatest(col("w") * lit(WScale), col("tau")).as("w_est_scaled"))
+        .presented("lang", "rank")
     }
   )
 }

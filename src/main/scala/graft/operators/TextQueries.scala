@@ -222,9 +222,19 @@ object TextQueries {
     // (the reference embeds whole daily sentences; real corpora chunk).
     // Pure columnar: windows materialize per row via transform over the
     // start sequence, then one posexplode re-keys to chunk granularity.
-    // Short docs yield exactly one whole-doc chunk.
+    // Short docs yield exactly one whole-doc chunk. The start grid runs
+    // to 1 + S·ceil((n−W)/S) — one window PAST the last full-window
+    // start whenever tokens remain, so the final (possibly partial)
+    // chunk always reaches token n. (r10 fix: the original grid
+    // stopped at the last FULL window and silently dropped up to S−1
+    // trailing tokens per doc — unretrievable content in a RAG store;
+    // ChunkSampleSpec's reconstruction law now pins full coverage.)
+    // The grid never emits a chunk fully contained in its predecessor:
+    // the last start is ≤ S past the prior one, which still ends ≥ 1
+    // new token. MAP-ONLY at scale: tokenize + explode + slice ride
+    // the scan; the one exchange is the trailing range sort.
     q("q50_chunking",
-      "RAG: overlapping token-window chunking with chunk ids",
+      "RAG: overlapping token-window chunking with chunk ids (full tail coverage)",
       {
         val (w, s) = (32, 24)
         val toks = tokensSql("text")
@@ -234,7 +244,7 @@ object TextQueries {
            |FROM (
            |  SELECT doc_id,
            |    unnest([{'cid': (x - 1) // $s + 1, 'txt': array_to_string(list_slice(tk, x, x + ${w - 1}), ' ')}
-           |            for x in range(1, greatest(len(tk) - ${w - 1}, 1) + 1, $s)]) AS u
+           |            for x in range(1, 1 + $s * ((greatest(len(tk) - $w, 0) + ${s - 1}) // $s) + 1, $s)]) AS u
            |  FROM (SELECT doc_id, $toks AS tk FROM documents))
            |ORDER BY doc_id, chunk_id""".stripMargin
       }) { (s, dir) =>
@@ -242,8 +252,12 @@ object TextQueries {
       val toks = TextOps.tokens(col("text"))
       docs(s, dir)
         .select(col("doc_id"), toks.as("tk"))
+        // last start = 1 + S·ceil(max(n−W,0)/S); integer `div` keeps
+        // the grid arithmetic exact in both engines.
+        .withColumn("last_start",
+          expr(s"1 + $st * ((greatest(size(tk) - $w, 0) + ${st - 1}) div $st)"))
         .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), greatest(size(col("tk")) - (w - 1), lit(1)), lit(st)),
+          sequence(lit(1), col("last_start"), lit(st)),
           x => concat_ws(" ", slice(col("tk"), x, lit(w))))).as(Seq("pos", "chunk_text")))
         .select(col("doc_id"),
           (col("pos") + 1).cast("long").as("chunk_id"),
