@@ -57,6 +57,92 @@ object TextQueries {
   /** Bigram count floor for PMI mining (drops unstable rare pairs). */
   private val PmiMinCount = 20
 
+  /** q108: number of BPE merge rules learned. */
+  private val BpeMerges = 8
+
+  /** One greedy-leftmost BPE merge applied to a word table
+    * `(w: space-joined units, cnt)` — the application step of
+    * Sennrich et al. 2016's algorithm, exposed for BpeSpec's
+    * planted-run laws. The sequential recurrence sel_i = m_i ∧ ¬sel_{i−1}
+    * (merge here only if the previous position didn't) has a closed
+    * form over gaps-and-islands: within each maximal run of
+    * consecutive (l,r) adjacencies, every SECOND match fires. That
+    * makes leftmost-greedy application fully declarative — two
+    * windows over unit positions, no per-row loop. Only words that
+    * can contain the pair pay the explode/window/rebuild (substring
+    * prefilter; false positives — the pair text spanning a unit
+    * boundary — just pass through the rewrite unchanged). */
+  private[graft] def bpeApplyMerge(words: DataFrame, l: String, r: String): DataFrame = {
+    val Win = org.apache.spark.sql.expressions.Window
+    val win = Win.partitionBy("w").orderBy("i")
+    val hit = words.filter(col("w").contains(s"$l $r"))
+    val miss = words.filter(!col("w").contains(s"$l $r"))
+    val rebuilt = hit
+      .select(col("w"), col("cnt"), posexplode(split(col("w"), " ")).as(Seq("i", "u")))
+      // nxt is null-proofed so m (and with it sel/selp below) is a
+      // TOTAL boolean: a null leaking out of the last unit's lead()
+      // would null sel, and lag(null) would silently drop the row
+      // after it in both engines.
+      .withColumn("nxt", coalesce(lead(col("u"), 1).over(win), lit("")))
+      .withColumn("m", col("u") === lit(l) && col("nxt") === lit(r))
+      .withColumn("rnm", sum(when(col("m"), 1).otherwise(0)).over(win))
+      .withColumn("grp", when(col("m"), col("i") - col("rnm")))
+      .withColumn("sel", col("m") &&
+        (col("rnm") - min(col("rnm")).over(Win.partitionBy("w", "grp"))) % 2 === 0)
+      .withColumn("selp", lag(col("sel"), 1, false).over(win))
+      .filter(!col("selp")) // the right half of a fired merge vanishes
+      .withColumn("nu", when(col("sel"), lit(l + r)).otherwise(col("u")))
+      .groupBy(col("w"), col("cnt"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("i"), col("nu")))),
+        x => x.getField("nu"))).as("nw"))
+      .select(col("nw").as("w"), col("cnt"))
+    rebuilt.unionAll(miss)
+  }
+
+  /** DuckDB mirror of q108's per-round SQL: the adjacent-pair count +
+    * argmax CTEs over word table `src`. */
+  private def bpePairCte(i: Int, src: String): String =
+    s"""pr_$i AS (
+       |  SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+       |    SELECT cnt, unnest(list_slice(us, 1, len(us) - 1)) AS u1,
+       |           unnest(list_slice(us, 2, len(us))) AS u2
+       |    FROM (SELECT string_split(w, ' ') AS us, cnt FROM $src))
+       |  GROUP BY 1, 2),
+       |best_$i AS (SELECT u1, u2, total FROM pr_$i
+       |            ORDER BY total DESC, u1, u2 LIMIT 1)""".stripMargin
+
+  /** DuckDB mirror of [[bpeApplyMerge]] over word table `src` with the
+    * round's winning pair from `best_i` (same islands closed form). */
+  private def bpeApplyCte(i: Int, src: String): String =
+    s"""w_$i AS (
+       |  SELECT string_agg(nu, ' ' ORDER BY i) AS w, cnt FROM (
+       |    SELECT ow, cnt, i, nu, sel,
+       |           lag(sel, 1, false) OVER (PARTITION BY ow ORDER BY i) AS selp
+       |    FROM (
+       |      SELECT ow, cnt, i, u, sel,
+       |             CASE WHEN sel THEN u1 || u2 ELSE u END AS nu, u1, u2
+       |      FROM (
+       |        SELECT ow, cnt, i, u, u1, u2, m, rnm,
+       |               m AND ((rnm - MIN(rnm) OVER (PARTITION BY ow, grp)) % 2 = 0) AS sel
+       |        FROM (
+       |          SELECT ow, cnt, i, u, u1, u2, m, rnm,
+       |                 CASE WHEN m THEN i - rnm END AS grp
+       |          FROM (
+       |            SELECT ow, cnt, i, u, u1, u2, m,
+       |                   SUM(CASE WHEN m THEN 1 ELSE 0 END)
+       |                     OVER (PARTITION BY ow ORDER BY i) AS rnm
+       |            FROM (
+       |              SELECT ow, cnt, i, u, u1, u2,
+       |                     (u = u1 AND coalesce(lead(u, 1)
+       |                        OVER (PARTITION BY ow ORDER BY i), '') = u2) AS m
+       |              FROM (
+       |                SELECT w AS ow, cnt, unnest(us) AS u,
+       |                       unnest(range(1, len(us) + 1)) AS i, u1, u2
+       |                FROM (SELECT w, cnt, string_split(w, ' ') AS us FROM $src)
+       |                CROSS JOIN best_$i)))))))
+       |  WHERE NOT selp GROUP BY ow, cnt)""".stripMargin
+
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -587,6 +673,78 @@ object TextQueries {
             .when(col("h_bits") <= col("t2"), "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id") // row-per-doc output: parallel range sort
+    },
+
+    // ----- X4+/LLM: BPE VOCABULARY TRAINING (Sennrich, Haddow &
+    // Birch, "Neural Machine Translation of Rare Words with Subword
+    // Units", ACL 2016) — learn the first K merge rules of a byte-pair
+    // encoding over the corpus. The tokenizer-training step every LLM
+    // data pipeline runs before it can count a single training token.
+    // SCALE SHAPE: the corpus is read ONCE and collapses to a
+    // VOCAB-sized word-frequency table (token explode + one
+    // hash-aggregate); all K rounds then iterate that small table —
+    // per round, one vocab-sized adjacent-pair aggregate (map-side
+    // combined), a 1-row argmax collect (the same driver-loop shape
+    // as q93's Lloyd centroids), and a rewrite of only the words that
+    // can contain the winning pair ([[bpeApplyMerge]]'s prefilter).
+    // At 100 TB the corpus pass dominates and parallelizes as a scan;
+    // the rounds cost vocab-size, independent of corpus size.
+    // Determinism: tie-breaks on ascending (u1, u2) — all-ASCII units
+    // under binary collation in both engines; counts are exact longs.
+    q("q108_bpe_train",
+      "X4+/LLM: BPE merge-rule training (K greedy rounds over the vocab-sized word table)",
+      {
+        val chain = new StringBuilder
+        chain.append(
+          s"""WITH w_0 AS (
+             |  SELECT concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
+             |         CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+             |  GROUP BY 1)""".stripMargin)
+        for (i <- 1 to BpeMerges) {
+          chain.append(",\n").append(bpePairCte(i, s"w_${i - 1}"))
+          if (i < BpeMerges) // the last round's rewrite is never read
+            chain.append(",\n").append(bpeApplyCte(i, s"w_${i - 1}"))
+        }
+        chain.append("\nSELECT * FROM (\n")
+        chain.append((1 to BpeMerges).map { i =>
+          s"""  SELECT CAST($i AS BIGINT) AS step, u1 AS lhs, u2 AS rhs,
+             |         u1 || u2 AS merged, total AS score FROM best_$i""".stripMargin
+        }.mkString("\n  UNION ALL\n"))
+        chain.append(")\nORDER BY step")
+        chain.toString
+      }) { (s, dir) =>
+      var words = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .select(concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
+          col("cnt"))
+        .checkpointed() // rounds iterate this table; corpus read once
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeMerges && !exhausted) {
+        val us = split(col("w"), " ")
+        val top = words
+          .select(col("cnt"), explode(zip_with(
+            slice(us, lit(1), size(us) - 1), slice(us, lit(2), size(us) - 1),
+            (a, b) => struct(a.as("u1"), b.as("u2")))).as("p"))
+          .groupBy(col("p.u1").as("u1"), col("p.u2").as("u2"))
+          .agg(sum(col("cnt")).as("total"))
+          .orderBy(col("total").desc, col("u1"), col("u2"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // every word is one unit
+        else {
+          val (l, r) = (top(0).getString(0), top(0).getString(1))
+          merges += ((step.toLong, l, r, l + r, top(0).getLong(2)))
+          if (step < BpeMerges) // the last rewrite is never read
+            words = bpeApplyMerge(words, l, r).checkpointed()
+          step += 1
+        }
+      }
+      s.createDataFrame(merges.result())
+        .toDF("step", "lhs", "rhs", "merged", "score")
+        .presented("step")
     }
   )
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q108 BPE-training laws at sf0.001: the distributed trainer must
+  * reproduce, merge for merge, a direct sequential implementation of
+  * Sennrich et al. 2016 run on the collected word counts — and the
+  * declarative gaps-and-islands merge application must equal greedy
+  * leftmost scanning on planted runs (the case windows get wrong
+  * first: overlapping matches like 'a a a a').
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Greedy leftmost non-overlapping application — the reference. */
+  private def applySeq(units: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < units.length) {
+      if (i + 1 < units.length && units(i) == l && units(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += units(i); i += 1 }
+    }
+    out.result()
+  }
+
+  test("q108 equals a sequential reference BPE trainer, merge for merge") {
+    import org.apache.spark.sql.functions._
+    // Word counts, collected once (vocab-sized at any SF).
+    var words: Map[Vector[String], Long] = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count()
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toVector :+ "_") -> r.getLong(1))
+      .toMap
+    val expected = (1 to 8).flatMap { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (us, c) =>
+        us.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), tot) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.map { case (us, c) => applySeq(us, l, r) -> c }
+        Some((step.toLong, l, r, l + r, tot))
+      }
+    }
+    val got = SparkEntry.queries("q108_bpe_train")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("step"))
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("score"))).toSeq
+    assert(got == expected)
+  }
+
+  test("bpeApplyMerge handles overlapping runs greedily leftmost") {
+    val cases = Seq(
+      // (word, pair, expected) — runs are where every-second-match matters
+      ("a a a _", ("a", "a"), "aa a _"),
+      ("a a a a _", ("a", "a"), "aa aa _"),
+      ("a a a a a _", ("a", "a"), "aa aa a _"),
+      ("b a a b _", ("a", "a"), "b aa b _"),
+      ("a b a b _", ("a", "b"), "ab ab _"),
+      ("x y _", ("a", "b"), "x y _"), // no match → untouched
+      ("c s _", ("s", "_"), "c s_"), // end-of-word marker merges too
+      // prefilter false positive: "a b" occurs only across a unit
+      // boundary ("xa b"), so the rewrite must pass it through intact
+      ("xa b _", ("a", "b"), "xa b _"))
+    cases.foreach { case (w, (l, r), want) =>
+      val in = spark.createDataFrame(Seq((w, 1L))).toDF("w", "cnt")
+      val out = graft.operators.TextQueries.bpeApplyMerge(in, l, r)
+        .collect().map(x => (x.getString(0), x.getLong(1)))
+      assert(out.toSeq == Seq((want, 1L)), s"'$w' + ($l,$r)")
+    }
+  }
+
+  test("bpeApplyMerge preserves counts and word multiplicity") {
+    val in = spark.createDataFrame(Seq(
+      ("a b c _", 7L), ("a b a b _", 3L), ("z _", 11L))).toDF("w", "cnt")
+    val out = graft.operators.TextQueries.bpeApplyMerge(in, "a", "b")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(out == Set(("ab c _", 7L), ("ab ab _", 3L), ("z _", 11L)))
+  }
+}
