@@ -72,13 +72,15 @@ object TextQueries {
     * can contain the pair pay the explode/window/rebuild (substring
     * prefilter; false positives — the pair text spanning a unit
     * boundary — just pass through the rewrite unchanged). */
-  private[graft] def bpeApplyMerge(words: DataFrame, l: String, r: String): DataFrame = {
+  private[graft] def bpeApplyMerge(words: DataFrame, l: String, r: String,
+      carry: Seq[String] = Seq("cnt")): DataFrame = {
     val Win = org.apache.spark.sql.expressions.Window
     val win = Win.partitionBy("w").orderBy("i")
     val hit = words.filter(col("w").contains(s"$l $r"))
     val miss = words.filter(!col("w").contains(s"$l $r"))
     val rebuilt = hit
-      .select(col("w"), col("cnt"), posexplode(split(col("w"), " ")).as(Seq("i", "u")))
+      .select(col("w") +: carry.map(col) :+
+        posexplode(split(col("w"), " ")).as(Seq("i", "u")): _*)
       // nxt is null-proofed so m (and with it sel/selp below) is a
       // TOTAL boolean: a null leaking out of the last unit's lead()
       // would null sel, and lag(null) would silently drop the row
@@ -92,12 +94,12 @@ object TextQueries {
       .withColumn("selp", lag(col("sel"), 1, false).over(win))
       .filter(!col("selp")) // the right half of a fired merge vanishes
       .withColumn("nu", when(col("sel"), lit(l + r)).otherwise(col("u")))
-      .groupBy(col("w"), col("cnt"))
+      .groupBy(col("w") +: carry.map(col): _*)
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("i"), col("nu")))),
         x => x.getField("nu"))).as("nw"))
-      .select(col("nw").as("w"), col("cnt"))
-    rebuilt.unionAll(miss)
+      .select(col("nw").as("w") +: carry.map(col): _*)
+    rebuilt.unionAll(miss.select(col("w") +: carry.map(col): _*))
   }
 
   /** DuckDB mirror of q108's per-round SQL: the adjacent-pair count +
@@ -113,35 +115,39 @@ object TextQueries {
        |            ORDER BY total DESC, u1, u2 LIMIT 1)""".stripMargin
 
   /** DuckDB mirror of [[bpeApplyMerge]] over word table `src` with the
-    * round's winning pair from `best_i` (same islands closed form). */
-  private def bpeApplyCte(i: Int, src: String): String =
+    * round's winning pair from `best_i` (same islands closed form).
+    * `carry` = the non-w columns threaded through unchanged. */
+  private def bpeApplyCte(i: Int, src: String,
+      carry: Seq[String] = Seq("cnt")): String = {
+    val c = carry.mkString(", ")
     s"""w_$i AS (
-       |  SELECT string_agg(nu, ' ' ORDER BY i) AS w, cnt FROM (
-       |    SELECT ow, cnt, i, nu, sel,
+       |  SELECT string_agg(nu, ' ' ORDER BY i) AS w, $c FROM (
+       |    SELECT ow, $c, i, nu, sel,
        |           lag(sel, 1, false) OVER (PARTITION BY ow ORDER BY i) AS selp
        |    FROM (
-       |      SELECT ow, cnt, i, u, sel,
+       |      SELECT ow, $c, i, u, sel,
        |             CASE WHEN sel THEN u1 || u2 ELSE u END AS nu, u1, u2
        |      FROM (
-       |        SELECT ow, cnt, i, u, u1, u2, m, rnm,
+       |        SELECT ow, $c, i, u, u1, u2, m, rnm,
        |               m AND ((rnm - MIN(rnm) OVER (PARTITION BY ow, grp)) % 2 = 0) AS sel
        |        FROM (
-       |          SELECT ow, cnt, i, u, u1, u2, m, rnm,
+       |          SELECT ow, $c, i, u, u1, u2, m, rnm,
        |                 CASE WHEN m THEN i - rnm END AS grp
        |          FROM (
-       |            SELECT ow, cnt, i, u, u1, u2, m,
+       |            SELECT ow, $c, i, u, u1, u2, m,
        |                   SUM(CASE WHEN m THEN 1 ELSE 0 END)
        |                     OVER (PARTITION BY ow ORDER BY i) AS rnm
        |            FROM (
-       |              SELECT ow, cnt, i, u, u1, u2,
+       |              SELECT ow, $c, i, u, u1, u2,
        |                     (u = u1 AND coalesce(lead(u, 1)
        |                        OVER (PARTITION BY ow ORDER BY i), '') = u2) AS m
        |              FROM (
-       |                SELECT w AS ow, cnt, unnest(us) AS u,
+       |                SELECT w AS ow, $c, unnest(us) AS u,
        |                       unnest(range(1, len(us) + 1)) AS i, u1, u2
-       |                FROM (SELECT w, cnt, string_split(w, ' ') AS us FROM $src)
+       |                FROM (SELECT w, $c, string_split(w, ' ') AS us FROM $src)
        |                CROSS JOIN best_$i)))))))
-       |  WHERE NOT selp GROUP BY ow, cnt)""".stripMargin
+       |  WHERE NOT selp GROUP BY ow, $c)""".stripMargin
+  }
 
 
   val all: Seq[NamedQuery] = Seq(
@@ -745,6 +751,79 @@ object TextQueries {
       s.createDataFrame(merges.result())
         .toDF("step", "lhs", "rhs", "merged", "score")
         .presented("step")
+    },
+
+    // ----- X4+/LLM: BPE SEGMENTATION — q108's other half: train the
+    // same K merge rules, then TOKENIZE the corpus with them,
+    // reporting per-doc whitespace-token and BPE-unit counts (the
+    // numbers a token-budgeted data pipeline actually bills by).
+    // Together q108+q109 are a complete learned subword tokenizer.
+    // SCALE SHAPE: the segmentation lookup is the post-merge
+    // VOCAB-sized word table itself (token → its unit count) — it
+    // broadcasts to the corpus token stream, so tokenizing 100 TB is
+    // one map-side join over the scan; only the per-doc count
+    // aggregate shuffles (map-side combined, doc-keyed).
+    q("q109_bpe_segment",
+      "X4+/LLM: corpus segmentation with the learned BPE merges (per-doc token/unit counts)",
+      {
+        val chain = new StringBuilder
+        val carry = Seq("tok", "cnt")
+        chain.append(
+          s"""WITH w_0 AS (
+             |  SELECT tok, concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
+             |         CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+             |  GROUP BY 1, 2)""".stripMargin)
+        for (i <- 1 to BpeMerges) {
+          chain.append(",\n").append(bpePairCte(i, s"w_${i - 1}"))
+          chain.append(",\n").append(bpeApplyCte(i, s"w_${i - 1}", carry))
+        }
+        chain.append(
+          s""",
+             |seg AS (SELECT tok, CAST(len(string_split(w, ' ')) AS BIGINT) AS units
+             |        FROM w_$BpeMerges)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(units) AS BIGINT) AS n_units
+             |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents)
+             |JOIN seg USING (tok)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+        chain.toString
+      }) { (s, dir) =>
+      var words = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .select(col("tok"),
+          concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
+          col("cnt"))
+        .checkpointed()
+      var step = 1
+      var exhausted = false
+      while (step <= BpeMerges && !exhausted) {
+        val us = split(col("w"), " ")
+        val top = words
+          .select(col("cnt"), explode(zip_with(
+            slice(us, lit(1), size(us) - 1), slice(us, lit(2), size(us) - 1),
+            (a, b) => struct(a.as("u1"), b.as("u2")))).as("p"))
+          .groupBy(col("p.u1").as("u1"), col("p.u2").as("u2"))
+          .agg(sum(col("cnt")).as("total"))
+          .orderBy(col("total").desc, col("u1"), col("u2"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          words = bpeApplyMerge(words,
+            top(0).getString(0), top(0).getString(1),
+            carry = Seq("tok", "cnt")).checkpointed()
+          step += 1
+        }
+      }
+      val seg = words.select(col("tok"),
+        size(split(col("w"), " ")).cast("long").as("units"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .join(broadcast(seg), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("units")).as("n_units"))
+        .orderBy("doc_id") // row-per-doc output: parallel range sort
     }
   )
 

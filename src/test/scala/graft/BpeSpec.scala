@@ -57,6 +57,45 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q109 per-doc unit counts equal the sequential reference segmentation") {
+    import org.apache.spark.sql.functions._
+    // Sequential trainer → token → final unit count.
+    var words: Map[String, Vector[String]] = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> (r.getString(0).map(_.toString).toVector :+ "_"))
+      .toMap
+    var counts: Map[String, Long] = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 8).foreach { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (tok, us) =>
+        us.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + counts(tok)
+          case _ => ()
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), _) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.map { case (tok, us) => tok -> applySeq(us, l, r) }
+      }
+    }
+    val unitCount = words.view.mapValues(_.length.toLong).toMap
+    val expected = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues { rs =>
+        (rs.length.toLong, rs.map(r => unitCount(r.getAs[String]("tok"))).sum)
+      }.toMap
+    val got = SparkEntry.queries("q109_bpe_segment")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_units"))).toMap
+    assert(got == expected)
+  }
+
   test("bpeApplyMerge handles overlapping runs greedily leftmost") {
     val cases = Seq(
       // (word, pair, expected) — runs are where every-second-match matters
