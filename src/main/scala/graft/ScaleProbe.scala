@@ -154,7 +154,7 @@ object ScaleProbe {
     // once at the smallest SF so measured numbers are data cost.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      (Heavy :+ "q104_media_phash_dedup").foreach { name =>
+      (Heavy ++ Seq("q104_media_phash_dedup", "q108_bpe_train")).foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () }
@@ -256,7 +256,19 @@ object ScaleProbe {
         s"10x ${f3(mL.sec)}s/${f3(mL.payload)}MB" +
         (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
           .reduceOption(_ + "; " + _).fold("")(e => s" ERR $e"))
-      (mS, mL)
+      // q108 on the SAME fixed-50-word corpus pair: the BPE trainer's
+      // scale claim is "merge-round cost is vocab-sized, independent of
+      // corpus rows" — with the vocabulary pinned at both scales, only
+      // the initial word-count aggregate may grow, so WALL should stay
+      // near-flat at 10× rows. A wall ratio tracking the corpus would
+      // falsify the claim (rounds secretly touching corpus-sized data).
+      val b8S = measure(SparkEntry.queries("q108_bpe_train")(spark, tinyBase))
+      val b8L = measure(SparkEntry.queries("q108_bpe_train")(spark, tinyBig))
+      println(s"[probe] q108_tiny_vocab base ${f3(b8S.sec)}s/${f3(b8S.payload)}MB " +
+        s"10x ${f3(b8L.sec)}s/${f3(b8L.payload)}MB" +
+        (b8S.error.map("base: " + _) ++ b8L.error.map("10x: " + _))
+          .reduceOption(_ + "; " + _).fold("")(e => s" ERR $e"))
+      (mS, mL, b8S, b8L)
     }
 
     // q104 probes its OWN copy structure (both modes): the shared
@@ -317,14 +329,22 @@ object ScaleProbe {
       s""","q99_scaled_cells_sf1":{"cells":${64 * Copies},"sec":${f3(m.sec)},""" +
         s""""shuffle_mb":${f3(m.payload)}""" +
         m.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
-    } + tinyVocab.fold("") { case (mS, mL) =>
+    } + tinyVocab.fold("") { case (mS, mL, b8S, b8L) =>
       val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+        .reduceOption(_ + "; " + _)
+      val err8 = (b8S.error.map("base: " + _) ++ b8L.error.map("10x: " + _))
         .reduceOption(_ + "; " + _)
       s""","q103_tiny_vocab":{"vocab":50,"base_sec":${f3(mS.sec)},""" +
         s""""base_shuffle_mb":${f3(mS.payload)},"big_sec":${f3(mL.sec)},""" +
         s""""big_shuffle_mb":${f3(mL.payload)},""" +
         s""""shuffle_ratio":${f3(if (mS.payload > 0.005) mL.payload / mS.payload else -1.0)}""" +
-        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+        err.fold("")(e => s""","error":"${jstr(e)}"""") + "}" +
+      s""","q108_tiny_vocab":{"vocab":50,"base_sec":${f3(b8S.sec)},""" +
+        s""""base_shuffle_mb":${f3(b8S.payload)},"big_sec":${f3(b8L.sec)},""" +
+        s""""big_shuffle_mb":${f3(b8L.payload)},""" +
+        s""""wall_ratio":${f3(if (b8S.sec > 0) b8L.sec / b8S.sec else -1.0)},""" +
+        s""""law":"wall near-flat at 10x rows (merge rounds are vocab-sized)"""" +
+        err8.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
     } + {
       val (mS, mL) = phashShifted
       val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))

@@ -253,7 +253,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q83_domain_sample", "q84_bloom_decontam", "q85_posting_lists",
       "q86_canonical_pick", "q87_gap_interpolate", "q88_pq_encode",
       "q98_novelty_score", "q99_semantic_prune", "q100_ivf_append",
-      "q103_lm_perplexity")
+      "q103_lm_perplexity", "q109_bpe_segment")
     unbounded.foreach { q =>
       resultFunnel(plan(q)).foreach { e =>
         assert(e.outputPartitioning.numPartitions > 1,
