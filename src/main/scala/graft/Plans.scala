@@ -62,9 +62,11 @@ object Plans {
       ("q103_lm_perplexity" ->
         operators.TextQueries.lmScoredFrame(spark, sfDir)) +
       // q104's banded candidate generation + Hamming verify, pre-sort
-      // (same rangeSorted truncation as the dedup tier).
+      // (same rangeSorted truncation as the dedup tier), over the
+      // registered query's exact planted-copy union.
       ("q104_media_phash_dedup" ->
-        operators.MediaQueries.phashPairs(docs))
+        operators.MediaQueries.phashPairs(
+          operators.MediaQueries.phashPlantedUnion(docs)))
   }
 
   def main(args: Array[String]): Unit = {

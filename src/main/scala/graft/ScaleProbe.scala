@@ -54,7 +54,10 @@ object ScaleProbe {
 
   val Copies = 10
   /** Id stride per replica — clears sf0.1's max doc_id (4999) plus the
-    * largest planted-copy shift any dedup query uses (+70000). */
+    * largest planted-copy shift any query uses (+90000, q104's
+    * perturbed-copy plant; margin 5001 ids). A new plant must stay
+    * under Stride − 5000 or cross-copy ids collide in the probe
+    * corpus and mint phantom duplicate pairs. */
   val Stride = 100000L
 
   /** Boilerplate banner for the adversarial corpus: 16 plain tokens →

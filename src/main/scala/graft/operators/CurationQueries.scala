@@ -40,12 +40,20 @@ object CurationQueries {
   /** q107 priority-sampling knobs: k docs per language stratum; the
     * hash-uniform denominator (2^20) and the priority scale (2^32).
     * Scale / denominator = 2^12 = 4096 converts weights into priority
-    * units; all three are powers of two so every priority and
-    * threshold is an exact integer below 2^53 (doubles round-trip). */
+    * units; all are powers of two so every priority and threshold is
+    * an exact integer below 2^53 (doubles round-trip through the
+    * CollectTopK heap losslessly). WCap (2^21 − 1) ENFORCES that bound
+    * rather than assuming it: an uncapped multi-megabyte document's
+    * weight times 2^32 would cross 2^53, where the Spark heap's double
+    * rounds while DuckDB compares exact BIGINTs — divergent samples at
+    * the rank-k boundary. Capping is a policy choice priority sampling
+    * admits (any positive weight is valid); both engines cap
+    * identically so the gate still hash-matches. */
   private val SampleK = 100
   private val USize = 1048576L // 2^20
   private val PriScale = 4294967296L // 2^32
   private val WScale = PriScale / USize // 2^12
+  private val WCap = 2097151L // 2^21 - 1: max weight with pri < 2^53
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -685,8 +693,9 @@ object CurationQueries {
     q("q107_priority_sample",
       "X4+/selection: per-stratum weighted k-sample (priority sampling, exact integer priorities)",
       {
-        val h = "CAST(CONCAT('0x', substr(md5(CONCAT(CAST(doc_id AS VARCHAR), ':ps')), 1, 15)) AS BIGINT)"
-        s"""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+        val h = TextOps.hash60Sql("CONCAT(CAST(doc_id AS VARCHAR), ':ps')")
+        s"""WITH d AS (SELECT doc_id, lang,
+           |      LEAST(CAST(n_chars AS BIGINT), $WCap) AS w,
            |      ($h % $USize) + 1 AS u FROM documents),
            |p AS (SELECT *, (w * $PriScale) // u AS pri FROM d),
            |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
@@ -699,7 +708,8 @@ object CurationQueries {
            |ORDER BY lang, rank""".stripMargin
       }) { (s, dir) =>
       val d = docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
+        .select(col("doc_id"), col("lang"),
+          least(col("n_chars"), lit(WCap)).as("w"))
         .withColumn("u", pmod(TextOps.hash60(
           concat(col("doc_id").cast("string"), lit(":ps"))), lit(USize)) + 1)
         .withColumn("pri", expr(s"(w * ${PriScale}L) div u"))

@@ -45,6 +45,19 @@ object MediaQueries {
     * in the result, not the plan; a deployment that wants cluster-
     * rather than pair-shaped output for such classes runs the q59-style
     * connected-components pass over these edges. */
+  /** q104's planted-copy union — the registered query's exact input
+    * (exact copies at +80000, one-char-perturbed copies at +90000),
+    * shared with the Plans dump so PLANS.md shows the frame the bench
+    * actually executes, not a union-less stand-in. */
+  private[graft] def phashPlantedUnion(base: DataFrame): DataFrame =
+    base
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q"))
+            .as("text")))
+
   private[graft] def phashPairs(u: DataFrame): DataFrame = {
     val media = MediaOps.mediaTable(u)
     val ph = media.select(col("media_id"),
@@ -223,14 +236,7 @@ object MediaQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-      val u = base
-        .unionAll(base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 80000).as("doc_id"), col("text")))
-        .unionAll(base.filter(col("doc_id") % 6 === 0)
-          .select((col("doc_id") + 90000).as("doc_id"),
-            concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q"))
-              .as("text")))
-      phashPairs(u).rangeSorted("id_a", "id_b")
+      phashPairs(phashPlantedUnion(base)).rangeSorted("id_a", "id_b")
     }
   )
 }

@@ -102,6 +102,44 @@ object TextQueries {
     rebuilt.unionAll(miss.select(col("w") +: carry.map(col): _*))
   }
 
+  /** The K-round greedy trainer shared by q108/q109: per round, count
+    * adjacent unit pairs weighted by cnt, pick the (count desc,
+    * (u1, u2) asc) argmax — a 1-row collect, q93's Lloyd-round shape —
+    * and apply the merge via [[bpeApplyMerge]]. Returns the final word
+    * table and the merge log. Stops early when no pair remains (every
+    * word a single unit); the DuckDB mirror's LEFT JOIN keeps its word
+    * table unchanged through such rounds, so both engines converge on
+    * the same final table. `applyLast` = false lets q108 skip the
+    * K-th rewrite its output never reads. */
+  private def bpeTrain(words0: DataFrame, carry: Seq[String],
+      applyLast: Boolean)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
+    var words = words0.checkpointed()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMerges && !exhausted) {
+      val us = split(col("w"), " ")
+      val top = words
+        .select(col("cnt"), explode(zip_with(
+          slice(us, lit(1), size(us) - 1), slice(us, lit(2), size(us) - 1),
+          (a, b) => struct(a.as("u1"), b.as("u2")))).as("p"))
+        .groupBy(col("p.u1").as("u1"), col("p.u2").as("u2"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("u1"), col("u2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one unit
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((step.toLong, l, r, l + r, top(0).getLong(2)))
+        if (step < BpeMerges || applyLast)
+          words = bpeApplyMerge(words, l, r, carry).checkpointed()
+        step += 1
+      }
+    }
+    (words, merges.result())
+  }
+
   /** DuckDB mirror of q108's per-round SQL: the adjacent-pair count +
     * argmax CTEs over word table `src`. */
   private def bpePairCte(i: Int, src: String): String =
@@ -139,13 +177,14 @@ object TextQueries {
        |                     OVER (PARTITION BY ow ORDER BY i) AS rnm
        |            FROM (
        |              SELECT ow, $c, i, u, u1, u2,
-       |                     (u = u1 AND coalesce(lead(u, 1)
-       |                        OVER (PARTITION BY ow ORDER BY i), '') = u2) AS m
+       |                     coalesce(u = u1 AND coalesce(lead(u, 1)
+       |                        OVER (PARTITION BY ow ORDER BY i), '') = u2,
+       |                        false) AS m
        |              FROM (
        |                SELECT w AS ow, $c, unnest(us) AS u,
        |                       unnest(range(1, len(us) + 1)) AS i, u1, u2
        |                FROM (SELECT w, $c, string_split(w, ' ') AS us FROM $src)
-       |                CROSS JOIN best_$i)))))))
+       |                LEFT JOIN best_$i ON true)))))))
        |  WHERE NOT selp GROUP BY ow, $c)""".stripMargin
   }
 
@@ -720,35 +759,14 @@ object TextQueries {
         chain.append(")\nORDER BY step")
         chain.toString
       }) { (s, dir) =>
-      var words = docs(s, dir)
+      val words0 = docs(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .select(concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
           col("cnt"))
-        .checkpointed() // rounds iterate this table; corpus read once
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      var step = 1
-      var exhausted = false
-      while (step <= BpeMerges && !exhausted) {
-        val us = split(col("w"), " ")
-        val top = words
-          .select(col("cnt"), explode(zip_with(
-            slice(us, lit(1), size(us) - 1), slice(us, lit(2), size(us) - 1),
-            (a, b) => struct(a.as("u1"), b.as("u2")))).as("p"))
-          .groupBy(col("p.u1").as("u1"), col("p.u2").as("u2"))
-          .agg(sum(col("cnt")).as("total"))
-          .orderBy(col("total").desc, col("u1"), col("u2"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true // every word is one unit
-        else {
-          val (l, r) = (top(0).getString(0), top(0).getString(1))
-          merges += ((step.toLong, l, r, l + r, top(0).getLong(2)))
-          if (step < BpeMerges) // the last rewrite is never read
-            words = bpeApplyMerge(words, l, r).checkpointed()
-          step += 1
-        }
-      }
-      s.createDataFrame(merges.result())
+      val (_, merges) = // the K-th rewrite is never read here
+        bpeTrain(words0, carry = Seq("cnt"), applyLast = false)
+      s.createDataFrame(merges)
         .toDF("step", "lhs", "rhs", "merged", "score")
         .presented("step")
     },
@@ -789,33 +807,14 @@ object TextQueries {
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)
         chain.toString
       }) { (s, dir) =>
-      var words = docs(s, dir)
+      val words0 = docs(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .select(col("tok"),
           concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
           col("cnt"))
-        .checkpointed()
-      var step = 1
-      var exhausted = false
-      while (step <= BpeMerges && !exhausted) {
-        val us = split(col("w"), " ")
-        val top = words
-          .select(col("cnt"), explode(zip_with(
-            slice(us, lit(1), size(us) - 1), slice(us, lit(2), size(us) - 1),
-            (a, b) => struct(a.as("u1"), b.as("u2")))).as("p"))
-          .groupBy(col("p.u1").as("u1"), col("p.u2").as("u2"))
-          .agg(sum(col("cnt")).as("total"))
-          .orderBy(col("total").desc, col("u1"), col("u2"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          words = bpeApplyMerge(words,
-            top(0).getString(0), top(0).getString(1),
-            carry = Seq("tok", "cnt")).checkpointed()
-          step += 1
-        }
-      }
+      val (words, _) =
+        bpeTrain(words0, carry = Seq("tok", "cnt"), applyLast = true)
       val seg = words.select(col("tok"),
         size(split(col("w"), " ")).cast("long").as("units"))
       docs(s, dir)

@@ -96,6 +96,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q108/q109 survive merge exhaustion (degenerate single-token corpus)") {
+    // Vocabulary {'a'} exhausts after one merge ('a','_') → 'a_'.
+    // The review found the pre-fix oracle EMPTIED its word table here
+    // (CROSS JOIN with an empty best_i) while Spark kept it — the CTE
+    // now LEFT-JOINs, and these expectations were verified against
+    // DuckDB on the same two-row corpus before being pinned.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_degen")
+      .toFile.getAbsolutePath
+    Seq((0L, "a a a", "en", "s", 5L), (1L, "a", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("q108_bpe_train")(spark, dir).collect()
+    assert(m.map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"),
+      r.getAs[String]("rhs"), r.getAs[String]("merged"),
+      r.getAs[Long]("score"))).toSeq == Seq((1L, "a", "_", "a_", 4L)))
+    val seg = SparkEntry.queries("q109_bpe_segment")(spark, dir).collect()
+    assert(seg.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("n_units"))).toSet == Set((0L, 3L, 3L), (1L, 1L, 1L)))
+  }
+
   test("bpeApplyMerge handles overlapping runs greedily leftmost") {
     val cases = Seq(
       // (word, pair, expected) — runs are where every-second-match matters

@@ -79,29 +79,48 @@ class ChunkSampleSpec extends AnyFunSuite {
     }
   }
 
-  /** The sample q107 must equal: per-lang top-k by the EXACT rational
-    * w/u (BigInt cross-multiplication), ties on ascending doc_id. */
-  test("q107: integer-scaled priorities select the exact-rational sample") {
+  /** The sample q107 must equal a sequential reference of the SAME
+    * definition — per-lang top-k by the floored scaled priority
+    * (w·2^32) div u, ties on ascending doc_id — computed independently
+    * of the Spark pipeline (no CollectTopK, no joins). A separate
+    * assertion then shows the 2^32 flooring is collision-free on this
+    * corpus (distinct rationals w/u never share a floored priority),
+    * which is what makes the floored ranking coincide with exact
+    * rational ranking here. (Asserting against exact rationals
+    * directly would be unsound: floor collisions are possible in
+    * principle and the operator's defined tie-break is doc_id on the
+    * FLOORED value — the reference must replicate the definition.) */
+  test("q107: sample equals the sequential floored-priority reference; flooring is collision-free here") {
     import org.apache.spark.sql.functions._
     val base = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
+      .select(col("doc_id"), col("lang"),
+        least(col("n_chars"), lit(2097151L)).as("w"))
       .withColumn("u", pmod(graft.functions.TextOps.hash60(
         concat(col("doc_id").cast("string"), lit(":ps"))), lit(1048576L)) + 1)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
         r.getAs[Long]("w"), r.getAs[Long]("u")))
     val expected = base.groupBy(_._2).view.mapValues { docs =>
-      docs.sortWith { case ((idA, _, wA, uA), (idB, _, wB, uB)) =>
-        // wA/uA > wB/uB exactly, tie-break ascending doc_id
-        val cmp = (BigInt(wA) * uB).compare(BigInt(wB) * uA)
-        if (cmp != 0) cmp > 0 else idA < idB
-      }.take(100).map(_._1).toSeq
+      docs.map { case (id, _, w, u) => (id, w * 4294967296L / u) }
+        .sortBy { case (id, pri) => (-pri, id) }
+        .take(100).map(_._1).toSeq
     }.toMap
     val got = run("q107_priority_sample")
       .groupBy(_.getAs[String]("lang"))
       .view.mapValues(_.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq)
       .toMap
     assert(got == expected)
+    // Collision-freedom: any two docs sharing a floored priority must
+    // be the same exact rational (w1·u2 == w2·u1) — on this corpus no
+    // distinct rational floor-collides, so floored == rational ranking.
+    base.groupBy(t => (t._2, t._3 * 4294967296L / t._4)).values.foreach { g =>
+      g.toSeq.combinations(2).foreach {
+        case Seq((_, _, w1, u1), (_, _, w2, u2)) =>
+          assert(BigInt(w1) * u2 == BigInt(w2) * u1,
+            s"distinct rationals floor-collide: $w1/$u1 vs $w2/$u2")
+        case _ => ()
+      }
+    }
   }
 
   test("q107: thresholds bound the sample and the estimator is exact on small strata") {

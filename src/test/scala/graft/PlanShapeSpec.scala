@@ -85,7 +85,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "q81_ngram_jaccard", "q84_bloom_decontam", "q95_dup_spans",
         "q98_novelty_score")
         .map(n => n -> operators.DedupQueries.preSortFrames(n)(docs)) :+
-        ("q104_media_phash_dedup" -> operators.MediaQueries.phashPairs(docs))
+        ("q104_media_phash_dedup" -> operators.MediaQueries.phashPairs(
+          operators.MediaQueries.phashPlantedUnion(docs)))
     val plans = preSort.map { case (n, df) => n -> df.queryExecution.executedPlan } ++
       Seq("q31_embedding_neardup", "q59_dup_clusters", "q68_incremental_dedup",
         "q86_canonical_pick").map(q => q -> plan(q))
