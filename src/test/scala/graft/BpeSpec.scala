@@ -138,6 +138,32 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeApplyMerge equals sequential greedy application on randomized words") {
+    // 300 random unit sequences over {a, b, ab, _} × all 16 (l, r)
+    // pairs — covers runs, EOW merges, multi-char units, and words
+    // that COLLIDE post-merge ('a b _' and 'ab _' both → 'ab _'),
+    // which is why the comparison is a multiset. (In the pipeline
+    // collisions cannot occur — unit concatenation always spells the
+    // original token, so distinct tokens keep distinct words — but
+    // the helper must not silently rely on that here.) Fixed seed:
+    // reproducible.
+    val rnd = new scala.util.Random(20260814)
+    val alphabet = Vector("a", "b", "ab", "_")
+    val words = Vector.fill(300)(
+      Vector.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))))
+      .distinct
+    val in = spark.createDataFrame(words.map(us => (us.mkString(" "), 1L)))
+      .toDF("w", "cnt")
+    for (l <- alphabet; r <- alphabet) {
+      val expected = words.map(us => applySeq(us, l, r).mkString(" "))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val got = graft.operators.TextQueries.bpeApplyMerge(in, l, r)
+        .collect().map(_.getString(0))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expected, s"pair ($l,$r)")
+    }
+  }
+
   test("bpeApplyMerge preserves counts and word multiplicity") {
     val in = spark.createDataFrame(Seq(
       ("a b c _", 7L), ("a b a b _", 3L), ("z _", 11L))).toDF("w", "cnt")

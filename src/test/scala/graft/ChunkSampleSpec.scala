@@ -79,6 +79,31 @@ class ChunkSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("q50: grid formula holds at every boundary length (synthetic 0..70-token docs)") {
+    // One doc per token count n ∈ [0, 70] — crosses n < W, n = W,
+    // n = W+1, exact stride multiples, and the empty doc (both
+    // engines agree it yields one empty chunk; the corpus never
+    // exercises these edges all at once).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_bounds")
+      .toFile.getAbsolutePath
+    (0 to 70).map { n =>
+      (n.toLong, (0 until n).map(i => s"t$i").mkString(" "), "en", "s", n.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q50_chunking")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    (0 to 70).foreach { n =>
+      val chunks = byDoc(n.toLong).sortBy(_.getAs[Long]("chunk_id"))
+      assert(chunks.length == (math.max(n - W, 0) + S - 1) / S + 1, s"n=$n count")
+      val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+        val toks = c.getAs[String]("chunk_text").split(" ", -1).filter(_.nonEmpty)
+        if (i == chunks.length - 1) toks else toks.take(S)
+      }
+      assert(rebuilt.sameElements((0 until n).map(i => s"t$i")), s"n=$n reconstruction")
+    }
+  }
+
   /** The sample q107 must equal a sequential reference of the SAME
     * definition — per-lang top-k by the floored scaled priority
     * (w·2^32) div u, ties on ascending doc_id — computed independently
