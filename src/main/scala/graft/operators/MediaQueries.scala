@@ -27,6 +27,19 @@ object MediaQueries {
   private[graft] val PHashHamming = 3
   private[graft] val PHashBands = 4 // × 16 bits = the 64-bit fingerprint
 
+  /** q104's planted-copy union — the registered query's exact input
+    * (exact copies at +80000, one-char-perturbed copies at +90000),
+    * shared with the Plans dump so PLANS.md shows the frame the bench
+    * actually executes, not a union-less stand-in. */
+  private[graft] def phashPlantedUnion(base: DataFrame): DataFrame =
+    base
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q"))
+            .as("text")))
+
   /** q104's banded perceptual-hash near-dup join, pre-sort
     * (PlanShapeSpec pins no-cross-product here — the registered query's
     * trailing rangeSorted checkpoint truncates the inspectable plan).
@@ -45,18 +58,6 @@ object MediaQueries {
     * in the result, not the plan; a deployment that wants cluster-
     * rather than pair-shaped output for such classes runs the q59-style
     * connected-components pass over these edges. */
-  /** q104's planted-copy union — the registered query's exact input
-    * (exact copies at +80000, one-char-perturbed copies at +90000),
-    * shared with the Plans dump so PLANS.md shows the frame the bench
-    * actually executes, not a union-less stand-in. */
-  private[graft] def phashPlantedUnion(base: DataFrame): DataFrame =
-    base
-      .unionAll(base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
-      .unionAll(base.filter(col("doc_id") % 6 === 0)
-        .select((col("doc_id") + 90000).as("doc_id"),
-          concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q"))
-            .as("text")))
 
   private[graft] def phashPairs(u: DataFrame): DataFrame = {
     val media = MediaOps.mediaTable(u)
@@ -237,6 +238,98 @@ object MediaQueries {
       }) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       phashPairs(phashPlantedUnion(base)).rangeSorted("id_a", "id_b")
+    },
+
+    // ----- multimodal RESIZE (north-star brief's third media op):
+    // nearest-neighbor 8×6 thumbnail over the payload byte grid —
+    // out[y][x] = byte[(y·H div 6)·W + (x·W div 8)], the exact integer
+    // index arithmetic every image resampler starts from, computed on
+    // the raw bytes (the ASCII identity of q39/q101/q104: byte ==
+    // codepoint, so both engines sample the same grid without a
+    // decoder). The payload is treated as a W-wide row-major image
+    // with H = n_bytes div W complete rows. MAP-ONLY: a per-row
+    // 48-element transform riding the scan; resizing 100 TB of
+    // thumbnails is embarrassingly parallel with zero shuffle beyond
+    // the presentation sort. Swapping the byte-sampler for a real
+    // pixel kernel (JNI decoder) changes no plan shape — exactly the
+    // decodeStub contract one level up.
+    q("q110_media_resize",
+      "multimodal: nearest-neighbor 8x6 thumbnail resize (exact columnar byte sampling)",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 64 + (doc_id % 8) * 16 AS w, text,
+        |         length(text) // (64 + (doc_id % 8) * 16) AS h_eff
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |t AS (
+        |  SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h_eff AS BIGINT) AS h_eff,
+        |    [unicode(text[CAST((((i // 8) * h_eff) // 6) * w + (((i % 8) * w) // 8) + 1 AS INT)])
+        |     for i in range(0, 48)] AS thumb_arr
+        |  FROM m WHERE h_eff >= 1)
+        |SELECT media_id, w, h_eff,
+        |  array_to_string([CAST(x AS VARCHAR) for x in thumb_arr], ',') AS thumb,
+        |  CAST(list_sum(thumb_arr) AS BIGINT) AS thumb_sum
+        |FROM t ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          (lit(64) + (col("doc_id") % 8) * 16).as("w"), col("text"))
+        .withColumn("h_eff", expr("length(text) div w"))
+        .filter(col("h_eff") >= 1)
+        .withColumn("thumb_arr", expr(
+          """transform(sequence(0, 47), i ->
+            | ascii(substring(text,
+            |   cast((((i div 8) * h_eff) div 6) * w
+            |        + (((i % 8) * w) div 8) + 1 as int), 1)))""".stripMargin))
+        .select(col("media_id"),
+          col("w").cast("long").as("w"),
+          col("h_eff").cast("long").as("h_eff"),
+          expr("array_join(transform(thumb_arr, x -> cast(x as string)), ',')")
+            .as("thumb"),
+          expr("aggregate(thumb_arr, 0L, (acc, x) -> acc + x)").as("thumb_sum"))
+        .orderBy("media_id")
+    },
+
+    // ----- multimodal FRAME-SAMPLE (the brief's fourth media op):
+    // uniform-stride sampling of k=4 frames from a 'video' payload of
+    // F = n_bytes div W complete W-byte frames — frame j samples
+    // index (j·F) div 4 (duplicates when F < k are the uniform-stride
+    // contract, kept deterministically). Per-frame statistic is the
+    // exact integer byte sum, the stand-in for a decoded frame
+    // feature. MAP-ONLY like q110: explode(4) + a W-element fold per
+    // row, no shuffle beyond the sort — the shape under which
+    // frame-sampling petabytes of video is a pass-through scan stage.
+    q("q111_media_frame_sample",
+      "multimodal: uniform-stride k-frame sampling with exact per-frame byte sums",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w, text,
+        |         CAST(length(text) // (64 + (doc_id % 8) * 16) AS BIGINT) AS f
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |s AS (
+        |  SELECT media_id, w, f, text, unnest(range(0, 4)) AS frame_no
+        |  FROM m WHERE f >= 1)
+        |SELECT media_id, w, f AS n_frames, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST((frame_no * f) // 4 AS BIGINT) AS frame_idx,
+        |  CAST(list_sum([unicode(text[CAST((frame_no * f) // 4 * w + p AS INT)])
+        |                 for p in range(1, CAST(w AS INT) + 1)]) AS BIGINT) AS frame_sum
+        |FROM s ORDER BY media_id, frame_no""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"),
+          (lit(64) + (col("doc_id") % 8) * 16).as("w"), col("text"))
+        .withColumn("f", expr("length(text) div w"))
+        .filter(col("f") >= 1)
+        .select(col("media_id"), col("w"), col("f"), col("text"),
+          explode(sequence(lit(0), lit(3))).as("frame_no"))
+        .select(col("media_id"),
+          col("w").cast("long").as("w"),
+          col("f").cast("long").as("n_frames"),
+          col("frame_no").cast("long").as("frame_no"),
+          expr("(frame_no * f) div 4").cast("long").as("frame_idx"),
+          expr(
+            """aggregate(transform(sequence(1, cast(w as int)), p ->
+              | ascii(substring(text,
+              |   cast(((frame_no * f) div 4) * w + p as int), 1))),
+              | 0L, (acc, x) -> acc + x)""".stripMargin).as("frame_sum"))
+        .orderBy("media_id", "frame_no")
     }
   )
 }

@@ -53,4 +53,37 @@ class MediaOpsSpec extends AnyFunSuite {
     val plan = MediaOps.decodeFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  /** q110/q111 recomputed sequentially from the raw corpus text — the
+    * same integer index arithmetic, executed with plain Scala string
+    * indexing instead of Catalyst HOFs. */
+  test("q110/q111: resize grid and frame sums equal a sequential byte-index reference") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def w(id: Long) = 64 + (id % 8) * 16
+    SparkEntry.queries("q110_media_resize")(spark, dir).collect().foreach { r =>
+      val id = r.getAs[Long]("media_id"); val t = texts(id)
+      val (wi, hEff) = (w(id), t.length / w(id))
+      assert(id % 3 == 0 && hEff >= 1)
+      assert(r.getAs[Long]("w") == wi && r.getAs[Long]("h_eff") == hEff)
+      val expect = (0 until 48).map { i =>
+        t.charAt((((i / 8) * hEff / 6) * wi + (i % 8) * wi / 8).toInt).toInt
+      }
+      assert(r.getAs[String]("thumb") == expect.mkString(","))
+      assert(r.getAs[Long]("thumb_sum") == expect.map(_.toLong).sum)
+    }
+    SparkEntry.queries("q111_media_frame_sample")(spark, dir).collect().foreach { r =>
+      val id = r.getAs[Long]("media_id"); val t = texts(id)
+      val (wi, f) = (w(id), t.length / w(id))
+      assert(id % 3 == 2 && f >= 1)
+      val j = r.getAs[Long]("frame_no")
+      val fidx = j * f / 4
+      assert(r.getAs[Long]("frame_idx") == fidx)
+      val start = (fidx * wi).toInt
+      assert(r.getAs[Long]("frame_sum") ==
+        (start until start + wi.toInt).map(t.charAt(_).toLong).sum)
+    }
+  }
 }
