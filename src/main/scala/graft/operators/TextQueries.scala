@@ -140,6 +140,25 @@ object TextQueries {
     (words, merges.result())
   }
 
+  /** The PERSISTED merge table (q112's index side): built once per
+    * corpus fingerprint via [[bpeTrain]] and published through the
+    * same build-into-tmp + rename discipline as DedupIndex /
+    * VectorIndex — the production precondition of tokenize-on-append:
+    * the rules already EXIST, a new batch never retrains. */
+  private[graft] def bpeMergesPrepared(s: SparkSession, sfDir: String): String =
+    graft.pipeline.PreparedArtifact.publishOnce(s, "graft_bpe_merges",
+        graft.pipeline.PreparedArtifact.fingerprint(s, sfDir, "documents")) { tmp =>
+      val words0 = docs(s, sfDir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .select(concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
+          col("cnt"))
+      val (_, merges) = bpeTrain(words0, carry = Seq("cnt"), applyLast = false)
+      s.createDataFrame(merges)
+        .toDF("step", "lhs", "rhs", "merged", "score")
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    }
+
   /** DuckDB mirror of q108's per-round SQL: the adjacent-pair count +
     * argmax CTEs over word table `src`. */
   private def bpePairCte(i: Int, src: String): String =
@@ -154,11 +173,14 @@ object TextQueries {
 
   /** DuckDB mirror of [[bpeApplyMerge]] over word table `src` with the
     * round's winning pair from `best_i` (same islands closed form).
-    * `carry` = the non-w columns threaded through unchanged. */
+    * `carry` = the non-w columns threaded through unchanged; `out`
+    * names the produced CTE (q112 replays the rules onto a batch
+    * chain `b_i` beside the training chain `w_i`). */
   private def bpeApplyCte(i: Int, src: String,
-      carry: Seq[String] = Seq("cnt")): String = {
+      carry: Seq[String] = Seq("cnt"), out: String = ""): String = {
     val c = carry.mkString(", ")
-    s"""w_$i AS (
+    val name = if (out.isEmpty) s"w_$i" else out
+    s"""$name AS (
        |  SELECT string_agg(nu, ' ' ORDER BY i) AS w, $c FROM (
        |    SELECT ow, $c, i, nu, sel,
        |           lag(sel, 1, false) OVER (PARTITION BY ow ORDER BY i) AS selp
@@ -818,6 +840,84 @@ object TextQueries {
       val seg = words.select(col("tok"),
         size(split(col("w"), " ")).cast("long").as("units"))
       docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .join(broadcast(seg), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("units")).as("n_units"))
+        .orderBy("doc_id") // row-per-doc output: parallel range sort
+    },
+
+    // ----- X4+/LLM (incremental): TOKENIZE-ON-APPEND — the q68/q100
+    // pattern applied to the tokenizer: the merge rules are a
+    // PERSISTED artifact (built once per corpus fingerprint by
+    // [[bpeMergesPrepared]], the same publish discipline as
+    // DedupIndex), and an incoming batch — here every 5th doc with an
+    // appended out-of-vocabulary marker token — is segmented by
+    // REPLAYING the 8 persisted rules over the batch's own vocab-sized
+    // word table, never retraining and never touching the training
+    // corpus. OOV tokens are the point: a fixed tokenizer applies its
+    // rules to unseen words wherever they match (the replay needs no
+    // counts at all — carry is just the token key). Append cost scales
+    // with the BATCH vocabulary: 8 rule replays over a tiny table +
+    // one broadcast seg join over the batch stream. The oracle
+    // re-derives the same rules from the training corpus (the q68
+    // convention: persisted index vs oracle recompute) and replays
+    // them on a parallel batch CTE chain.
+    q("q112_bpe_apply_persisted",
+      "X4+/LLM: batch tokenization via persisted BPE merges (no retrain, OOV-safe)",
+      {
+        val chain = new StringBuilder
+        chain.append(
+          s"""WITH w_0 AS (
+             |  SELECT concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
+             |         CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+             |  GROUP BY 1)""".stripMargin)
+        for (i <- 1 to BpeMerges) {
+          chain.append(",\n").append(bpePairCte(i, s"w_${i - 1}"))
+          if (i < BpeMerges)
+            chain.append(",\n").append(bpeApplyCte(i, s"w_${i - 1}"))
+        }
+        chain.append(
+          s""",
+             |batch AS (SELECT doc_id + 70000 AS doc_id,
+             |            concat(text, ' zq', CAST(doc_id % 7 AS VARCHAR)) AS text
+             |          FROM documents WHERE doc_id % 5 = 1),
+             |b_0 AS (
+             |  SELECT DISTINCT tok,
+             |         concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w
+             |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM batch))""".stripMargin)
+        for (i <- 1 to BpeMerges)
+          chain.append(",\n")
+            .append(bpeApplyCte(i, s"b_${i - 1}", Seq("tok"), out = s"b_$i"))
+        chain.append(
+          s""",
+             |seg AS (SELECT tok, CAST(len(string_split(w, ' ')) AS BIGINT) AS units
+             |        FROM b_$BpeMerges)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(units) AS BIGINT) AS n_units
+             |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM batch)
+             |JOIN seg USING (tok)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+        chain.toString
+      }) { (s, dir) =>
+      val merges = s.read.parquet(bpeMergesPrepared(s, dir))
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      val batch = docs(s, dir).filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(col("text"), lit(" zq"), pmod(col("doc_id"), lit(7)).cast("string"))
+            .as("text"))
+      val words0 = batch
+        .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+        .select(col("tok"),
+          concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"))
+      val words = merges.foldLeft(words0.checkpointed()) { case (w, (l, r)) =>
+        bpeApplyMerge(w, l, r, carry = Seq("tok")).checkpointed()
+      }
+      val seg = words.select(col("tok"),
+        size(split(col("w"), " ")).cast("long").as("units"))
+      batch
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .join(broadcast(seg), "tok")
         .groupBy(col("doc_id"))

@@ -96,6 +96,62 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q112: persisted-rule replay equals sequential training + sequential application") {
+    import org.apache.spark.sql.functions._
+    // Sequential trainer on the TRAINING corpus (as in the q108 law)…
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var words: Map[String, Vector[String]] =
+      counts.keys.map(t => t -> (t.map(_.toString).toVector :+ "_")).toMap
+    val rules = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    (1 to 8).foreach { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (tok, us) =>
+        us.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + counts(tok)
+          case _ => ()
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), _) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        rules += ((l, r))
+        words = words.map { case (tok, us) => tok -> applySeq(us, l, r) }
+      }
+    }
+    // …then sequential APPLICATION of those rules to the batch —
+    // including its OOV marker tokens, which the trainer never saw.
+    val batchDocs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(col("text"), lit(" zq"), pmod(col("doc_id"), lit(7)).cast("string"))
+          .as("text"))
+    val expected = batchDocs
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues { rs =>
+        val units = rs.map { r =>
+          val t = r.getAs[String]("tok")
+          rules.foldLeft(t.map(_.toString).toVector :+ "_") {
+            case (us, (l, r2)) => applySeq(us, l, r2)
+          }.length.toLong
+        }
+        (rs.length.toLong, units.sum)
+      }.toMap
+    val got = SparkEntry.queries("q112_bpe_apply_persisted")(spark, dir)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_units"))
+      }.toMap
+    assert(got == expected)
+    // The batch genuinely contains OOV tokens (the whole point).
+    val oov = batchDocs
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .distinct().collect().map(_.getString(0)).filterNot(counts.contains)
+    assert(oov.nonEmpty, "batch should carry out-of-vocabulary tokens")
+  }
+
   test("q108/q109 survive merge exhaustion (degenerate single-token corpus)") {
     // Vocabulary {'a'} exhausts after one merge ('a','_') → 'a_'.
     // The review found the pre-fix oracle EMPTIED its word table here
