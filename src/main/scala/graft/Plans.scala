@@ -45,8 +45,8 @@ object Plans {
     "q108_bpe_train" -> "BPE training: corpus collapses to a VOCAB-sized word table once (token explode + hash agg, map-side combined); each round aggregates vocab-sized pairs, collects a 1-row argmax (q93's centroid shape), and rewrites only pair-containing words (substring prefilter) — round cost independent of corpus size (r10)",
     "q109_bpe_segment" -> "BPE segmentation: the post-merge vocab table IS the tokenizer — it broadcasts onto the corpus token stream (map-side join over the scan); only the doc-keyed count aggregate shuffles, map-side combined (r10)",
     "q110_media_resize" -> "MAP-ONLY resize: per-row 48-element nearest-neighbor byte sampling rides the scan; the only exchange is the presentation sort (r10)",
-    "q112_bpe_apply_persisted" -> "tokenize-on-append: PERSISTED merge rules (built once per corpus fingerprint) replay over the BATCH's vocab-sized word table — no retrain, no training-corpus touch; batch stream pays one broadcast seg join (r10)",
     "q111_media_frame_sample" -> "MAP-ONLY frame sampling: explode(4) + a W-element fold per row ride the scan; the only exchange is the presentation sort (r10)",
+    "q112_bpe_apply_persisted" -> "tokenize-on-append: PERSISTED merge rules (built once per corpus fingerprint) replay over the BATCH's vocab-sized word table — no retrain, no training-corpus touch; batch stream pays one broadcast seg join (r10)",
     "q100_ivf_append" -> "persisted assignment index SCANNED for occupancy; only the batch is scored (one broadcast centroid join)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy

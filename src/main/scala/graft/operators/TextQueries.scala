@@ -880,9 +880,10 @@ object TextQueries {
         }
         chain.append(
           s""",
-             |batch AS (SELECT doc_id + 70000 AS doc_id,
-             |            concat(text, ' zq', CAST(doc_id % 7 AS VARCHAR)) AS text
-             |          FROM documents WHERE doc_id % 5 = 1),
+             |batch AS (SELECT doc_id + 70000 AS doc_id, text FROM (
+             |            SELECT doc_id,
+             |              concat(text, ' zq', CAST(doc_id % 7 AS VARCHAR)) AS text
+             |            FROM documents WHERE doc_id % 5 = 1)),
              |b_0 AS (
              |  SELECT DISTINCT tok,
              |         concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w

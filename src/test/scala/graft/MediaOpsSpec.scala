@@ -63,7 +63,17 @@ class MediaOpsSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     def w(id: Long) = 64 + (id % 8) * 16
-    SparkEntry.queries("q110_media_resize")(spark, dir).collect().foreach { r =>
+    // Coverage first — without it the per-row checks are vacuous on a
+    // regression that drops rows (a tightened guard, a changed mod
+    // constant, an empty result).
+    val resizeRows = SparkEntry.queries("q110_media_resize")(spark, dir).collect()
+    assert(resizeRows.map(_.getAs[Long]("media_id")).toSet ==
+      texts.keySet.filter(id => id % 3 == 0 && texts(id).length / w(id) >= 1))
+    val frameRows = SparkEntry.queries("q111_media_frame_sample")(spark, dir).collect()
+    val videoIds = texts.keySet.filter(id => id % 3 == 2 && texts(id).length / w(id) >= 1)
+    assert(frameRows.map(_.getAs[Long]("media_id")).toSet == videoIds)
+    assert(frameRows.groupBy(_.getAs[Long]("media_id")).values.forall(_.length == 4))
+    resizeRows.foreach { r =>
       val id = r.getAs[Long]("media_id"); val t = texts(id)
       val (wi, hEff) = (w(id), t.length / w(id))
       assert(id % 3 == 0 && hEff >= 1)
@@ -74,7 +84,7 @@ class MediaOpsSpec extends AnyFunSuite {
       assert(r.getAs[String]("thumb") == expect.mkString(","))
       assert(r.getAs[Long]("thumb_sum") == expect.map(_.toLong).sum)
     }
-    SparkEntry.queries("q111_media_frame_sample")(spark, dir).collect().foreach { r =>
+    frameRows.foreach { r =>
       val id = r.getAs[Long]("media_id"); val t = texts(id)
       val (wi, f) = (w(id), t.length / w(id))
       assert(id % 3 == 2 && f >= 1)
