@@ -59,6 +59,9 @@ object Bench {
       }
     Tables.names.foreach(n => warm(s"load $n")(
       Tables.load(spark, sfDir, n).write.mode("overwrite").format("noop").save()))
+    // NOT warm-guarded: an id-headroom violation means planted-copy
+    // queries are semantically wrong at this SF — fail loudly.
+    Tables.assertIdHeadroom(spark, sfDir)
     warm("events groupBy")(Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect())
     import org.apache.spark.sql.functions.{col, row_number}
@@ -305,7 +308,16 @@ object Bench {
     val refNt = 5203252L
     val refNtR8 = 5289256L
     val calibratedTotal = total * ntMedian.toDouble / refNt
-    val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":$ntMedian,"ops_per_ms_nt_samples":${ntSorted.mkString("[", ",", "]")},"ref_ops_per_ms_nt":$refNt,"ref_protocol":"r10 in-suite interleaved median (matched protocol)","ref_ops_per_ms_nt_r8":$refNtR8,"ref_r8_note":"retired end-of-run snapshot, within 1.65% of current ref","threads_nt":${spark.sparkContext.defaultParallelism},"checksum":${calibSink.get()}}"""
+    // Spread = max/min of the interleaved samples (VERDICT r10 #8): a
+    // quiet host sits well under ~3×; a larger spread means the suite
+    // ran under shifting contention and per-query numbers from this
+    // record should be read as min-of-passes + shuffle_mb only. The
+    // flag makes a contended record SELF-identify instead of needing a
+    // cross-round forensic read.
+    val calibSpread =
+      if (ntSorted.nonEmpty && ntSorted.head > 0) ntSorted.last.toDouble / ntSorted.head
+      else -1.0
+    val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":$ntMedian,"ops_per_ms_nt_samples":${ntSorted.mkString("[", ",", "]")},"calibration_spread":${f3(calibSpread)},"contended":${calibSpread > 3.0},"ref_ops_per_ms_nt":$refNt,"ref_protocol":"r10 in-suite interleaved median (matched protocol)","ref_ops_per_ms_nt_r8":$refNtR8,"ref_r8_note":"retired end-of-run snapshot, within 1.65% of current ref","threads_nt":${spark.sparkContext.defaultParallelism},"checksum":${calibSink.get()}}"""
     val meta = s""""spark_version":"${spark.version}","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass; calibrated_total = total x median(nt samples)/ref",$calib"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibrated_total":${f3(calibratedTotal)},"n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"spark_version":"${spark.version}","sf":"$sfDir"}"""
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibrated_total":${f3(calibratedTotal)},"n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},$meta,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
@@ -314,8 +326,14 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
-    println(summary)
+    // Compact summary line LAST (VERDICT r10 #3): the driver captures a
+    // bounded TAIL of stdout, and the full per-query record outran that
+    // window in r9/r10 (BENCH_r{9,10}.json parsed:null). The final line
+    // is the one guaranteed to survive any tail size, so it must be the
+    // parseable one-line summary; the full record precedes it and is
+    // duplicated into BENCH_FULL.json above either way.
     println(json)
+    println(summary)
     spark.stop()
   }
 }

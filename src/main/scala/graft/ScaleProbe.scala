@@ -239,8 +239,12 @@ object ScaleProbe {
         if (marker.exists()) return
         val docs = Tables.load(spark, baseDir, "documents")
         (0 until copies).map { i =>
+          // Same empty-token filter as TextOps.tokens (ADVICE r10 #3):
+          // without it a leading/trailing separator mints a spurious
+          // 'w'+hash('') token the real tokenizer would never produce,
+          // putting the probe corpus slightly off-model.
           val text = array_join(transform(
-            split(lower(col("text")), "[^a-z0-9]+"),
+            filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
             t => concat(lit("w"), pmod(xxhash64(t), lit(50)))), " ")
           docs.select((col("doc_id") + i * Stride).as("doc_id"),
             text.as("text"), col("lang"), col("source"),
@@ -250,8 +254,11 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
         marker.createNewFile()
       }
-      val tinyBase = "/tmp/graft_scaleprobe_tinyvbase"
-      val tinyBig = "/tmp/graft_scaleprobe_tinyvsf1"
+      // _v2 suffix: the corpora are memoized on marker files, and the r11
+      // empty-token fix changed their content — a stale pre-fix cache
+      // must not serve this round's rows.
+      val tinyBase = "/tmp/graft_scaleprobe_tinyvbase_v2"
+      val tinyBig = "/tmp/graft_scaleprobe_tinyvsf1_v2"
       synthTiny(tinyBase, 1); synthTiny(tinyBig, Copies)
       val mS = measure(SparkEntry.queries("q103_lm_perplexity")(spark, tinyBase))
       val mL = measure(SparkEntry.queries("q103_lm_perplexity")(spark, tinyBig))

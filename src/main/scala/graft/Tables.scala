@@ -125,6 +125,23 @@ object Tables {
     if (estTasks < target) df.repartition(target) else df
   }
 
+  /** Planted-copy id-headroom guard (ADVICE r10 #2): many dedup/media
+    * queries mint synthetic copies at doc_id + K with the SMALLEST K
+    * being 70000 (q95/q96/q112), so base ids must stay strictly below
+    * that or a regenerated larger corpus would collide planted ids with
+    * real ones — minting phantom dup pairs IDENTICALLY in both engines,
+    * invisible to the oracle gate. Called once per entry point
+    * (Verify/Bench), not per load: one max() aggregate per run. */
+  val PlantIdFloor = 70000L
+  def assertIdHeadroom(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    val m = load(spark, sfDir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    require(m < PlantIdFloor,
+      s"documents.doc_id max $m >= $PlantIdFloor: planted-copy offsets " +
+        s"would collide with real ids — regenerate plants with more headroom")
+  }
+
   /** Load all tables as a name→DataFrame map. */
   def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, sfDir, n)).toMap

@@ -16,6 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
+    Tables.assertIdHeadroom(spark, sfDir) // planted-copy offsets need id room
     new java.io.File(outDir).mkdirs()
     val written = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {

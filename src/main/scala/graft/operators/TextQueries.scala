@@ -71,11 +71,19 @@ object TextQueries {
     * windows over unit positions, no per-row loop. Only words that
     * can contain the pair pay the explode/window/rebuild (substring
     * prefilter; false positives — the pair text spanning a unit
-    * boundary — just pass through the rewrite unchanged). */
+    * boundary — just pass through the rewrite unchanged).
+    *
+    * Row identity: windows partition by `w` PLUS the carry columns —
+    * the same key the trailing groupBy rebuilds on — so two input
+    * rows sharing a `w` but differing in a carry column (e.g. two
+    * toks normalizing to one unit string) rewrite independently
+    * instead of interleaving their posexplode positions in one window
+    * partition (ADVICE r10 #1). Input rows must be distinct on
+    * (w, carry*); duplicates would still interleave. */
   private[graft] def bpeApplyMerge(words: DataFrame, l: String, r: String,
       carry: Seq[String] = Seq("cnt")): DataFrame = {
     val Win = org.apache.spark.sql.expressions.Window
-    val win = Win.partitionBy("w").orderBy("i")
+    val win = Win.partitionBy(col("w") +: carry.map(col): _*).orderBy("i")
     val hit = words.filter(col("w").contains(s"$l $r"))
     val miss = words.filter(!col("w").contains(s"$l $r"))
     val rebuilt = hit
@@ -90,7 +98,8 @@ object TextQueries {
       .withColumn("rnm", sum(when(col("m"), 1).otherwise(0)).over(win))
       .withColumn("grp", when(col("m"), col("i") - col("rnm")))
       .withColumn("sel", col("m") &&
-        (col("rnm") - min(col("rnm")).over(Win.partitionBy("w", "grp"))) % 2 === 0)
+        (col("rnm") - min(col("rnm")).over(
+          Win.partitionBy(col("w") +: carry.map(col) :+ col("grp"): _*))) % 2 === 0)
       .withColumn("selp", lag(col("sel"), 1, false).over(win))
       .filter(!col("selp")) // the right half of a fired merge vanishes
       .withColumn("nu", when(col("sel"), lit(l + r)).otherwise(col("u")))

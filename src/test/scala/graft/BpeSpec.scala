@@ -220,6 +220,23 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeApplyMerge rewrites rows sharing w but differing in carry independently") {
+    // Two rows with the SAME unit string but distinct carry values
+    // (e.g. two toks normalizing to one w): the window partitions by
+    // (w, carry*), so each row's positions form their own partition
+    // and both rewrite correctly instead of interleaving posexplode
+    // positions (duplicate i in one partition → nondeterministic
+    // lead/lag/sel).
+    val in = spark.createDataFrame(Seq(
+      ("a a a a _", "tokX", 2L), ("a a a a _", "tokY", 5L), ("b a a _", "tokZ", 1L)))
+      .toDF("w", "tok", "cnt")
+    val out = graft.operators.TextQueries
+      .bpeApplyMerge(in, "a", "a", carry = Seq("tok", "cnt"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(out == Set(
+      ("aa aa _", "tokX", 2L), ("aa aa _", "tokY", 5L), ("b aa _", "tokZ", 1L)))
+  }
+
   test("bpeApplyMerge preserves counts and word multiplicity") {
     val in = spark.createDataFrame(Seq(
       ("a b c _", 7L), ("a b a b _", 3L), ("z _", 11L))).toDF("w", "cnt")
