@@ -86,7 +86,9 @@ object SimilarityQueries {
   // Bench can pre-build q100's persisted index at the same cell count
   private[graft] val IvfCells = 16
   private val PqM = 4        // PQ subspaces (64 dims → 4×16)
-  private val PqK = 4        // PQ codes per subspace (seed centroids)
+  // private[graft]: PlanShapeSpec rebuilds q113's residual codebook to
+  // pin the encode path's no-vector-shuffle law on the untruncated plan.
+  private[graft] val PqK = 4 // PQ codes per subspace (seed centroids)
   private val IvfProbes = 2  // cells probed per query
   private val IvfK = 5
   private val SemCells = 64  // q99 blocking cells: within-cell pair cost
@@ -206,6 +208,58 @@ object SimilarityQueries {
         element_at(col("top"), 1).getField("sim").as("sim"))
       .orderBy("drop_id") // row-per-dropped-doc: parallel range sort
   }
+
+  /** q113's index-build half, shared with PlanShapeSpec (which pins the
+    * no-vector-shuffle law on the UNtruncated plan — the registered
+    * query's checkpoint hides it): IVF assignment + residual + PQ
+    * subspace split as ONE map-only projection over the embeddings scan.
+    *
+    * The assignment argmin deliberately does NOT reuse [[VectorIndex
+    * .assign]]'s crossJoin + min_by shape here: that shape needs a
+    * join-back by vec_id to recover the vector for the residual, and
+    * with corpus-sized both sides that join SHUFFLES THE VECTORS — at
+    * 100 TB the raw embedding bytes are the one thing that must never
+    * cross the wire. Instead the 16-row centroid table collapses to a
+    * single array row (broadcast), and each scan row computes its own
+    * argmin cell, residual, and subspace slices in place: the entire
+    * encode path up to the tiny code rows is exchange-free. The argmin
+    * fold is an interpreted HOF over cells×dims elements per row — the
+    * engine's usual explode+agg rewrite is exactly what would
+    * reintroduce the vector exchange, so the map-only form wins here
+    * (the same cost either way; l2Hof is law-pinned equal to the
+    * codegen'd L2Dist in L2DistSpec, so the 6dp parity contract holds). */
+  private[graft] def ivfpqSub(base: DataFrame): DataFrame = {
+    val S = Embedder.Dim / PqM
+    val cents = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+    val centArr = cents.groupBy()
+      .agg(collect_list(struct(col("cell_id"), col("cv"))).as("cents"))
+    base.crossJoin(broadcast(centArr))
+      // argmin over the in-row centroid array: struct(d, cell_id, cv)
+      // compares lexicographically — the (d ASC, cell_id ASC) contract
+      // the oracle's ROW_NUMBER expresses; cv rides along for the
+      // residual and never reaches comparison (cell_id is unique).
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(round(VectorOps.l2Hof(col("ev"), c.getField("cv")), 6).as("d"),
+          c.getField("cell_id").as("cell_id"), c.getField("cv").as("cv")))))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+        zip_with(col("ev"), col("best.cv"), (x, y) => x - y).as("rv"))
+      .select(col("vec_id"), col("cell_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("rv"))
+      .select(col("vec_id"), col("cell_id"), col("m"),
+        slice(col("rv"), col("m") * S + 1, lit(S)).as("sv"))
+  }
+
+  /** q113's residual codebook + encode, shared with PlanShapeSpec.
+    * Codebook = the first PqK vectors' residual slices (the same
+    * deterministic seed convention as q88's raw-vector codebook);
+    * assignment is the min_by aggregate whose exchange carries only
+    * (vec_id, cell_id, m) + a (code, d) buffer — never a slice. */
+  private[graft] def ivfpqCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "m")
+      .withColumn("d", round(VectorOps.l2(col("sv"), col("cvr")), 6))
+      .groupBy(col("vec_id"), col("cell_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -1126,6 +1180,148 @@ object SimilarityQueries {
         selected = selected.unionAll(pick)
       }
       selected.presented("query_id", "step")
+    },
+
+    // ----- X2 capstone (round-11 lead): the PRODUCTION ANN layout —
+    // IVF-PQ RESIDUAL index (the FAISS IVFPQ composition of q42's IVF
+    // cells, q88's PQ encode, and q89's ADC search, which until now were
+    // separate demonstrations). Index build: every vector argmin-assigns
+    // to its IVF cell, the RESIDUAL (vector − centroid) is PQ-encoded in
+    // M=4 subspaces against a residual codebook — residual encoding is
+    // what makes the composition worth running: residuals are centered
+    // near zero, so a tiny codebook quantizes them far better than raw
+    // vectors. Search: each query probes its nprobe=2 nearest cells,
+    // builds ONE M·K distance table per probed cell from ITS OWN
+    // residual in that cell (the asymmetric-distance trick, per-cell
+    // because the query's residual differs per probed centroid), and
+    // every candidate's approximate distance is a table lookup + one
+    // exact-decimal sum — raw floats are never rescanned. Recall is
+    // audited against q26-style exact L2 top-k in the same output.
+    //
+    // SCALE SHAPE (the point of the composition): the whole encode path
+    // — assignment, residual, subspace split — is a single MAP-ONLY
+    // projection over the scan ([[ivfpqSub]]: centroids collapse to one
+    // broadcast array row, each row computes its own argmin in place),
+    // so NO exchange anywhere in the plan ever carries a vector; the
+    // only corpus-sized exchanges move (vec_id, cell_id, m, code)
+    // longs. At 100 TB the code table IS the index (cluster by
+    // cell_id), a probe touches nprobe partitions, and the per-query
+    // broadcast is 160 rounded doubles. PlanShapeSpec pins both laws
+    // (no cartesian product; no shuffle carries an array column).
+    q("q113_ivfpq_search", {
+      "X2 composite: IVF-PQ residual index — map-only encode, nprobe ADC search, recall audit"
+    }, {
+      val S = Embedder.Dim / PqM
+      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |  cents AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells),
+         |  assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT es.vec_id, cents.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
+         |        ROUND(list_distance(ev, cv), 6) ASC, cents.cell_id) AS rn
+         |    FROM es, cents) WHERE rn = 1),
+         |  res AS (SELECT a.vec_id, a.cell_id,
+         |            [es.ev[i] - c.cv[i] for i in range(1, len(es.ev) + 1)] AS rv
+         |          FROM assign a JOIN es USING (vec_id) JOIN cents c USING (cell_id)),
+         |  sub AS (SELECT vec_id, cell_id, m.m,
+         |            list_slice(rv, m.m * $S + 1, m.m * $S + $S) AS sv
+         |          FROM res CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
+         |  cb AS (SELECT m, vec_id AS code, sv AS cvr FROM sub WHERE vec_id < $PqK),
+         |  codes AS (SELECT vec_id, cell_id, m, code FROM (
+         |    SELECT s.vec_id, s.cell_id, s.m, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
+         |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1),
+         |  qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
+         |  probes AS (SELECT query_id, cell_id FROM (
+         |    SELECT qs.query_id, cents.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+         |        ROUND(list_distance(qv, cv), 6) ASC, cents.cell_id) AS rn
+         |    FROM qs, cents) WHERE rn <= $IvfProbes),
+         |  qres AS (SELECT p.query_id, p.cell_id,
+         |             [q.qv[i] - c.cv[i] for i in range(1, len(q.qv) + 1)] AS qr
+         |           FROM probes p JOIN qs q USING (query_id) JOIN cents c USING (cell_id)),
+         |  dts AS (SELECT query_id, qres.cell_id, cb.m, cb.code,
+         |            ROUND(list_distance(list_slice(qr, cb.m * $S + 1, cb.m * $S + $S), cb.cvr), 6) AS t
+         |          FROM qres CROSS JOIN cb),
+         |  dt AS (SELECT query_id, cell_id, m, code, ROUND(t * t, 6) AS d2 FROM dts),
+         |  adc AS (SELECT d.query_id, e.vec_id, ROUND(sqrt(${ExactSql.dsum("d.d2")}), 6) AS ad
+         |          FROM codes e JOIN dt d USING (cell_id, m, code)
+         |          GROUP BY 1, 2),
+         |  sel AS (SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
+         |    SELECT query_id, vec_id, ad,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id) AS rn
+         |    FROM adc) WHERE rn <= $IvfK),
+         |  topx AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        ROUND(list_distance(e.ev, q.qv), 6) ASC, e.vec_id) AS rn
+         |    FROM es e CROSS JOIN qs q) WHERE rn <= $IvfK),
+         |  hit AS (SELECT s.query_id, COUNT(*) AS n_overlap
+         |          FROM sel s JOIN topx x USING (query_id, vec_id) GROUP BY 1)
+         |SELECT s.query_id, s.rn, s.vec_id, s.ad,
+         |  COALESCE(h.n_overlap, 0) AS n_overlap,
+         |  ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / $IvfK, 6) AS recall
+         |FROM sel s LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id, rn""".stripMargin
+    }) { (s, dir) =>
+      import graft.plans.CollectTopK
+      val S = Embedder.Dim / PqM
+      // EAGER: base feeds the centroid subtree (a broadcast thread —
+      // the q99 lesson) plus the exact-recall side and the query set.
+      val base = emb(s, dir).checkpointed()
+      val cents = base.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      // Index build: map-only assignment + residual + split (see
+      // ivfpqSub), then the residual codebook and the min_by encode.
+      // EAGER checkpoint on sub: the codebook filter feeds a broadcast
+      // build thread AND the encode reads it — without the barrier the
+      // whole map-only encode projection computes twice in parallel.
+      val sub = ivfpqSub(base).checkpointed()
+      val cb = sub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
+      val codes = ivfpqCodes(sub, cb)
+      // Query side: every frame from here on is query-count-sized.
+      val qs = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .withColumn("negd", -round(VectorOps.l2(col("qv"), col("cv")), 6))
+        .groupBy(col("query_id"))
+        .agg(CollectTopK.topk(col("negd"), col("cell_id"), IvfProbes).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("cell_id"))
+      // Per-(query, probed cell) residual → the M·K ADC distance table.
+      val qres = probes.join(broadcast(qs), "query_id")
+        .join(broadcast(cents), "cell_id")
+        .select(col("query_id"), col("cell_id"),
+          zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))
+      val dt = qres.crossJoin(broadcast(cb))
+        .withColumn("t", round(VectorOps.l2(
+          slice(col("qr"), col("m") * S + 1, lit(S)), col("cvr")), 6))
+        .select(col("query_id"), col("cell_id"), col("m"), col("code"),
+          round(col("t") * col("t"), 6).as("d2"))
+      // ADC: candidates = codes in probed cells (equi-join on cell_id);
+      // approximate distance = lookup + exact-decimal sum (q89 recipe).
+      val adc = codes.join(broadcast(dt), Seq("cell_id", "m", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("ad"))
+      val sel = adc.groupBy(col("query_id"))
+        .agg(CollectTopK.topk(-col("ad"), col("vec_id"), IvfK).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
+          col("t.vec_id").as("vec_id"), (-col("t.sim")).as("ad"))
+      val topx = base.crossJoin(broadcast(qs))
+        .withColumn("xd", round(VectorOps.l2(col("ev"), col("qv")), 6))
+        .groupBy(col("query_id"))
+        .agg(CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+      val hit = sel.select("query_id", "vec_id")
+        .join(topx, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      sel.join(hit, Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("rn"), col("vec_id"), col("ad"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / IvfK, 6)
+            .as("recall"))
+        .presented("query_id", "rn")
     }
   )
 }

@@ -187,6 +187,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  /** q113's two load-bearing scale laws (VERDICT r10 #1), pinned on the
+    * UNtruncated encode plan (the registered query's checkpoints hide
+    * it): (a) no cartesian product anywhere — the centroid/codebook
+    * cross joins must stay broadcast; (b) NO shuffle exchange carries
+    * an array column — assignment, residual, and subspace split are
+    * map-only, so the raw vectors never cross the wire; only (vec_id,
+    * cell_id, m, code) longs do. */
+  test("q113 IVF-PQ encode: no cartesian product, vectors never shuffle") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.ArrayType
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), functions.VectorOps.asDouble(col("embedding")).as("ev"))
+    val sub = operators.SimilarityQueries.ivfpqSub(base)
+    val cb = sub.filter(col("vec_id") < operators.SimilarityQueries.PqK)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
+    val ns = nodes(operators.SimilarityQueries.ivfpqCodes(sub, cb)
+      .queryExecution.executedPlan)
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "q113 encode plans a CartesianProduct")
+    val vecShuffles = ns.collect {
+      case e: ShuffleExchangeExec
+        if e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(vecShuffles.isEmpty,
+      s"q113 encode shuffles an array column (vectors must never cross the wire):\n$vecShuffles")
+  }
+
   test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids, q105 steps") {
     Seq("q60_bm25", "q26_knn_topk", "q99_semantic_prune", "q105_mmr_context").foreach { q =>
       assert(nodes(plan(q)).exists(_.isInstanceOf[BroadcastExchangeExec]),
