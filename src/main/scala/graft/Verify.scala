@@ -18,13 +18,23 @@ object Verify {
     Tables.configure(spark)
     Tables.assertIdHeadroom(spark, sfDir) // planted-copy offsets need id room
     new java.io.File(outDir).mkdirs()
-    val written = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY=q1,q2 — dump a subset while iterating locally
+    // (tools/check_oracle.py --only passes it through). Unset = all;
+    // the driver's gate always runs unset, so the manifest stays full.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val written = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         Some(name)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Message-only by default (the driver greps one line per fail);
+        // full stack on demand when diagnosing locally.
+        if (sys.env.contains("GRAFT_VERIFY_STACK")) e.printStackTrace()
         None
       }
     }

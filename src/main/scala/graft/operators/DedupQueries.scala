@@ -612,8 +612,10 @@ object DedupQueries {
     * adjacent keys), bucket pre-aggregation (identical plan shape to
     * q28's band buckets — singleton buckets die before any pair
     * exists), pairs only within a bucket. Checkpointed: the CC loop
-    * re-reads the edge list every round. */
-  private def blockingEdges(u: DataFrame): DataFrame =
+    * re-reads the edge list every round. private[graft]: q114's
+    * cross-modal manifest unions these text edges with q104's phash
+    * edges over one id space. */
+  private[graft] def blockingEdges(u: DataFrame): DataFrame =
     u.select(col("doc_id"), explode(array(
         md5(col("text")), md5(dropFirstTok(col("text"))))).as("k"))
       .groupBy(col("k"))
@@ -664,6 +666,13 @@ object DedupQueries {
       .union(edges.select(col("b").as("id"))).distinct()
     // Canonical orientation (larger, smaller), self-loops dropped.
     // Lazy checkpoint: materializes under the first round's count job.
+    // CALLER CONTRACT: `edges` must not be a multi-child Union plan —
+    // checkpoint a union of edge sets first (q114 does). Spark 4.1's
+    // Dataset.checkpoint computes the plan's constraints up front, and
+    // a Union input's constraint set flows into the round plans where
+    // the self-union's rewrite throws "key not found: u#…" on an
+    // attribute the deduplicated second branch no longer outputs; an
+    // RDD-scan edge frame (what every caller passes) never trips it.
     var cur = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()

@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
+import graft.Materialize.CheckpointOps
 import graft.NamedQuery.{q, PresentationOps}
 import graft.pipeline.MediaOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (north-star brief: binary payloads with
@@ -58,6 +60,31 @@ object MediaQueries {
     * in the result, not the plan; a deployment that wants cluster-
     * rather than pair-shaped output for such classes runs the q59-style
     * connected-components pass over these edges. */
+
+  /** The DuckDB mirror of [[graft.plans.PHash64]] as a reusable CTE
+    * chain over a `(media_id, text)` relation named `src` — the ONE
+    * copy (q104 and q114 both verify against it; hand-copies would
+    * drift): pure integer arithmetic (block sums × counts, no floats),
+    * producing `ph(media_id, phash)`. */
+  private def phashOracleCtes(src: String): String = {
+    val cell = "(b//8)*9+(b%8)" // left cell of bit b, 0-based
+    s"""cells AS (SELECT media_id,
+       |  [coalesce(list_sum(list_transform(range(CAST((c*length(text))//72 AS INT)+1,
+       |                                          CAST(((c+1)*length(text))//72 AS INT)+1),
+       |                                    i -> unicode(text[i]))), 0) for c in range(0,72)] AS s,
+       |  [CAST(((c+1)*length(text))//72 - (c*length(text))//72 AS BIGINT) for c in range(0,72)] AS w
+       |  FROM $src),
+       |bits AS (SELECT media_id,
+       |  [CASE WHEN w[$cell+1] > 0 AND w[$cell+2] > 0
+       |         AND s[$cell+1]*w[$cell+2] > s[$cell+2]*w[$cell+1]
+       |    THEN 1 ELSE 0 END for b in range(0,64)] AS bit
+       |  FROM cells),
+       |ph AS (SELECT media_id,
+       |  CAST(CASE WHEN bit[64] = 1 THEN -9223372036854775807 - 1 ELSE 0 END
+       |   + list_sum(list_transform(range(0,63),
+       |       b -> CASE WHEN bit[b+1] = 1 THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS BIGINT) AS phash
+       |  FROM bits)""".stripMargin
+  }
 
   private[graft] def phashPairs(u: DataFrame): DataFrame = {
     val media = MediaOps.mediaTable(u)
@@ -206,7 +233,6 @@ object MediaQueries {
     q("q104_media_phash_dedup",
       "multimodal/X3: banded 64-bit perceptual-hash near-dup + Hamming verify",
       {
-        val cell = "(b//8)*9+(b%8)" // left cell of bit b, 0-based
         s"""WITH u AS (
            |  SELECT doc_id AS media_id, text FROM documents
            |  UNION ALL
@@ -214,22 +240,7 @@ object MediaQueries {
            |  UNION ALL
            |  SELECT doc_id + 90000, concat(substring(text, 1, length(text) - 1), 'q')
            |  FROM documents WHERE doc_id % 6 = 0),
-           |cells AS (SELECT media_id,
-           |  [coalesce(list_sum(list_transform(range(CAST((c*length(text))//72 AS INT)+1,
-           |                                          CAST(((c+1)*length(text))//72 AS INT)+1),
-           |                                    i -> unicode(text[i]))), 0) for c in range(0,72)] AS s,
-           |  [CAST(((c+1)*length(text))//72 - (c*length(text))//72 AS BIGINT) for c in range(0,72)] AS w
-           |  FROM u),
-           |bits AS (SELECT media_id,
-           |  [CASE WHEN w[$cell+1] > 0 AND w[$cell+2] > 0
-           |         AND s[$cell+1]*w[$cell+2] > s[$cell+2]*w[$cell+1]
-           |    THEN 1 ELSE 0 END for b in range(0,64)] AS bit
-           |  FROM cells),
-           |ph AS (SELECT media_id,
-           |  CAST(CASE WHEN bit[64] = 1 THEN -9223372036854775807 - 1 ELSE 0 END
-           |   + list_sum(list_transform(range(0,63),
-           |       b -> CASE WHEN bit[b+1] = 1 THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS BIGINT) AS phash
-           |  FROM bits)
+           |${phashOracleCtes("u")}
            |SELECT a.media_id AS id_a, b.media_id AS id_b,
            |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
            |FROM ph a JOIN ph b ON a.media_id < b.media_id
@@ -330,6 +341,126 @@ object MediaQueries {
               |   cast(((frame_no * f) div 4) * w + p as int), 1))),
               | 0L, (acc, x) -> acc + x)""".stripMargin).as("frame_sum"))
         .orderBy("media_id", "frame_no")
+    },
+
+    // ----- X3 composite (round-11 item #2): CROSS-MODAL dedup manifest
+    // — text near-dup edges (q59's normalization-key blocking) and media
+    // perceptual-hash edges (q104's banded pHash) resolved JOINTLY over
+    // one id space, the step a real multimodal pipeline runs before
+    // survivorship: a transitive chain text-A ≈ text-B, media-B ≈
+    // media-C must land in ONE cluster even though no single modality
+    // connects A to C. Planted to exercise exactly that: every 25th doc
+    // re-appears minus its first token (+40000 — a TEXT-only edge: the
+    // byte shift scrambles the phash grid), every 10th as an exact copy
+    // (+80000 — BOTH modalities fire), every 6th with its last byte
+    // perturbed (+90000 — a MEDIA-only edge: md5 keys miss, Hamming ≤ 1
+    // by PHash64's locality law). Union edges → the shared log-rounds
+    // star-contraction CC → canonical survivor (longest text, lowest
+    // id) + a per-cluster edge census by modality; cross_modal flags
+    // clusters whose evidence spans both. SCALE: both edge generators
+    // are the proven hash-key equi-joins (one shuffle each), CC is the
+    // q59/q86 machinery (log-rounds over edge-count rows), the census
+    // is one narrow aggregate per modality — nothing quadratic, nothing
+    // new. ORACLE: recursive-CTE closure over the UNION of both edge
+    // sets, text keys + the shared integer phash mirror.
+    q("q114_crossmodal_manifest",
+      "X3 composite: joint text+media dedup manifest (union edges, shared CC, modality census)",
+      s"""WITH RECURSIVE
+         |  u AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 40000, regexp_replace(text, '^[a-z0-9]+ ', '')
+         |        FROM documents WHERE doc_id % 25 = 0
+         |        UNION ALL
+         |        SELECT doc_id + 80000, text FROM documents WHERE doc_id % 10 = 0
+         |        UNION ALL
+         |        SELECT doc_id + 90000, concat(substring(text, 1, length(text) - 1), 'q')
+         |        FROM documents WHERE doc_id % 6 = 0),
+         |  keys AS (SELECT doc_id, unnest([md5(text),
+         |             md5(regexp_replace(text, '^[a-z0-9]+ ', ''))]) AS k FROM u),
+         |  te AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |         FROM keys a JOIN keys b USING (k) WHERE a.doc_id < b.doc_id),
+         |  mu AS (SELECT doc_id AS media_id, text FROM u),
+         |  ${phashOracleCtes("mu")},
+         |  me AS (SELECT a.media_id AS a, b.media_id AS b
+         |         FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |         WHERE bit_count(xor(a.phash, b.phash)) <= $PHashHamming),
+         |  e0 AS (SELECT a, b FROM te UNION SELECT a, b FROM me),
+         |  e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |  walk(id, r) AS (
+         |    SELECT DISTINCT a, a FROM e
+         |    UNION
+         |    SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id),
+         |  comp AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id),
+         |  ranked AS (SELECT c.cluster_id, c.id, len(u.text) AS n_chars,
+         |               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |                 ORDER BY len(u.text) DESC, c.id ASC) AS rnk,
+         |               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |             FROM comp c JOIN u ON u.doc_id = c.id),
+         |  tec AS (SELECT c.cluster_id, COUNT(*) AS n_text_edges
+         |          FROM te JOIN comp c ON c.id = te.a GROUP BY 1),
+         |  mec AS (SELECT c.cluster_id, COUNT(*) AS n_media_edges
+         |          FROM me JOIN comp c ON c.id = me.a GROUP BY 1)
+         |SELECT r.cluster_id, r.id AS keep_id, CAST(r.n_chars AS BIGINT) AS keep_chars,
+         |  r.n_members,
+         |  COALESCE(t.n_text_edges, 0) AS n_text_edges,
+         |  COALESCE(m.n_media_edges, 0) AS n_media_edges,
+         |  (COALESCE(t.n_text_edges, 0) > 0 AND COALESCE(m.n_media_edges, 0) > 0)
+         |    AS cross_modal
+         |FROM ranked r LEFT JOIN tec t USING (cluster_id)
+         |LEFT JOIN mec m USING (cluster_id)
+         |WHERE rnk = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val dropTok = regexp_replace(col("text"), "^[a-z0-9]+ ", "")
+      val u = base
+        .unionAll(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"), dropTok.as("text")))
+        .unionAll(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+        .unionAll(base.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 90000).as("doc_id"),
+            concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q"))
+              .as("text")))
+        .checkpointed(false) // text edges, media edges, and the length join
+      val te = DedupQueries.blockingEdges(u) // symmetric, distinct, checkpointed
+      // EAGER: the CC rounds (via the union below) and the census both
+      // read it, and the census side feeds broadcast-eligible joins.
+      val me = phashPairs(u)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+        .checkpointed()
+      // The union is checkpointed down to an RDD scan before entering
+      // CC — connectedComponents' documented caller contract: a Union
+      // plan's constraint set poisons the round self-unions in Spark
+      // 4.1 ("key not found: u#…" from Union.rewriteConstraints inside
+      // Dataset.checkpoint). One extra materialization of an edge-count
+      // frame — trivial at any scale (edges ∝ dup density, not corpus).
+      val labels = DedupQueries.connectedComponents(
+        te.unionByName(me).checkpointed(), tag = "q114")
+      // Per-cluster edge census by modality: label each UNORDERED edge
+      // by its a-endpoint's cluster (both endpoints share one by
+      // construction). te is symmetric → a < b picks each pair once.
+      def census(e: DataFrame, cname: String): DataFrame =
+        e.join(labels.withColumnRenamed("id", "a"), "a")
+          .groupBy(col("lbl")).agg(count(lit(1)).as(cname))
+      val tec = census(te.filter(col("a") < col("b")), "n_text_edges")
+      val mec = census(me, "n_media_edges")
+      val withLen = labels.join(
+        u.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("n_chars")), "id")
+      val w = Window.partitionBy("lbl")
+      val ranked = withLen
+        .withColumn("rnk", row_number().over(
+          w.orderBy(col("n_chars").desc, col("id").asc)))
+        .withColumn("n_members", count(lit(1)).over(w))
+      ranked.filter(col("rnk") === 1)
+        .join(tec, Seq("lbl"), "left_outer")
+        .join(mec, Seq("lbl"), "left_outer")
+        .select(col("lbl").as("cluster_id"), col("id").as("keep_id"),
+          col("n_chars").as("keep_chars"), col("n_members"),
+          coalesce(col("n_text_edges"), lit(0L)).as("n_text_edges"),
+          coalesce(col("n_media_edges"), lit(0L)).as("n_media_edges"),
+          (coalesce(col("n_text_edges"), lit(0L)) > 0 &&
+            coalesce(col("n_media_edges"), lit(0L)) > 0).as("cross_modal"))
+        .orderBy("cluster_id")
     }
   )
 }

@@ -206,4 +206,55 @@ class CurationSpec extends AnyFunSuite {
     assert(byBucket("head").max <= byBucket("middle").min + 1e-9)
     assert(byBucket("middle").max <= byBucket("tail").min + 1e-9)
   }
+
+  /** q114's chain-closure-across-modalities law (VERDICT r10 #2): a
+    * doc divisible by both plant moduli spawns a TEXT-only edge
+    * (d, d+40000 — the byte shift scrambles the phash) and a
+    * MEDIA-only edge (d, d+90000 — the md5 keys miss, pHash Hamming
+    * ≤ 1), so {d, d+40000, d+90000} are connected ONLY through the
+    * union of both edge sets — no single modality closes the chain.
+    * The manifest must land them in one cluster and flag it
+    * cross_modal; and cross_modal must be exactly the (n_text_edges>0
+    * ∧ n_media_edges>0) conjunction for every cluster. */
+  test("q114: cross-modal chains close; cross_modal ≡ both-edge census") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q114_crossmodal_manifest")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cross_modal") ==
+        (r.getAs[Long]("n_text_edges") > 0 && r.getAs[Long]("n_media_edges") > 0))
+    }
+    // Rebuild the labels through the same shared machinery to check
+    // membership (the manifest output is one row per cluster).
+    val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val dropTok = regexp_replace(col("text"), "^[a-z0-9]+ ", "")
+    val u = base
+      .unionAll(base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"), dropTok.as("text")))
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q"))
+            .as("text")))
+    val te = operators.DedupQueries.blockingEdges(u)
+    val me = operators.MediaQueries.phashPairs(u)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    import graft.Materialize.CheckpointOps
+    val labels = operators.DedupQueries.connectedComponents(
+        te.unionByName(me).checkpointed(), tag = "q114-spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val origins = base.select("doc_id").collect().map(_.getLong(0))
+      .filter(d => d % 150 == 0) // % 25 (text plant) ∧ % 6 (media plant)
+    assert(origins.nonEmpty)
+    origins.foreach { d =>
+      assert(labels.get(d).isDefined, s"origin $d has no cluster label")
+      assert(labels(d) == labels(d + 40000) && labels(d) == labels(d + 90000),
+        s"cross-modal chain of $d not closed: " +
+          s"${labels.get(d)}/${labels.get(d + 40000)}/${labels.get(d + 90000)}")
+      // And the manifest row for that cluster is flagged cross-modal.
+      val row = rows.find(_.getAs[Long]("cluster_id") == labels(d))
+      assert(row.exists(_.getAs[Boolean]("cross_modal")),
+        s"cluster ${labels(d)} of origin $d not flagged cross_modal")
+    }
+  }
 }

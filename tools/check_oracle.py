@@ -29,6 +29,10 @@ def run_verify():
     shutil.rmtree(OUT, ignore_errors=True)
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # Scope the Spark dump to the requested subset too — iterating on one
+    # query should not pay the whole suite's Verify pass.
+    if ONLY:
+        env["GRAFT_VERIFY_ONLY"] = ",".join(sorted(ONLY))
     cmd = ["java", *ADD_OPENS, "-Xmx8g", "-Dspark.ui.enabled=false",
            "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Verify", SF, OUT]
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
