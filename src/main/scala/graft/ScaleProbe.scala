@@ -281,6 +281,54 @@ object ScaleProbe {
       (mS, mL, b8S, b8L)
     }
 
+    // The OPPOSITE BPE stress (VERDICT r10 #6): a NO-REPEAT vocabulary —
+    // every token position minted globally unique, so vocab ≈ corpus and
+    // the word table the merge rounds rewrite is NOT small. The
+    // tiny-vocab row pins "rounds are vocab-sized"; this row pins the
+    // other end of the claim: when the vocabulary IS the corpus, round
+    // cost degrades LINEARLY (shuffle ≈ copies ×), never quadratically —
+    // the word-keyed windows and pair counts are all hash-partitioned on
+    // w, and nothing joins words against words. q109 adds the
+    // apply-side law on the same corpus pair (its one corpus-sized join
+    // stays keyed, merge rules stay 8 rows regardless of vocab).
+    // Adversarial mode only — hostile-structure stress.
+    val uniqVocab = if (!adversarial) None else Some {
+      def synthUniq(outDir: String, copies: Int): Unit = {
+        val marker = new java.io.File(s"$outDir/_GRAFT_DONE")
+        if (marker.exists()) return
+        val docs = Tables.load(spark, baseDir, "documents")
+        (0 until copies).map { i =>
+          val text = array_join(transform(
+            filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+            (t, j) => concat(t, lit("u"),
+              (col("doc_id") + i * Stride).cast("string"), lit("x"),
+              j.cast("string"))), " ")
+          docs.select((col("doc_id") + i * Stride).as("doc_id"),
+            text.as("text"), col("lang"), col("source"),
+            length(text).cast("long").as("n_chars"))
+        }.reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+        marker.createNewFile()
+      }
+      val uBase = "/tmp/graft_scaleprobe_uniqvbase"
+      val uBig = "/tmp/graft_scaleprobe_uniqvsf1"
+      synthUniq(uBase, 1); synthUniq(uBig, Copies)
+      val t8S = measure(SparkEntry.queries("q108_bpe_train")(spark, uBase))
+      val t8L = measure(SparkEntry.queries("q108_bpe_train")(spark, uBig))
+      println(s"[probe] q108_uniq_vocab base ${f3(t8S.sec)}s/${f3(t8S.payload)}MB " +
+        s"10x ${f3(t8L.sec)}s/${f3(t8L.payload)}MB" +
+        (t8S.error.map("base: " + _) ++ t8L.error.map("10x: " + _))
+          .reduceOption(_ + "; " + _).fold("")(e => s" ERR $e"))
+      val s9S = measure(SparkEntry.queries("q109_bpe_segment")(spark, uBase))
+      val s9L = measure(SparkEntry.queries("q109_bpe_segment")(spark, uBig))
+      println(s"[probe] q109_uniq_vocab base ${f3(s9S.sec)}s/${f3(s9S.payload)}MB " +
+        s"10x ${f3(s9L.sec)}s/${f3(s9L.payload)}MB" +
+        (s9S.error.map("base: " + _) ++ s9L.error.map("10x: " + _))
+          .reduceOption(_ + "; " + _).fold("")(e => s" ERR $e"))
+      (t8S, t8L, s9S, s9L)
+    }
+
     // q104 probes its OWN copy structure (both modes): the shared
     // transforms perturb every token by a SAME-LENGTH suffix/marker,
     // which a perceptual hash correctly reads as near-identical bytes —
@@ -355,6 +403,23 @@ object ScaleProbe {
         s""""wall_ratio":${f3(if (b8S.sec > 0) b8L.sec / b8S.sec else -1.0)},""" +
         s""""law":"wall near-flat at 10x rows (merge rounds are vocab-sized)"""" +
         err8.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+    } + uniqVocab.fold("") { case (t8S, t8L, s9S, s9L) =>
+      def row(tag: String, mS: ProbeHarness.Measured[Double],
+          mL: ProbeHarness.Measured[Double], law: String): String = {
+        val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+          .reduceOption(_ + "; " + _)
+        s""","$tag":{"vocab":"~corpus (every position unique)",""" +
+          s""""base_sec":${f3(mS.sec)},"base_shuffle_mb":${f3(mS.payload)},""" +
+          s""""big_sec":${f3(mL.sec)},"big_shuffle_mb":${f3(mL.payload)},""" +
+          s""""wall_ratio":${f3(if (mS.sec > 0) mL.sec / mS.sec else -1.0)},""" +
+          s""""shuffle_ratio":${f3(if (mS.payload > 0.005) mL.payload / mS.payload else -1.0)},""" +
+          s""""law":"$law"""" +
+          err.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+      }
+      row("q108_uniq_vocab", t8S, t8L,
+        "shuffle ~<= copies x: corpus-sized word table, rounds stay hash-keyed, never quadratic") +
+        row("q109_uniq_vocab", s9S, s9L,
+          "shuffle ~<= copies x: apply side stays one keyed join; rule table fixed at K rows")
     } + {
       val (mS, mL) = phashShifted
       val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))

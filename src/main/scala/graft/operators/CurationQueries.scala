@@ -3,7 +3,7 @@ package graft.operators
 import graft.Materialize.CheckpointOps
 import graft.{NamedQuery, Tables}
 import graft.NamedQuery.{q, PresentationOps}
-import graft.functions.{ExactSql, TextOps}
+import graft.functions.{Exact, ExactSql, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,6 +54,18 @@ object CurationQueries {
   private val PriScale = 4294967296L // 2^32
   private val WScale = PriScale / USize // 2^12
   private val WCap = 2097151L // 2^21 - 1: max weight with pri < 2^53
+
+  /** q115 quality-classifier knobs: hashed-unigram feature buckets
+    * b ∈ [0,64), plus b=64 (capped-length feature) and b=65 (bias);
+    * QcRounds full-batch gradient updates traced by QcRounds+1 eval
+    * rows; lr = 4.0 is the largest rate with a monotone loss
+    * trajectory at all three registered SFs (8.0 diverges); the label
+    * threshold 0.46 sits at the corpus quality median (pos fraction
+    * 0.49–0.54 across SFs). */
+  private val QcBuckets = 64
+  private val QcRounds = 5
+  private val QcLr = "4.0"
+  private val QcThSql = "CAST(0.46 AS DECIMAL(8,6))"
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -731,6 +743,193 @@ object CurationQueries {
           col("pri"), col("tau"),
           greatest(col("w") * lit(WScale), col("tau")).as("w_est_scaled"))
         .presented("lang", "rank")
+    },
+
+    // ----- X4+ (selection model, round-11 item #4): TRAINED quality
+    // classifier — the standard pipeline step between q34's hand rule
+    // and q102's DSIR reweighting is a fastText-style linear model
+    // (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+    // Classification"): hashed-unigram bag features + a capped-length
+    // feature + bias, logistic regression trained by FULL-BATCH
+    // gradient descent for a fixed QcRounds updates. Labels are
+    // deterministic: y = [q34's exact-decimal quality ≥ 0.46], i.e.
+    // the model DISTILLS the hand rule into learned weights (the
+    // label comparison runs on the exact decimal, never the cast
+    // double, so no engine can disagree at the threshold). Output is
+    // the training trace — per-eval loss, accuracy, and weight-vector
+    // census (L1, nnz) — the falling-loss curve that says training
+    // converges, with every number pinned by the unrolled-rounds
+    // DuckDB oracle.
+    //
+    // EXACTNESS: features x = round(count/n, 6) and weights live as
+    // DECIMAL(18,6); z = Σx·w and g = Σ(p−y)·x are exact decimal sums
+    // (order-independent in both engines); the only transcendentals
+    // (sigmoid's EXP, the loss's LN) run on identical doubles and are
+    // 6dp-rounded straight back to decimal — the q102 ulp-absorption
+    // argument. Every decimal→double cast stays under 2^53 in scaled
+    // units (|g| ≤ N docs → exact through sf0.1's 5000 and two more
+    // orders of magnitude; the 10× probe regime never hash-compares).
+    //
+    // SCALE SHAPE: the distributed-LR plan — the ≤66-row weight
+    // vector BROADCASTS to the feature frame each round (parameters
+    // ship to data, never the reverse); the gradient is one map-side-
+    // combined hash aggregate collapsing to ≤66 rows (allreduce); the
+    // per-(doc,b) reduced feature frame is built ONCE and eager-
+    // checkpointed for its 2·QcRounds+1 consumers. Per round the
+    // exchanges carry |docs| sigmoid rows and 66 gradient partials —
+    // nothing corpus-sized beyond the one tokenize pass, and nothing
+    // lands on the driver (the q93 Lloyd-loop discipline).
+    q("q115_quality_classifier",
+      "X4+ (selection model): fastText-style logistic quality classifier — hashed features, fixed exact GD rounds, falling-loss trace",
+      {
+        val toks = tokensSql("text")
+        val h = TextOps.hash60Sql("t")
+        val set = TextQueries.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val B = QcBuckets
+        def round(r: Int): String = {
+          val update =
+            if (r >= QcRounds) ""
+            else s""",
+               |  g${r + 1} AS (SELECT f.b, SUM((p.p - p.y) * f.x) AS g
+               |    FROM feat f JOIN p$r p USING (doc_id) GROUP BY 1),
+               |  w${r + 1} AS (SELECT w.b,
+               |      CAST(ROUND(CAST(w.w AS DOUBLE)
+               |        - $QcLr * CAST(g.g AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+               |        AS DECIMAL(18,6)) AS w
+               |    FROM w$r w JOIN g${r + 1} g USING (b) CROSS JOIN n)""".stripMargin
+          s"""ws$r AS (SELECT CAST(SUM(ABS(w)) AS DOUBLE) AS w_l1,
+             |    CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w_nnz FROM w$r),
+             |  z$r AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+             |    FROM feat f JOIN w$r w USING (b) GROUP BY 1),
+             |  p$r AS (SELECT lab.doc_id, lab.y,
+             |      CAST(ROUND(1 / (1 + EXP(-CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6)) AS p
+             |    FROM lab JOIN z$r USING (doc_id)),
+             |  e$r AS (SELECT $r AS iter, loss, n_correct, w_l1, w_nnz FROM (
+             |      SELECT ${ExactSql.davgRound("ce", 6)} AS loss,
+             |        CAST(SUM(CASE WHEN (p >= CAST(0.5 AS DECIMAL(18,6))) = (y = 1)
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             |      FROM (SELECT y, p, ROUND(-(y * LN(pc) + (1 - y) * LN(1 - pc)), 6) AS ce
+             |            FROM (SELECT y, p,
+             |                LEAST(GREATEST(CAST(p AS DOUBLE), 0.000001), 0.999999) AS pc
+             |              FROM p$r)))
+             |    CROSS JOIN ws$r)$update""".stripMargin
+        }
+        val rounds = (0 to QcRounds).map(round).mkString(",\n  ")
+        val union = (0 to QcRounds).map(r => s"SELECT * FROM e$r").mkString(" UNION ALL ")
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+           |  rat AS (SELECT doc_id,
+           |      CAST(len($toks) AS BIGINT) AS n_tokens,
+           |      ROUND(CAST(len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |            / NULLIF(len(text), 0), 6) AS punct_ratio,
+           |      ROUND(CAST(len(list_filter($toks, t -> list_contains($set, t))) AS DOUBLE)
+           |            / NULLIF(len($toks), 0), 6) AS stop_ratio
+           |    FROM documents),
+           |  lab AS (SELECT doc_id, CASE WHEN
+           |        0.4 * (CASE WHEN n_tokens >= 50 THEN CAST(1 AS DECIMAL(8,6))
+           |               ELSE CAST(n_tokens * 0.02 AS DECIMAL(8,6)) END)
+           |      + 0.3 * (CAST(1 AS DECIMAL(8,6)) - CAST(punct_ratio AS DECIMAL(18,6)))
+           |      + 0.3 * (CASE WHEN CAST(stop_ratio AS DECIMAL(18,6)) * 5 >= 1
+           |               THEN CAST(1 AS DECIMAL(18,6))
+           |               ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END)
+           |        >= $QcThSql THEN 1 ELSE 0 END AS y
+           |    FROM rat),
+           |  nt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+           |  hf AS (SELECT doc_id, CAST($h % $B AS INT) AS b, COUNT(*) AS c
+           |    FROM tok GROUP BY 1, 2),
+           |  feat AS (
+           |    SELECT hf.doc_id, hf.b,
+           |      CAST(ROUND(CAST(c AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS x
+           |    FROM hf JOIN nt USING (doc_id)
+           |    UNION ALL
+           |    SELECT doc_id, $B AS b,
+           |      CAST(ROUND(CAST(LEAST(n, 50) AS DOUBLE) / 50, 6) AS DECIMAL(18,6))
+           |    FROM nt
+           |    UNION ALL
+           |    SELECT doc_id, ${B + 1} AS b, CAST(1 AS DECIMAL(18,6)) FROM documents),
+           |  n AS (SELECT COUNT(*) AS n FROM documents),
+           |  w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(18,6)) AS w FROM feat),
+           |  $rounds
+           |SELECT iter, loss, n_correct, w_l1, w_nnz FROM ($union)
+           |ORDER BY iter""".stripMargin
+      }) { (s, dir) =>
+      val B = QcBuckets
+      val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val d = docs(s, dir)
+      val toksC = TextOps.tokens(col("text"))
+      // q34's exact-decimal quality, compared AS DECIMAL to the 0.46
+      // threshold (never the cast double).
+      val ratios = d.select(col("doc_id"),
+        size(toksC).cast("long").as("n_tokens"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
+          nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
+        round(size(filter(toksC, t => t.isin(TextQueries.Stopwords: _*))).cast("double") /
+          nullif(size(toksC), lit(0)), 6).as("stop_ratio"))
+      val one8 = expr("CAST(1 AS DECIMAL(8,6))")
+      val pd = col("punct_ratio").cast(dec18)
+      val sd = col("stop_ratio").cast(dec18)
+      val lenScore = when(col("n_tokens") >= 50, one8)
+        .otherwise((col("n_tokens") * expr("CAST(0.02 AS DECIMAL(3,2))"))
+          .cast(org.apache.spark.sql.types.DecimalType(8, 6)))
+      val stopScore = when(sd * 5 >= 1, expr("CAST(1 AS DECIMAL(18,6))")).otherwise(sd * 5)
+      val quality = expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
+        expr("CAST(0.3 AS DECIMAL(2,1))") * (one8 - pd) +
+        expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore
+      val lab = ratios.select(col("doc_id"),
+        when(quality >= expr(QcThSql), 1).otherwise(0).as("y"))
+      val tok = d.select(col("doc_id"), explode(toksC).as("t"))
+      val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hf = tok
+        .select(col("doc_id"), (TextOps.hash60(col("t")) % B).cast("int").as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      val feat = hf.join(nt, "doc_id")
+        .select(col("doc_id"), col("b"),
+          round(col("c").cast("double") / col("n"), 6).cast(dec18).as("x"))
+        .unionByName(nt.select(col("doc_id"), lit(B).cast("int").as("b"),
+          round(least(col("n"), lit(50)).cast("double") / lit(50), 6).cast(dec18).as("x")))
+        .unionByName(d.select(col("doc_id"), lit(B + 1).cast("int").as("b"),
+          lit(1).cast(dec18).as("x")))
+      // Eager: 2·QcRounds+1 consumers (6 z-joins + 5 gradient joins).
+      val featY = feat.join(lab, "doc_id").checkpointed()
+      val totals = d.groupBy().agg(count(lit(1)).as("n"))
+      var w = featY.select(col("b")).distinct()
+        .select(col("b"), lit(0).cast(dec18).as("w")).checkpointed()
+      var trace: Option[DataFrame] = None
+      for (r <- 0 to QcRounds) {
+        val p = featY.join(broadcast(w), "b")
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("x") * col("w")).as("z"))
+          .select(col("doc_id"), col("y"),
+            round(lit(1) / (lit(1) + exp(-col("z").cast("double"))), 6)
+              .cast(dec18).as("p"))
+          .checkpointed(false) // eval + (r < QcRounds) gradient both read it
+        val pc = least(greatest(col("p").cast("double"), lit(0.000001)), lit(0.999999))
+        val evalAgg = p.select(col("y"), col("p"), pc.as("pc"))
+          .select(col("y"), col("p"),
+            round(-(col("y") * log(col("pc")) +
+              (lit(1) - col("y")) * log(lit(1) - col("pc"))), 6).as("ce"))
+          .agg(Exact.davgRound(col("ce"), 6).as("loss"),
+            sum(when((col("p") >= lit(0.5).cast(dec18)) === (col("y") === 1), 1)
+              .otherwise(0)).cast("long").as("n_correct"))
+        val ws = w.groupBy().agg(
+          sum(abs(col("w"))).cast("double").as("w_l1"),
+          sum(when(col("w") =!= 0, 1).otherwise(0)).cast("long").as("w_nnz"))
+        val e = evalAgg.crossJoin(ws)
+          .select(lit(r).as("iter"), col("loss"), col("n_correct"),
+            col("w_l1"), col("w_nnz"))
+        trace = Some(trace.fold(e)(_.unionByName(e)))
+        if (r < QcRounds) {
+          val g = featY.join(p.select(col("doc_id"), col("p")), "doc_id")
+            .groupBy(col("b")).agg(sum((col("p") - col("y")) * col("x")).as("g"))
+          w = w.join(g, "b").crossJoin(broadcast(totals))
+            .select(col("b"),
+              round(col("w").cast("double") -
+                lit(QcLr.toDouble) * col("g").cast("double") / col("n").cast("double"), 6)
+                .cast(dec18).as("w"))
+            .checkpointed()
+        }
+      }
+      trace.get.presented("iter")
     }
   )
 }

@@ -285,17 +285,18 @@ object MediaQueries {
           (lit(64) + (col("doc_id") % 8) * 16).as("w"), col("text"))
         .withColumn("h_eff", expr("length(text) div w"))
         .filter(col("h_eff") >= 1)
-        .withColumn("thumb_arr", expr(
-          """transform(sequence(0, 47), i ->
-            | ascii(substring(text,
-            |   cast((((i div 8) * h_eff) div 6) * w
-            |        + (((i % 8) * w) div 8) + 1 as int), 1)))""".stripMargin))
+        // One codegen'd pass over the byte grid (graft.plans.Thumb8x6)
+        // instead of the former 48-element transform + array_join +
+        // aggregate HOF chain — same samples (ASCII identity: byte ==
+        // codepoint), three interpreted lambda walks per row retired.
+        .withColumn("t", graft.plans.MediaSample.thumb8x6(
+          col("text").cast("binary"), col("w").cast("long"),
+          col("h_eff").cast("long")))
         .select(col("media_id"),
           col("w").cast("long").as("w"),
           col("h_eff").cast("long").as("h_eff"),
-          expr("array_join(transform(thumb_arr, x -> cast(x as string)), ',')")
-            .as("thumb"),
-          expr("aggregate(thumb_arr, 0L, (acc, x) -> acc + x)").as("thumb_sum"))
+          col("t.thumb").as("thumb"),
+          col("t.thumb_sum").as("thumb_sum"))
         .orderBy("media_id")
     },
 
@@ -335,11 +336,13 @@ object MediaQueries {
           col("f").cast("long").as("n_frames"),
           col("frame_no").cast("long").as("frame_no"),
           expr("(frame_no * f) div 4").cast("long").as("frame_idx"),
-          expr(
-            """aggregate(transform(sequence(1, cast(w as int)), p ->
-              | ascii(substring(text,
-              |   cast(((frame_no * f) div 4) * w + p as int), 1))),
-              | 0L, (acc, x) -> acc + x)""".stripMargin).as("frame_sum"))
+          // Codegen'd W-byte fold (graft.plans.ByteSliceSum) at the
+          // frame's 0-based byte offset — replaces the interpreted
+          // transform + aggregate pair over a per-row index sequence.
+          graft.plans.MediaSample.byteSliceSum(
+            col("text").cast("binary"),
+            expr("((frame_no * f) div 4) * w").cast("long"),
+            col("w").cast("long")).as("frame_sum"))
         .orderBy("media_id", "frame_no")
     },
 

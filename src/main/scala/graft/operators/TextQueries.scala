@@ -49,7 +49,7 @@ object TextQueries {
     "fr" -> Seq("le", "la", "les", "et", "est", "que"),
     "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "men"))
 
-  private val Stopwords: Seq[String] = Profiles.toMap.apply("en")
+  private[operators] val Stopwords: Seq[String] = Profiles.toMap.apply("en")
 
   /** Fixed keyword query for the BM25 scorer (corpus-vocabulary terms). */
   private val BmTerms: Seq[String] = Seq("vector", "hash", "merge")

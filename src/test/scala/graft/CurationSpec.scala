@@ -257,4 +257,27 @@ class CurationSpec extends AnyFunSuite {
         s"cluster ${labels(d)} of origin $d not flagged cross_modal")
     }
   }
+
+  test("q115: loss falls monotonically and the trained model beats the prior") {
+    val rows = run("q115_quality_classifier").sortBy(_.getAs[Int]("iter"))
+    assert(rows.length == 6) // QcRounds=5 updates → 6 eval rows
+    val losses = rows.map(_.getAs[Double]("loss"))
+    // Full-batch GD from w=0 at the tuned rate: every update lowers the
+    // training loss — the convergence evidence the trace exists to show.
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"loss did not fall: ${losses.mkString(", ")}")
+    }
+    assert(losses.head == 0.693147, "iter-0 loss must be ln 2 (w=0 → p=0.5)")
+    // The distillation works: final accuracy beats the majority-class
+    // prior (which is what iter-0's p=0.5 → predict-1 degenerates to).
+    val n = Tables.load(spark, dir, "documents").count().toDouble
+    val acc = rows.map(_.getAs[Long]("n_correct").toDouble / n)
+    val prior = math.max(acc.head, 1.0 - acc.head)
+    assert(acc.last > prior + 0.05,
+      s"final accuracy ${acc.last} does not beat prior $prior")
+    // Weights start empty and only populated buckets ever move.
+    assert(rows.head.getAs[Long]("w_nnz") == 0L)
+    assert(rows.last.getAs[Long]("w_nnz") > 0L)
+    assert(rows.last.getAs[Double]("w_l1") > rows(1).getAs[Double]("w_l1"))
+  }
 }

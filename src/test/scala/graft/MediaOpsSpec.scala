@@ -96,4 +96,32 @@ class MediaOpsSpec extends AnyFunSuite {
         (start until start + wi.toInt).map(t.charAt(_).toLong).sum)
     }
   }
+
+  test("Thumb8x6/ByteSliceSum: codegen and interpreted eval agree on random payloads") {
+    import graft.plans.MediaSample
+    val rnd = new scala.util.Random(110)
+    val payloads = (0 until 150).map { i =>
+      val n = rnd.nextInt(900) // includes empty and sub-grid payloads
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      val w = 1L + rnd.nextInt(96)
+      (i.toLong, b, w, n.toLong / w)
+    }
+    val out = payloads.toDF("id", "payload", "w", "h")
+      .select(col("id"),
+        MediaSample.thumb8x6(col("payload"), col("w"), col("h")).as("t"),
+        // start can go negative (h = 0) or past the end — pins the
+        // out-of-range-reads-as-zero guard in both paths.
+        MediaSample.byteSliceSum(col("payload"), col("w") * col("h") - lit(3L),
+          col("w") + lit(7L)).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getString(0), r.getStruct(1).getLong(1)), r.getLong(2))).toMap
+    payloads.foreach { case (id, b, w, h) =>
+      val ((thumb, sum), slice) = out(id)
+      val (refThumb, refSum) = MediaSample.computeThumb(b, w, h)
+      assert(thumb == refThumb && sum == refSum,
+        s"thumb8x6 codegen diverges from computeThumb for payload $id")
+      assert(slice == MediaSample.computeSliceSum(b, w * h - 3, w + 7),
+        s"byteSliceSum codegen diverges from computeSliceSum for payload $id")
+    }
+  }
 }
