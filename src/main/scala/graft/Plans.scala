@@ -47,7 +47,9 @@ object Plans {
     "q110_media_resize" -> "MAP-ONLY resize: per-row 48-element nearest-neighbor byte sampling rides the scan; the only exchange is the presentation sort (r10)",
     "q111_media_frame_sample" -> "MAP-ONLY frame sampling: explode(4) + a W-element fold per row ride the scan; the only exchange is the presentation sort (r10)",
     "q112_bpe_apply_persisted" -> "tokenize-on-append: PERSISTED merge rules (built once per corpus fingerprint) replay over the BATCH's vocab-sized word table — no retrain, no training-corpus touch; batch stream pays one broadcast seg join (r10)",
-    "q100_ivf_append" -> "persisted assignment index SCANNED for occupancy; only the batch is scored (one broadcast centroid join)")
+    "q100_ivf_append" -> "persisted assignment index SCANNED for occupancy; only the batch is scored (one broadcast centroid join)",
+    "q113_ivfpq_search" -> "IVF-PQ encode is MAP-ONLY: one broadcast centroid array row + broadcast residual codebook, per-row argmin in place — no exchange ever carries a vector; corpus-sized exchanges move (vec_id, cell, m, code) longs only (r11)",
+    "q115_quality_classifier" -> "distributed-LR round (the MLlib GradientDescent shape): weights ship in the task closure — applying them plans NO join; z is a doc-keyed window sum; the gradient is one bucket-keyed partial hash aggregate collapsing the corpus to <=66 rows (r11)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy
     * checkpoint truncates the inspectable plan to an RDD scan, so the
@@ -69,7 +71,29 @@ object Plans {
       // registered query's exact planted-copy union.
       ("q104_media_phash_dedup" ->
         operators.MediaQueries.phashPairs(
-          operators.MediaQueries.phashPlantedUnion(docs)))
+          operators.MediaQueries.phashPlantedUnion(docs))) +
+      // q113's load-bearing claim is the ENCODE path, which lives below
+      // the registered frame's eager checkpoints: dump the map-only
+      // encode projection itself (same frame PlanShapeSpec pins).
+      ("q113_ivfpq_search" -> {
+        import org.apache.spark.sql.functions.col
+        val base = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"),
+            functions.VectorOps.asDouble(col("embedding")).as("ev"))
+        val sub = operators.SimilarityQueries.ivfpqSub(base)
+        val cb = sub.filter(col("vec_id") < operators.SimilarityQueries.PqK)
+          .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
+        operators.SimilarityQueries.ivfpqCodes(sub, cb)
+      }) +
+      // q115's training round, pre-checkpoint: closure-shipped weights
+      // (no join), doc-keyed window z, 6dp sigmoid, bucket-keyed
+      // gradient aggregate (the per-round shape the registered query's
+      // checkpoint truncates).
+      ("q115_quality_classifier" ->
+        operators.CurationQueries.qcGradient(
+          operators.CurationQueries.qcScored(
+            operators.CurationQueries.qcFeatures(spark, sfDir),
+            operators.CurationQueries.qcZeroWeights)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,6 +127,12 @@ object Plans {
       if (name == "q103_lm_perplexity")
         pw.println("(pre-checkpoint scored frame — the registered query " +
           "adds the tercile bucketing on top)")
+      else if (name == "q113_ivfpq_search")
+        pw.println("(pre-checkpoint encode frame — the registered query " +
+          "adds the query-side nprobe/ADC search and recall audit on top)")
+      else if (name == "q115_quality_classifier")
+        pw.println("(pre-checkpoint round-0 sigmoid frame — the registered " +
+          "query chains the gradient updates and eval trace on top)")
       else if (pre.contains(name))
         pw.println("(pre-sort frame — the registered query adds a " +
           "materialize-once range sort on top)")

@@ -74,7 +74,7 @@ object ScaleProbe {
     "q59_dup_clusters", "q64_repetition_filter", "q69_pmi_bigrams",
     "q81_ngram_jaccard", "q84_bloom_decontam", "q86_canonical_pick",
     "q95_dup_spans", "q98_novelty_score", "q99_semantic_prune",
-    "q102_dsir_select", "q103_lm_perplexity")
+    "q102_dsir_select", "q103_lm_perplexity", "q115_quality_classifier")
 
   /** Synthesize a `copies`-replica corpus (documents + embeddings — all
     * the heavy tier reads) into `outDir`, memoized on a marker file. */
@@ -157,7 +157,8 @@ object ScaleProbe {
     // once at the smallest SF so measured numbers are data cost.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      (Heavy ++ Seq("q104_media_phash_dedup", "q108_bpe_train")).foreach { name =>
+      (Heavy ++ Seq("q104_media_phash_dedup", "q108_bpe_train",
+        "q109_bpe_segment")).foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () }

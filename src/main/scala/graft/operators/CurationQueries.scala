@@ -67,6 +67,85 @@ object CurationQueries {
   private val QcLr = "4.0"
   private val QcThSql = "CAST(0.46 AS DECIMAL(8,6))"
 
+  private val QcDec = org.apache.spark.sql.types.DecimalType(18, 6)
+
+  /** One sigmoid pass of q115's trainer: the ≤66-entry weight vector
+    * ships INSIDE the task closure as a map literal (the MLlib
+    * GradientDescent shape — parameters to data; a model too big for a
+    * literal would `broadcast()` instead, same plan class), so applying
+    * the parameters is a per-row map lookup, NO join at all; z is an
+    * exact-decimal window sum over the doc's feature rows (one
+    * doc-keyed exchange), p the 6dp-rounded sigmoid cast back to
+    * decimal. Exposed for PlanShapeSpec's no-join pin. */
+  private[graft] def qcScored(
+      featY: DataFrame, w: Map[Int, java.math.BigDecimal]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = element_at(typedlit(w), col("b")).cast(QcDec)
+    featY
+      .withColumn("z", sum(col("x") * wv).over(Window.partitionBy("doc_id")))
+      .withColumn("p",
+        round(lit(1) / (lit(1) + exp(-col("z").cast("double"))), 6).cast(QcDec))
+  }
+
+  /** q115's gradient allreduce: one hash aggregate keyed on the bucket,
+    * collapsing the corpus to ≤66 partial-summed rows (which then ride
+    * to the driver — the treeAggregate step of distributed LR). */
+  private[graft] def qcGradient(scored: DataFrame): DataFrame =
+    scored.groupBy(col("b")).agg(sum((col("p") - col("y")) * col("x")).as("g"))
+
+  /** q115's labeled feature frame (pre-checkpoint): per-(doc, bucket)
+    * normalized hashed-unigram counts ∪ the capped-length feature
+    * (b = QcBuckets) ∪ bias (b = QcBuckets+1), joined with the
+    * exact-decimal rule label y = [q34 quality ≥ 0.46]. One tokenize
+    * pass; everything downstream of it is reduced. Exposed for the
+    * Plans dump (the registered query's eager checkpoint truncates the
+    * inspectable plan). */
+  private[graft] def qcFeatures(s: SparkSession, dir: String): DataFrame = {
+    val B = QcBuckets
+    val d = docs(s, dir)
+    val toksC = TextOps.tokens(col("text"))
+    // q34's exact-decimal quality, compared AS DECIMAL to the 0.46
+    // threshold (never the cast double).
+    val ratios = d.select(col("doc_id"),
+      size(toksC).cast("long").as("n_tokens"),
+      round((length(col("text")) -
+        length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
+        nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
+      round(size(filter(toksC, t => t.isin(TextQueries.Stopwords: _*))).cast("double") /
+        nullif(size(toksC), lit(0)), 6).as("stop_ratio"))
+    val one8 = expr("CAST(1 AS DECIMAL(8,6))")
+    val pd = col("punct_ratio").cast(QcDec)
+    val sd = col("stop_ratio").cast(QcDec)
+    val lenScore = when(col("n_tokens") >= 50, one8)
+      .otherwise((col("n_tokens") * expr("CAST(0.02 AS DECIMAL(3,2))"))
+        .cast(org.apache.spark.sql.types.DecimalType(8, 6)))
+    val stopScore = when(sd * 5 >= 1, expr("CAST(1 AS DECIMAL(18,6))")).otherwise(sd * 5)
+    val quality = expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
+      expr("CAST(0.3 AS DECIMAL(2,1))") * (one8 - pd) +
+      expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore
+    val lab = ratios.select(col("doc_id"),
+      when(quality >= expr(QcThSql), 1).otherwise(0).as("y"))
+    val tok = d.select(col("doc_id"), explode(toksC).as("t"))
+    val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hf = tok
+      .select(col("doc_id"), (TextOps.hash60(col("t")) % B).cast("int").as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    hf.join(nt, "doc_id")
+      .select(col("doc_id"), col("b"),
+        round(col("c").cast("double") / col("n"), 6).cast(QcDec).as("x"))
+      .unionByName(nt.select(col("doc_id"), lit(B).cast("int").as("b"),
+        round(least(col("n"), lit(50)).cast("double") / lit(50), 6).cast(QcDec).as("x")))
+      .unionByName(d.select(col("doc_id"), lit(B + 1).cast("int").as("b"),
+        lit(1).cast(QcDec).as("x")))
+      .join(lab, "doc_id")
+  }
+
+  /** All-zero initial weights over the full bucket range (hashed ∪
+    * length ∪ bias), for plan dumps and round-0 scoring. */
+  private[graft] def qcZeroWeights: Map[Int, java.math.BigDecimal] =
+    (0 to QcBuckets + 1)
+      .map(_ -> java.math.BigDecimal.ZERO.setScale(6)).toMap
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- Deterministic stratified train/val/test split: bucket each
@@ -770,15 +849,21 @@ object CurationQueries {
     // units (|g| ≤ N docs → exact through sf0.1's 5000 and two more
     // orders of magnitude; the 10× probe regime never hash-compares).
     //
-    // SCALE SHAPE: the distributed-LR plan — the ≤66-row weight
-    // vector BROADCASTS to the feature frame each round (parameters
-    // ship to data, never the reverse); the gradient is one map-side-
-    // combined hash aggregate collapsing to ≤66 rows (allreduce); the
-    // per-(doc,b) reduced feature frame is built ONCE and eager-
-    // checkpointed for its 2·QcRounds+1 consumers. Per round the
-    // exchanges carry |docs| sigmoid rows and 66 gradient partials —
-    // nothing corpus-sized beyond the one tokenize pass, and nothing
-    // lands on the driver (the q93 Lloyd-loop discipline).
+    // SCALE SHAPE: the distributed-LR plan MLlib's GradientDescent
+    // runs — parameters ship TO the data (the ≤66-entry weight vector
+    // rides in the task closure as a map literal; a model too big for
+    // a literal would `broadcast()`, same plan class), applying them
+    // is a per-row lookup with NO join; z is an exact-decimal window
+    // sum keyed by doc; the gradient is one map-side-combined hash
+    // aggregate collapsing the corpus to ≤66 rows, which treeAggregate-
+    // style land on the driver for the update (collecting the GRADIENT,
+    // never the data, is the one sanctioned driver touch in distributed
+    // training). ONE job per round — eval metrics (loss / accuracy)
+    // ride the gradient job via `observe`, costing zero extra scans —
+    // over the per-(doc,b) reduced feature frame, built once and
+    // checkpointed. Per round the exchanges carry |feat| window rows
+    // and 66 gradient partials; nothing corpus-sized beyond the one
+    // tokenize pass.
     q("q115_quality_classifier",
       "X4+ (selection model): fastText-style logistic quality classifier — hashed features, fixed exact GD rounds, falling-loss trace",
       {
@@ -852,84 +937,67 @@ object CurationQueries {
            |SELECT iter, loss, n_correct, w_l1, w_nnz FROM ($union)
            |ORDER BY iter""".stripMargin
       }) { (s, dir) =>
-      val B = QcBuckets
-      val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
-      val d = docs(s, dir)
-      val toksC = TextOps.tokens(col("text"))
-      // q34's exact-decimal quality, compared AS DECIMAL to the 0.46
-      // threshold (never the cast double).
-      val ratios = d.select(col("doc_id"),
-        size(toksC).cast("long").as("n_tokens"),
-        round((length(col("text")) -
-          length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
-          nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
-        round(size(filter(toksC, t => t.isin(TextQueries.Stopwords: _*))).cast("double") /
-          nullif(size(toksC), lit(0)), 6).as("stop_ratio"))
-      val one8 = expr("CAST(1 AS DECIMAL(8,6))")
-      val pd = col("punct_ratio").cast(dec18)
-      val sd = col("stop_ratio").cast(dec18)
-      val lenScore = when(col("n_tokens") >= 50, one8)
-        .otherwise((col("n_tokens") * expr("CAST(0.02 AS DECIMAL(3,2))"))
-          .cast(org.apache.spark.sql.types.DecimalType(8, 6)))
-      val stopScore = when(sd * 5 >= 1, expr("CAST(1 AS DECIMAL(18,6))")).otherwise(sd * 5)
-      val quality = expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
-        expr("CAST(0.3 AS DECIMAL(2,1))") * (one8 - pd) +
-        expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore
-      val lab = ratios.select(col("doc_id"),
-        when(quality >= expr(QcThSql), 1).otherwise(0).as("y"))
-      val tok = d.select(col("doc_id"), explode(toksC).as("t"))
-      val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val hf = tok
-        .select(col("doc_id"), (TextOps.hash60(col("t")) % B).cast("int").as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      val feat = hf.join(nt, "doc_id")
-        .select(col("doc_id"), col("b"),
-          round(col("c").cast("double") / col("n"), 6).cast(dec18).as("x"))
-        .unionByName(nt.select(col("doc_id"), lit(B).cast("int").as("b"),
-          round(least(col("n"), lit(50)).cast("double") / lit(50), 6).cast(dec18).as("x")))
-        .unionByName(d.select(col("doc_id"), lit(B + 1).cast("int").as("b"),
-          lit(1).cast(dec18).as("x")))
-      // Eager: 2·QcRounds+1 consumers (6 z-joins + 5 gradient joins).
-      val featY = feat.join(lab, "doc_id").checkpointed()
-      val totals = d.groupBy().agg(count(lit(1)).as("n"))
-      var w = featY.select(col("b")).distinct()
-        .select(col("b"), lit(0).cast(dec18).as("w")).checkpointed()
-      var trace: Option[DataFrame] = None
+      import java.math.{BigDecimal => JDec, RoundingMode}
+      // Spark's round(double, s) is valueOf → setScale(HALF_UP); the
+      // driver-side update mirrors it bit-for-bit (same op chain the
+      // DuckDB oracle's ROUND/CAST agrees with everywhere else).
+      def round6(x: Double): Double =
+        JDec.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+      // ONE corpus materialization, CO-PARTITIONED on the window's key:
+      // a cached (not checkpointed) frame keeps its outputPartitioning,
+      // so every round's doc-keyed window runs exchange-free — the only
+      // per-round exchange left is the 66-partial gradient combine.
+      // Materialized by the bucket-census job below; unpersisted before
+      // return (the trace is a local relation), so the query leaves no
+      // block-manager debt behind.
+      val featY = qcFeatures(s, dir).repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var w: Map[Int, JDec] = featY.select(col("b")).distinct().collect()
+        .map(r => r.getInt(0) -> JDec.ZERO.setScale(6)).toMap
+      val isDoc = col("b") === QcBuckets + 1 // bias row: exactly one per doc
+      val pcC = least(greatest(col("p").cast("double"), lit(0.000001)), lit(0.999999))
+      val ceC = round(-(col("y") * log(pcC) + (lit(1) - col("y")) * log(lit(1) - pcC)), 6)
+      val trace = Seq.newBuilder[(Int, Double, Long, Double, Long)]
       for (r <- 0 to QcRounds) {
-        val p = featY.join(broadcast(w), "b")
-          .groupBy(col("doc_id"), col("y"))
-          .agg(sum(col("x") * col("w")).as("z"))
-          .select(col("doc_id"), col("y"),
-            round(lit(1) / (lit(1) + exp(-col("z").cast("double"))), 6)
-              .cast(dec18).as("p"))
-          .checkpointed(false) // eval + (r < QcRounds) gradient both read it
-        val pc = least(greatest(col("p").cast("double"), lit(0.000001)), lit(0.999999))
-        val evalAgg = p.select(col("y"), col("p"), pc.as("pc"))
-          .select(col("y"), col("p"),
-            round(-(col("y") * log(col("pc")) +
-              (lit(1) - col("y")) * log(lit(1) - col("pc"))), 6).as("ce"))
-          .agg(Exact.davgRound(col("ce"), 6).as("loss"),
-            sum(when((col("p") >= lit(0.5).cast(dec18)) === (col("y") === 1), 1)
-              .otherwise(0)).cast("long").as("n_correct"))
-        val ws = w.groupBy().agg(
-          sum(abs(col("w"))).cast("double").as("w_l1"),
-          sum(when(col("w") =!= 0, 1).otherwise(0)).cast("long").as("w_nnz"))
-        val e = evalAgg.crossJoin(ws)
-          .select(lit(r).as("iter"), col("loss"), col("n_correct"),
-            col("w_l1"), col("w_nnz"))
-        trace = Some(trace.fold(e)(_.unionByName(e)))
-        if (r < QcRounds) {
-          val g = featY.join(p.select(col("doc_id"), col("p")), "doc_id")
-            .groupBy(col("b")).agg(sum((col("p") - col("y")) * col("x")).as("g"))
-          w = w.join(g, "b").crossJoin(broadcast(totals))
-            .select(col("b"),
-              round(col("w").cast("double") -
-                lit(QcLr.toDouble) * col("g").cast("double") / col("n").cast("double"), 6)
-                .cast(dec18).as("w"))
-            .checkpointed()
-        }
+        // ONE job per round: the bucket-keyed gradient collect, with the
+        // eval metrics (exact-decimal ce sum, doc count, correct count)
+        // riding the same materialization via observe — no second pass.
+        val obs = org.apache.spark.sql.Observation(s"qc-eval-$r")
+        val g = qcGradient(qcScored(featY, w)
+          .observe(obs,
+            sum(when(isDoc, ceC).cast(Exact.Dec)).as("ce_sum"),
+            count(when(isDoc, lit(1))).as("n_docs"),
+            sum(when(isDoc &&
+                ((col("p") >= lit(0.5).cast(QcDec)) === (col("y") === 1)), 1L)
+              .otherwise(0L)).as("n_correct")))
+          .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
+        val m = obs.get
+        val nDocs = m("n_docs").asInstanceOf[Long]
+        // ExactSql.davgRound mirrored on the observed exact-decimal sum:
+        // CAST(SUM(DECIMAL) AS DOUBLE) / COUNT, rounded 6dp.
+        val loss = round6(m("ce_sum").asInstanceOf[JDec].doubleValue / nDocs)
+        // Weight census in exact driver decimals (≡ SQL's
+        // CAST(SUM(ABS(w)) AS DOUBLE) over the same bucket set).
+        val wL1 = w.valuesIterator
+          .foldLeft(JDec.ZERO)((a, v) => a.add(v.abs)).doubleValue
+        val wNnz = w.valuesIterator.count(_.signum != 0).toLong
+        trace += ((r, loss, m("n_correct").asInstanceOf[Long], wL1, wNnz))
+        // The parameter-server step of distributed LR (what MLlib's
+        // GradientDescent runs): the ≤66-row gradient landed on the
+        // driver; update mirrors the oracle's double expression
+        // w − (lr·g)/n exactly, then re-quantizes to DECIMAL(18,6).
+        if (r < QcRounds)
+          w = w.map { case (b, wb) =>
+            val gb = g.getOrElse(b, JDec.ZERO)
+            b -> JDec.valueOf(round6(
+                wb.doubleValue - QcLr.toDouble * gb.doubleValue / nDocs))
+              .setScale(6, RoundingMode.HALF_UP)
+          }
       }
-      trace.get.presented("iter")
+      featY.unpersist(blocking = false)
+      import s.implicits._
+      trace.result().toDF("iter", "loss", "n_correct", "w_l1", "w_nnz")
+        .orderBy("iter")
     }
   )
 }

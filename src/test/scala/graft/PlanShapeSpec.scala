@@ -214,6 +214,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q113 encode shuffles an array column (vectors must never cross the wire):\n$vecShuffles")
   }
 
+  test("q115 training round: no join for parameter application, gradient is one keyed hash aggregate") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import spark.implicits._
+    // Shape-equivalent feature frame (the query's featY schema): the
+    // pins hold regardless of row counts — the weights are a closure
+    // literal, so no statistics can change the plan class.
+    val featY = Seq((1L, 0, BigDecimal("0.25"), 1), (1L, 65, BigDecimal("1"), 1),
+      (2L, 0, BigDecimal("0.5"), 0), (2L, 65, BigDecimal("1"), 0))
+      .toDF("doc_id", "b", "x", "y")
+    val scored = operators.CurationQueries.qcScored(featY,
+      operators.CurationQueries.qcZeroWeights)
+    val sPlan = nodes(scored.queryExecution.executedPlan)
+    // Parameters ship in the task closure (the MLlib weights-broadcast
+    // shape): applying them must plan NO join of any kind.
+    assert(!sPlan.exists(_.isInstanceOf[BaseJoinExec]),
+      "q115 sigmoid pass plans a join — weights must ship in the closure")
+    assert(sPlan.exists(_.isInstanceOf[WindowExec]),
+      "q115 z must be the doc-keyed window sum")
+    val gPlan = nodes(operators.CurationQueries.qcGradient(scored)
+      .queryExecution.executedPlan)
+    assert(gPlan.exists {
+      case h: HashAggregateExec => h.groupingExpressions.exists(_.toString.contains("b"))
+      case _ => false
+    }, "q115 gradient must be a bucket-keyed hash aggregate")
+    assert(!gPlan.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "q115 gradient plans an unkeyed join")
+  }
+
   test("claimed broadcasts are real: q60 stats/dfreq, q26 query side, q99 centroids, q105 steps") {
     Seq("q60_bm25", "q26_knn_topk", "q99_semantic_prune", "q105_mmr_context").foreach { q =>
       assert(nodes(plan(q)).exists(_.isInstanceOf[BroadcastExchangeExec]),
