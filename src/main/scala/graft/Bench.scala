@@ -92,6 +92,9 @@ object Bench {
     // from an earlier JVM — either way not the append cost the record
     // claims to measure.
     warm("bpe merges")(operators.TextQueries.bpeMergesPrepared(spark, sfDir))
+    // And q116's persisted trained classifier (score-on-append assumes
+    // the model already exists — same precondition as the BPE rules).
+    warm("qc model")(operators.CurationQueries.qcModelPrepared(spark, sfDir))
     // SPARK_GRAFT_ONLY=q28_minhash_pairs,q32_simhash_bands — iterate on a
     // subset without paying for the whole suite. Unset = run everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

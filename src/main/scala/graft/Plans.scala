@@ -49,7 +49,8 @@ object Plans {
     "q112_bpe_apply_persisted" -> "tokenize-on-append: PERSISTED merge rules (built once per corpus fingerprint) replay over the BATCH's vocab-sized word table — no retrain, no training-corpus touch; batch stream pays one broadcast seg join (r10)",
     "q100_ivf_append" -> "persisted assignment index SCANNED for occupancy; only the batch is scored (one broadcast centroid join)",
     "q113_ivfpq_search" -> "IVF-PQ encode is MAP-ONLY: one broadcast centroid array row + broadcast residual codebook, per-row argmin in place — no exchange ever carries a vector; corpus-sized exchanges move (vec_id, cell, m, code) longs only (r11)",
-    "q115_quality_classifier" -> "distributed-LR round (the MLlib GradientDescent shape): weights ship in the task closure — parameter application plans NO join (the broadcast joins BELOW the window are the one-time feature/label build, paid once then checkpointed); z is a doc-keyed window sum; the gradient is one bucket-keyed partial hash aggregate collapsing the corpus to <=66 rows (r11)")
+    "q115_quality_classifier" -> "distributed-LR round (the MLlib GradientDescent shape): weights ship in the task closure — parameter application plans NO join (the broadcast joins BELOW the window are the one-time feature/label build, paid once then checkpointed); z is a doc-keyed window sum; the gradient is one bucket-keyed partial hash aggregate collapsing the corpus to <=66 rows (r11)",
+    "q116_score_persisted" -> "score-on-append: the PERSISTED model (<=66 rows, read once) ships in the task closure — inference is tokenize + per-(doc,b) reduce + a doc-keyed window sum; NO join against the corpus, no training-data touch; cost scales with the batch alone (r11)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy
     * checkpoint truncates the inspectable plan to an RDD scan, so the

@@ -100,9 +100,14 @@ object CurationQueries {
     * pass; everything downstream of it is reduced. Exposed for the
     * Plans dump (the registered query's eager checkpoint truncates the
     * inspectable plan). */
-  private[graft] def qcFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def qcFeatures(s: SparkSession, dir: String): DataFrame =
+    qcFeaturesOf(docs(s, dir))
+
+  /** Same, over any `(doc_id, text)` frame — q116 featurizes an append
+    * BATCH with the identical pipeline the model was trained on
+    * (train/serve feature parity is the whole point of sharing this). */
+  private[graft] def qcFeaturesOf(d: DataFrame): DataFrame = {
     val B = QcBuckets
-    val d = docs(s, dir)
     val toksC = TextOps.tokens(col("text"))
     // q34's exact-decimal quality, compared AS DECIMAL to the 0.46
     // threshold (never the cast double).
@@ -145,6 +150,177 @@ object CurationQueries {
   private[graft] def qcZeroWeights: Map[Int, java.math.BigDecimal] =
     (0 to QcBuckets + 1)
       .map(_ -> java.math.BigDecimal.ZERO.setScale(6)).toMap
+
+  /** q115's full training loop (see the q115 scaladoc for the plan and
+    * exactness arguments): returns the final 6dp weight vector and the
+    * per-eval trace rows (iter, loss, n_correct, w_l1, w_nnz). Shared
+    * by the q115 query (which ships the trace) and [[qcModelPrepared]]
+    * (which persists the weights). */
+  private[graft] def qcTrain(s: SparkSession, dir: String)
+      : (Map[Int, java.math.BigDecimal], Seq[(Int, Double, Long, Double, Long)]) = {
+    import java.math.{BigDecimal => JDec, RoundingMode}
+    // Spark's round(double, s) is valueOf → setScale(HALF_UP); the
+    // driver-side update mirrors it bit-for-bit (same op chain the
+    // DuckDB oracle's ROUND/CAST agrees with everywhere else).
+    def round6(x: Double): Double =
+      JDec.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    // ONE corpus materialization, CO-PARTITIONED on the window's key:
+    // a cached (not checkpointed) frame keeps its outputPartitioning,
+    // so every round's doc-keyed window runs exchange-free — the only
+    // per-round exchange left is the 66-partial gradient combine.
+    // Materialized by the bucket-census job below; unpersisted before
+    // return (the trace is a local relation), so the query leaves no
+    // block-manager debt behind.
+    val featY = qcFeatures(s, dir).repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w: Map[Int, JDec] = featY.select(col("b")).distinct().collect()
+      .map(r => r.getInt(0) -> JDec.ZERO.setScale(6)).toMap
+    val isDoc = col("b") === QcBuckets + 1 // bias row: exactly one per doc
+    val pcC = least(greatest(col("p").cast("double"), lit(0.000001)), lit(0.999999))
+    val ceC = round(-(col("y") * log(pcC) + (lit(1) - col("y")) * log(lit(1) - pcC)), 6)
+    val trace = Seq.newBuilder[(Int, Double, Long, Double, Long)]
+    for (r <- 0 to QcRounds) {
+      // ONE job per round: the bucket-keyed gradient collect, with the
+      // eval metrics (exact-decimal ce sum, doc count, correct count)
+      // riding the same materialization via observe — no second pass.
+      val obs = org.apache.spark.sql.Observation(s"qc-eval-$r")
+      val g = qcGradient(qcScored(featY, w)
+        .observe(obs,
+          sum(when(isDoc, ceC).cast(Exact.Dec)).as("ce_sum"),
+          count(when(isDoc, lit(1))).as("n_docs"),
+          sum(when(isDoc &&
+              ((col("p") >= lit(0.5).cast(QcDec)) === (col("y") === 1)), 1L)
+            .otherwise(0L)).as("n_correct")))
+        .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
+      val m = obs.get
+      val nDocs = m("n_docs").asInstanceOf[Long]
+      // ExactSql.davgRound mirrored on the observed exact-decimal sum:
+      // CAST(SUM(DECIMAL) AS DOUBLE) / COUNT, rounded 6dp.
+      val loss = round6(m("ce_sum").asInstanceOf[JDec].doubleValue / nDocs)
+      // Weight census in exact driver decimals (≡ SQL's
+      // CAST(SUM(ABS(w)) AS DOUBLE) over the same bucket set).
+      val wL1 = w.valuesIterator
+        .foldLeft(JDec.ZERO)((a, v) => a.add(v.abs)).doubleValue
+      val wNnz = w.valuesIterator.count(_.signum != 0).toLong
+      trace += ((r, loss, m("n_correct").asInstanceOf[Long], wL1, wNnz))
+      // The parameter-server step of distributed LR (what MLlib's
+      // GradientDescent runs): the ≤66-row gradient landed on the
+      // driver; update mirrors the oracle's double expression
+      // w − (lr·g)/n exactly, then re-quantizes to DECIMAL(18,6).
+      if (r < QcRounds)
+        w = w.map { case (b, wb) =>
+          val gb = g.getOrElse(b, JDec.ZERO)
+          b -> JDec.valueOf(round6(
+              wb.doubleValue - QcLr.toDouble * gb.doubleValue / nDocs))
+            .setScale(6, RoundingMode.HALF_UP)
+        }
+    }
+    featY.unpersist(blocking = false)
+    (w, trace.result())
+  }
+
+  /** The PERSISTED trained model (q116's index side): built once per
+    * corpus fingerprint via [[qcTrain]] and published through the same
+    * build-into-tmp + rename discipline as DedupIndex / the BPE merge
+    * table — the production precondition of score-on-append: the model
+    * already EXISTS, a new batch never retrains. Weights ship as
+    * (bucket, plain-string decimal) so the artifact is engine-agnostic
+    * text with no parquet-decimal round-trip to reason about. */
+  private[graft] def qcModelPrepared(s: SparkSession, sfDir: String): String =
+    graft.pipeline.PreparedArtifact.publishOnce(s, "graft_qc_model",
+        graft.pipeline.PreparedArtifact.fingerprint(s, sfDir, "documents")) { tmp =>
+      val (w, _) = qcTrain(s, sfDir)
+      import s.implicits._
+      w.toSeq.sortBy(_._1).map { case (b, v) => (b, v.toPlainString) }
+        .toDF("b", "w")
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    }
+
+  /** q115/q116 shared oracle SQL: the labeled-feature CTEs over source
+    * relation `src`, CTE names prefixed `pfx` (q116 featurizes the
+    * append batch beside the training chain with pfx = "b" — identical
+    * construction, the train/serve feature-parity requirement made
+    * literal by sharing the generator). */
+  private def qcFeatureCtesSql(src: String, pfx: String): String = {
+    val toks = tokensSql("text")
+    val h = TextOps.hash60Sql("t")
+    val set = TextQueries.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val B = QcBuckets
+    s"""${pfx}tok AS (SELECT doc_id, unnest($toks) AS t FROM $src),
+       |  ${pfx}rat AS (SELECT doc_id,
+       |      CAST(len($toks) AS BIGINT) AS n_tokens,
+       |      ROUND(CAST(len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |            / NULLIF(len(text), 0), 6) AS punct_ratio,
+       |      ROUND(CAST(len(list_filter($toks, t -> list_contains($set, t))) AS DOUBLE)
+       |            / NULLIF(len($toks), 0), 6) AS stop_ratio
+       |    FROM $src),
+       |  ${pfx}lab AS (SELECT doc_id, CASE WHEN
+       |        0.4 * (CASE WHEN n_tokens >= 50 THEN CAST(1 AS DECIMAL(8,6))
+       |               ELSE CAST(n_tokens * 0.02 AS DECIMAL(8,6)) END)
+       |      + 0.3 * (CAST(1 AS DECIMAL(8,6)) - CAST(punct_ratio AS DECIMAL(18,6)))
+       |      + 0.3 * (CASE WHEN CAST(stop_ratio AS DECIMAL(18,6)) * 5 >= 1
+       |               THEN CAST(1 AS DECIMAL(18,6))
+       |               ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END)
+       |        >= $QcThSql THEN 1 ELSE 0 END AS y
+       |    FROM ${pfx}rat),
+       |  ${pfx}nt AS (SELECT doc_id, COUNT(*) AS n FROM ${pfx}tok GROUP BY 1),
+       |  ${pfx}hf AS (SELECT doc_id, CAST($h % $B AS INT) AS b, COUNT(*) AS c
+       |    FROM ${pfx}tok GROUP BY 1, 2),
+       |  ${pfx}feat AS (
+       |    SELECT hf.doc_id, hf.b,
+       |      CAST(ROUND(CAST(c AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS x
+       |    FROM ${pfx}hf hf JOIN ${pfx}nt USING (doc_id)
+       |    UNION ALL
+       |    SELECT doc_id, $B AS b,
+       |      CAST(ROUND(CAST(LEAST(n, 50) AS DOUBLE) / 50, 6) AS DECIMAL(18,6))
+       |    FROM ${pfx}nt
+       |    UNION ALL
+       |    SELECT doc_id, ${B + 1} AS b, CAST(1 AS DECIMAL(18,6)) FROM $src)""".stripMargin
+  }
+
+  /** The unrolled-rounds training chain through `w{QcRounds}` (the
+    * trained weight table); `withEval` adds the per-round ws/e trace
+    * CTEs q115's output unions. Assumes [[qcFeatureCtesSql]]'s
+    * unprefixed CTEs precede it. */
+  private def qcTrainCtesSql(withEval: Boolean): String = {
+    def zp(r: Int): String =
+      s"""z$r AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+         |    FROM feat f JOIN w$r w USING (b) GROUP BY 1),
+         |  p$r AS (SELECT lab.doc_id, lab.y,
+         |      CAST(ROUND(1 / (1 + EXP(-CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6)) AS p
+         |    FROM lab JOIN z$r USING (doc_id))""".stripMargin
+    def update(r: Int): String =
+      s"""g${r + 1} AS (SELECT f.b, SUM((p.p - p.y) * f.x) AS g
+         |    FROM feat f JOIN p$r p USING (doc_id) GROUP BY 1),
+         |  w${r + 1} AS (SELECT w.b,
+         |      CAST(ROUND(CAST(w.w AS DOUBLE)
+         |        - $QcLr * CAST(g.g AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+         |        AS DECIMAL(18,6)) AS w
+         |    FROM w$r w JOIN g${r + 1} g USING (b) CROSS JOIN n)""".stripMargin
+    def eval(r: Int): String =
+      s"""ws$r AS (SELECT CAST(SUM(ABS(w)) AS DOUBLE) AS w_l1,
+         |    CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w_nnz FROM w$r),
+         |  e$r AS (SELECT $r AS iter, loss, n_correct, w_l1, w_nnz FROM (
+         |      SELECT ${ExactSql.davgRound("ce", 6)} AS loss,
+         |        CAST(SUM(CASE WHEN (p >= CAST(0.5 AS DECIMAL(18,6))) = (y = 1)
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |      FROM (SELECT y, p, ROUND(-(y * LN(pc) + (1 - y) * LN(1 - pc)), 6) AS ce
+         |            FROM (SELECT y, p,
+         |                LEAST(GREATEST(CAST(p AS DOUBLE), 0.000001), 0.999999) AS pc
+         |              FROM p$r)))
+         |    CROSS JOIN ws$r)""".stripMargin
+    val rounds = (0 to QcRounds).flatMap { r =>
+      val needZp = withEval || r < QcRounds
+      Seq(
+        if (needZp) Some(zp(r)) else None,
+        if (withEval) Some(eval(r)) else None,
+        if (r < QcRounds) Some(update(r)) else None
+      ).flatten
+    }.mkString(",\n  ")
+    s"""n AS (SELECT COUNT(*) AS n FROM documents),
+       |  w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(18,6)) AS w FROM feat),
+       |  $rounds""".stripMargin
+  }
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -867,137 +1043,78 @@ object CurationQueries {
     q("q115_quality_classifier",
       "X4+ (selection model): fastText-style logistic quality classifier — hashed features, fixed exact GD rounds, falling-loss trace",
       {
-        val toks = tokensSql("text")
-        val h = TextOps.hash60Sql("t")
-        val set = TextQueries.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-        val B = QcBuckets
-        def round(r: Int): String = {
-          val update =
-            if (r >= QcRounds) ""
-            else s""",
-               |  g${r + 1} AS (SELECT f.b, SUM((p.p - p.y) * f.x) AS g
-               |    FROM feat f JOIN p$r p USING (doc_id) GROUP BY 1),
-               |  w${r + 1} AS (SELECT w.b,
-               |      CAST(ROUND(CAST(w.w AS DOUBLE)
-               |        - $QcLr * CAST(g.g AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
-               |        AS DECIMAL(18,6)) AS w
-               |    FROM w$r w JOIN g${r + 1} g USING (b) CROSS JOIN n)""".stripMargin
-          s"""ws$r AS (SELECT CAST(SUM(ABS(w)) AS DOUBLE) AS w_l1,
-             |    CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w_nnz FROM w$r),
-             |  z$r AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
-             |    FROM feat f JOIN w$r w USING (b) GROUP BY 1),
-             |  p$r AS (SELECT lab.doc_id, lab.y,
-             |      CAST(ROUND(1 / (1 + EXP(-CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6)) AS p
-             |    FROM lab JOIN z$r USING (doc_id)),
-             |  e$r AS (SELECT $r AS iter, loss, n_correct, w_l1, w_nnz FROM (
-             |      SELECT ${ExactSql.davgRound("ce", 6)} AS loss,
-             |        CAST(SUM(CASE WHEN (p >= CAST(0.5 AS DECIMAL(18,6))) = (y = 1)
-             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-             |      FROM (SELECT y, p, ROUND(-(y * LN(pc) + (1 - y) * LN(1 - pc)), 6) AS ce
-             |            FROM (SELECT y, p,
-             |                LEAST(GREATEST(CAST(p AS DOUBLE), 0.000001), 0.999999) AS pc
-             |              FROM p$r)))
-             |    CROSS JOIN ws$r)$update""".stripMargin
-        }
-        val rounds = (0 to QcRounds).map(round).mkString(",\n  ")
         val union = (0 to QcRounds).map(r => s"SELECT * FROM e$r").mkString(" UNION ALL ")
-        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
-           |  rat AS (SELECT doc_id,
-           |      CAST(len($toks) AS BIGINT) AS n_tokens,
-           |      ROUND(CAST(len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-           |            / NULLIF(len(text), 0), 6) AS punct_ratio,
-           |      ROUND(CAST(len(list_filter($toks, t -> list_contains($set, t))) AS DOUBLE)
-           |            / NULLIF(len($toks), 0), 6) AS stop_ratio
-           |    FROM documents),
-           |  lab AS (SELECT doc_id, CASE WHEN
-           |        0.4 * (CASE WHEN n_tokens >= 50 THEN CAST(1 AS DECIMAL(8,6))
-           |               ELSE CAST(n_tokens * 0.02 AS DECIMAL(8,6)) END)
-           |      + 0.3 * (CAST(1 AS DECIMAL(8,6)) - CAST(punct_ratio AS DECIMAL(18,6)))
-           |      + 0.3 * (CASE WHEN CAST(stop_ratio AS DECIMAL(18,6)) * 5 >= 1
-           |               THEN CAST(1 AS DECIMAL(18,6))
-           |               ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END)
-           |        >= $QcThSql THEN 1 ELSE 0 END AS y
-           |    FROM rat),
-           |  nt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
-           |  hf AS (SELECT doc_id, CAST($h % $B AS INT) AS b, COUNT(*) AS c
-           |    FROM tok GROUP BY 1, 2),
-           |  feat AS (
-           |    SELECT hf.doc_id, hf.b,
-           |      CAST(ROUND(CAST(c AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS x
-           |    FROM hf JOIN nt USING (doc_id)
-           |    UNION ALL
-           |    SELECT doc_id, $B AS b,
-           |      CAST(ROUND(CAST(LEAST(n, 50) AS DOUBLE) / 50, 6) AS DECIMAL(18,6))
-           |    FROM nt
-           |    UNION ALL
-           |    SELECT doc_id, ${B + 1} AS b, CAST(1 AS DECIMAL(18,6)) FROM documents),
-           |  n AS (SELECT COUNT(*) AS n FROM documents),
-           |  w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(18,6)) AS w FROM feat),
-           |  $rounds
+        s"""WITH ${qcFeatureCtesSql("documents", "")},
+           |  ${qcTrainCtesSql(withEval = true)}
            |SELECT iter, loss, n_correct, w_l1, w_nnz FROM ($union)
            |ORDER BY iter""".stripMargin
       }) { (s, dir) =>
-      import java.math.{BigDecimal => JDec, RoundingMode}
-      // Spark's round(double, s) is valueOf → setScale(HALF_UP); the
-      // driver-side update mirrors it bit-for-bit (same op chain the
-      // DuckDB oracle's ROUND/CAST agrees with everywhere else).
-      def round6(x: Double): Double =
-        JDec.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
-      // ONE corpus materialization, CO-PARTITIONED on the window's key:
-      // a cached (not checkpointed) frame keeps its outputPartitioning,
-      // so every round's doc-keyed window runs exchange-free — the only
-      // per-round exchange left is the 66-partial gradient combine.
-      // Materialized by the bucket-census job below; unpersisted before
-      // return (the trace is a local relation), so the query leaves no
-      // block-manager debt behind.
-      val featY = qcFeatures(s, dir).repartition(col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var w: Map[Int, JDec] = featY.select(col("b")).distinct().collect()
-        .map(r => r.getInt(0) -> JDec.ZERO.setScale(6)).toMap
-      val isDoc = col("b") === QcBuckets + 1 // bias row: exactly one per doc
-      val pcC = least(greatest(col("p").cast("double"), lit(0.000001)), lit(0.999999))
-      val ceC = round(-(col("y") * log(pcC) + (lit(1) - col("y")) * log(lit(1) - pcC)), 6)
-      val trace = Seq.newBuilder[(Int, Double, Long, Double, Long)]
-      for (r <- 0 to QcRounds) {
-        // ONE job per round: the bucket-keyed gradient collect, with the
-        // eval metrics (exact-decimal ce sum, doc count, correct count)
-        // riding the same materialization via observe — no second pass.
-        val obs = org.apache.spark.sql.Observation(s"qc-eval-$r")
-        val g = qcGradient(qcScored(featY, w)
-          .observe(obs,
-            sum(when(isDoc, ceC).cast(Exact.Dec)).as("ce_sum"),
-            count(when(isDoc, lit(1))).as("n_docs"),
-            sum(when(isDoc &&
-                ((col("p") >= lit(0.5).cast(QcDec)) === (col("y") === 1)), 1L)
-              .otherwise(0L)).as("n_correct")))
-          .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
-        val m = obs.get
-        val nDocs = m("n_docs").asInstanceOf[Long]
-        // ExactSql.davgRound mirrored on the observed exact-decimal sum:
-        // CAST(SUM(DECIMAL) AS DOUBLE) / COUNT, rounded 6dp.
-        val loss = round6(m("ce_sum").asInstanceOf[JDec].doubleValue / nDocs)
-        // Weight census in exact driver decimals (≡ SQL's
-        // CAST(SUM(ABS(w)) AS DOUBLE) over the same bucket set).
-        val wL1 = w.valuesIterator
-          .foldLeft(JDec.ZERO)((a, v) => a.add(v.abs)).doubleValue
-        val wNnz = w.valuesIterator.count(_.signum != 0).toLong
-        trace += ((r, loss, m("n_correct").asInstanceOf[Long], wL1, wNnz))
-        // The parameter-server step of distributed LR (what MLlib's
-        // GradientDescent runs): the ≤66-row gradient landed on the
-        // driver; update mirrors the oracle's double expression
-        // w − (lr·g)/n exactly, then re-quantizes to DECIMAL(18,6).
-        if (r < QcRounds)
-          w = w.map { case (b, wb) =>
-            val gb = g.getOrElse(b, JDec.ZERO)
-            b -> JDec.valueOf(round6(
-                wb.doubleValue - QcLr.toDouble * gb.doubleValue / nDocs))
-              .setScale(6, RoundingMode.HALF_UP)
-          }
-      }
-      featY.unpersist(blocking = false)
+      // The loop lives in [[qcTrain]] (q116's artifact builder shares
+      // it); this query ships the training trace.
+      val (_, trace) = qcTrain(s, dir)
       import s.implicits._
-      trace.result().toDF("iter", "loss", "n_correct", "w_l1", "w_nnz")
+      trace.toDF("iter", "loss", "n_correct", "w_l1", "w_nnz")
         .orderBy("iter")
+    },
+
+    // ----- X4+/LLM (incremental): SCORE-ON-APPEND — the q112 pattern
+    // applied to the classifier: the trained model is a PERSISTED
+    // artifact (built once per corpus fingerprint by
+    // [[qcModelPrepared]], same publish discipline as the BPE merge
+    // table), and an incoming batch — every 5th doc, id-shifted +70000
+    // (under the Tables.PlantIdFloor headroom guard), text perturbed
+    // with an OOV marker token — is scored WITHOUT retraining: the
+    // model already exists, inference is featurize + closure-shipped
+    // weights + sigmoid. The batch runs through the SAME feature
+    // pipeline the model was trained on ([[qcFeaturesOf]] /
+    // [[qcFeatureCtesSql]] shared verbatim) — train/serve feature
+    // parity made structural, not aspirational. OOV tokens hash into
+    // whatever buckets they hit; buckets the training corpus never
+    // populated contribute zero (engine: null-skipped lookup; oracle:
+    // inner join against w5 — same semantics, spec-pinned by the hash
+    // gate). Output: per-doc probability, the p ≥ 0.5 admission
+    // decision, and the rule label for the admission audit. The oracle
+    // re-derives the weights via the unrolled training chain (the q68/
+    // q112 convention: persisted index vs oracle recompute) and scores
+    // a parallel batch CTE chain. SCALE: scoring N docs is one
+    // tokenize + per-(doc,b) reduce + a doc-keyed window — no join
+    // against the corpus, no training-data touch; the model rides in
+    // the closure exactly as in q115's rounds.
+    q("q116_score_persisted",
+      "X4+/LLM: batch quality scoring via the persisted trained model (no retrain, OOV-safe)",
+      {
+        s"""WITH ${qcFeatureCtesSql("documents", "")},
+           |  ${qcTrainCtesSql(withEval = false)},
+           |  batch AS (SELECT doc_id + 70000 AS doc_id,
+           |      concat(text, ' zq', CAST(doc_id % 9 AS VARCHAR)) AS text
+           |    FROM documents WHERE doc_id % 5 = 2),
+           |  ${qcFeatureCtesSql("batch", "b")},
+           |  bz AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+           |    FROM bfeat f JOIN w$QcRounds w USING (b) GROUP BY 1),
+           |  bp AS (SELECT doc_id,
+           |      CAST(ROUND(1 / (1 + EXP(-CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6)) AS p
+           |    FROM bz)
+           |SELECT bp.doc_id, blab.y, CAST(p AS DOUBLE) AS p,
+           |  (p >= CAST(0.5 AS DECIMAL(18,6))) AS admitted
+           |FROM bp JOIN blab USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import java.math.{BigDecimal => JDec}
+      // The persisted model: ≤66 (bucket, weight) rows, read once.
+      val w: Map[Int, JDec] = s.read.parquet(qcModelPrepared(s, dir))
+        .collect()
+        .map(r => r.getAs[Int]("b") -> new JDec(r.getAs[String]("w")))
+        .toMap
+      val batch = docs(s, dir).filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(col("text"), lit(" zq"),
+            pmod(col("doc_id"), lit(9)).cast("string")).as("text"))
+      qcScored(qcFeaturesOf(batch), w)
+        .filter(col("b") === QcBuckets + 1) // bias row: one per doc
+        .select(col("doc_id"), col("y"),
+          col("p").cast("double").as("p"),
+          (col("p") >= lit(0.5).cast(QcDec)).as("admitted"))
+        .orderBy("doc_id") // row-per-doc output: parallel range sort
     }
   )
 }

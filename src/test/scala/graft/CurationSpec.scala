@@ -280,4 +280,41 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("w_nnz") > 0L)
     assert(rows.last.getAs[Double]("w_l1") > rows(1).getAs[Double]("w_l1"))
   }
+
+  test("q116: persisted model round-trips exactly; batch coverage and gate audit hold") {
+    import java.math.{BigDecimal => JDec}
+    // Artifact == a fresh train, bit-for-bit: the parquet round-trip
+    // (plain-string decimals) loses nothing, and training is
+    // deterministic — the replay law that makes score-on-append safe.
+    val (trained, _) = operators.CurationQueries.qcTrain(spark, dir)
+    val persisted = spark.read
+      .parquet(operators.CurationQueries.qcModelPrepared(spark, dir))
+      .collect()
+      .map(r => r.getAs[Int]("b") -> new JDec(r.getAs[String]("w")))
+      .toMap
+    assert(persisted.keySet == trained.keySet)
+    persisted.foreach { case (b, w) =>
+      assert(w.compareTo(trained(b)) == 0, s"bucket $b: $w vs ${trained(b)}")
+    }
+    // The scored batch covers EXACTLY the planted append set, and the
+    // learned gate agrees with the rule label above the majority prior
+    // (it was trained to distill that rule; the OOV marker must not
+    // destroy the signal).
+    val rows = run("q116_score_persisted")
+    val expected = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 2)
+      .collect().map(_.getAs[Long]("doc_id") + 70000).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expected)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Boolean]("admitted") == (p >= 0.5))
+    }
+    val agree = rows.count(r =>
+      r.getAs[Boolean]("admitted") == (r.getAs[Int]("y") == 1)).toDouble / rows.length
+    val posFrac = rows.count(_.getAs[Int]("y") == 1).toDouble / rows.length
+    val prior = math.max(posFrac, 1.0 - posFrac)
+    assert(agree > prior,
+      s"gate agreement $agree does not beat the batch prior $prior")
+  }
 }
