@@ -62,7 +62,7 @@ object CurationQueries {
     * trajectory at all three registered SFs (8.0 diverges); the label
     * threshold 0.46 sits at the corpus quality median (pos fraction
     * 0.49–0.54 across SFs). */
-  private val QcBuckets = 64
+  private[graft] val QcBuckets = 64
   private val QcRounds = 5
   private val QcLr = "4.0"
   private val QcThSql = "CAST(0.46 AS DECIMAL(8,6))"
@@ -1115,6 +1115,205 @@ object CurationQueries {
           col("p").cast("double").as("p"),
           (col("p") >= lit(0.5).cast(QcDec)).as("admitted"))
         .orderBy("doc_id") // row-per-doc output: parallel range sort
+    },
+
+    // ----- Capstone v2: the LEARNED release pipeline — q75's manifest
+    // with every hand rule replaced by the tier's trained, persisted
+    // artifacts: exact dedup (one content-hash aggregate; planted
+    // verbatim copies at id+20000 must die while their originals
+    // ship), then the PERSISTED quality classifier gates admission
+    // (q116's scoring path: weights in the task closure, p ≥ 0.5 —
+    // no hand-tuned length window), then the PERSISTED BPE merges
+    // bill each admitted doc in subword units (q112's replay over the
+    // admitted set's vocab-sized word table + one broadcast seg
+    // join — the numbers a token-budgeted training run is provisioned
+    // by), and finally the deterministic hash split. The manifest is
+    // re-derivable from scratch on any cluster AND incrementally
+    // extensible: both learned stages read corpus-fingerprinted
+    // artifacts, so an append batch flows through the same gates the
+    // shipped corpus passed (q68/q112/q116's discipline). SCALE: no
+    // corpus pair join anywhere — dedup is one hash-keyed aggregate,
+    // gating plans NO join (closure weights), billing exchanges are
+    // vocab-sized, the split is map-only; every corpus-sized exchange
+    // is doc-keyed. The oracle re-derives both artifacts (unrolled
+    // training chain + unrolled merge chain) and replays them over a
+    // parallel CTE pipeline — one query certifying dedup, learned
+    // gate, learned billing, and split agree end to end.
+    q("q117_learned_manifest",
+      "X3+X4+/LLM capstone: dedup -> persisted-model gate -> persisted-BPE billing -> split",
+      {
+        val toks = tokensSql("text")
+        val chain = new StringBuilder
+        chain.append(
+          s"""WITH ${qcFeatureCtesSql("documents", "")},
+             |  ${qcTrainCtesSql(withEval = false)},
+             |  u AS (SELECT doc_id, text FROM documents
+             |     UNION ALL
+             |     SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0),
+             |  keep AS (SELECT MIN(doc_id) AS doc_id FROM u GROUP BY md5(text)),
+             |  surv AS (SELECT u.doc_id, u.text FROM u JOIN keep USING (doc_id)),
+             |  ${qcFeatureCtesSql("surv", "s")},
+             |  sz AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+             |    FROM sfeat f JOIN w$QcRounds w USING (b) GROUP BY 1),
+             |  sp AS (SELECT doc_id,
+             |      CAST(ROUND(1 / (1 + EXP(-CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6)) AS p
+             |    FROM sz),
+             |  adm AS (SELECT surv.doc_id, surv.text, CAST(sp.p AS DOUBLE) AS p
+             |    FROM surv JOIN sp USING (doc_id)
+             |    WHERE sp.p >= CAST(0.5 AS DECIMAL(18,6))),
+             |  w_0 AS (
+             |    SELECT concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
+             |           CAST(COUNT(*) AS BIGINT) AS cnt
+             |    FROM (SELECT unnest($toks) AS tok FROM documents)
+             |    GROUP BY 1)""".stripMargin)
+        for (i <- 1 to TextQueries.BpeMerges) {
+          chain.append(",\n").append(TextQueries.bpePairCte(i, s"w_${i - 1}"))
+          if (i < TextQueries.BpeMerges) // the last rewrite is never read
+            chain.append(",\n").append(TextQueries.bpeApplyCte(i, s"w_${i - 1}"))
+        }
+        chain.append(
+          s""",
+             |  a_0 AS (
+             |    SELECT DISTINCT tok,
+             |           concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w
+             |    FROM (SELECT unnest($toks) AS tok FROM adm))""".stripMargin)
+        for (i <- 1 to TextQueries.BpeMerges)
+          chain.append(",\n").append(
+            TextQueries.bpeApplyCte(i, s"a_${i - 1}", Seq("tok"), out = s"a_$i"))
+        chain.append(
+          s""",
+             |  seg AS (SELECT tok, CAST(len(string_split(w, ' ')) AS BIGINT) AS units
+             |          FROM a_${TextQueries.BpeMerges}),
+             |  bill AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |             CAST(SUM(units) AS BIGINT) AS n_units
+             |           FROM (SELECT doc_id, unnest($toks) AS tok FROM adm)
+             |           JOIN seg USING (tok)
+             |           GROUP BY 1)
+             |SELECT doc_id,
+             |  CASE WHEN $hashSql % 100 < 80 THEN 'train'
+             |       WHEN $hashSql % 100 < 90 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  p,
+             |  COALESCE(bill.n_tokens, 0) AS n_tokens,
+             |  COALESCE(bill.n_units, 0) AS n_units
+             |FROM adm LEFT JOIN bill USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+        chain.toString
+      }) { (s, dir) =>
+      import java.math.{BigDecimal => JDec}
+      // Stage 1: exact dedup over the planted union (q75's plant).
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val u = base.unionAll(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val keep = u.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val surv = u.join(keep, "doc_id")
+      // Stage 2: the persisted model gates admission (q116's path —
+      // weights in the closure, no join). Checkpointed: three
+      // downstream consumers (vocab build, billing stream, manifest).
+      val w: Map[Int, JDec] = s.read.parquet(qcModelPrepared(s, dir))
+        .collect()
+        .map(r => r.getAs[Int]("b") -> new JDec(r.getAs[String]("w")))
+        .toMap
+      val gate = qcScored(qcFeaturesOf(surv), w)
+        .filter(col("b") === QcBuckets + 1) // bias row: one per doc
+        .filter(col("p") >= lit(0.5).cast(QcDec))
+        .select(col("doc_id"), col("p").cast("double").as("p"))
+      val adm = surv.join(gate, "doc_id")
+        .select(col("doc_id"), col("text"), col("p"))
+        .checkpointed()
+      // Stage 3: the persisted BPE merges bill the admitted docs
+      // (q112's replay: 8 rules over the admitted set's vocab-sized
+      // word table, then one broadcast seg join over the doc stream).
+      val merges = s.read.parquet(graft.operators.TextQueries.bpeMergesPrepared(s, dir))
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      val words0 = adm
+        .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+        .select(col("tok"),
+          concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"))
+      val words = merges.foldLeft(words0.checkpointed()) { case (wds, (l, r)) =>
+        TextQueries.bpeApplyMerge(wds, l, r, carry = Seq("tok")).checkpointed()
+      }
+      val seg = words.select(col("tok"),
+        size(split(col("w"), " ")).cast("long").as("units"))
+      val bill = adm
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .join(broadcast(seg), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("units")).as("n_units"))
+      // Stage 4: deterministic split; LEFT join so a token-free doc
+      // still ships (billed zero) — a manifest must list every
+      // admitted doc.
+      val h = TextOps.hash60(col("doc_id").cast("string")) % 100
+      adm.join(bill, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+          col("p"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_units"), lit(0L)).as("n_units"))
+        .orderBy("doc_id") // row-per-doc output: parallel range sort
+    },
+
+    // ----- T6 + X4+/LLM: STREAMING score-on-append — q116's scoring
+    // run as a stream: the append batch arrives as parquet files, an
+    // AvailableNow query drains it in per-file micro-batches
+    // (maxFilesPerTrigger=1, so correctness must hold ACROSS batch
+    // boundaries), and foreachBatch applies the identical scoring
+    // pipeline (qcFeaturesOf → closure-shipped persisted weights →
+    // sigmoid) to each micro-batch as an ordinary batch plan. NO
+    // streaming state: a document's score derives from its own text
+    // alone, so rows are self-contained and the operator is stateless
+    // — no watermark, no state store, catch-up over any backlog is
+    // just more batches of the same plan (the q71 stream-static
+    // argument, extended from a broadcast join to a full
+    // explode+aggregate+window scoring pipeline, which foreachBatch
+    // makes expressible). The oracle is the BATCH computation over the
+    // same planted append set: stream ≡ batch is the hash gate itself,
+    // and CurationSpec additionally pins in-engine stream-vs-batch
+    // equality plus the ≥2-micro-batch discipline.
+    q("q118_stream_score",
+      "T6+X4+/LLM: streaming quality scoring via the persisted model (foreachBatch, stateless)",
+      {
+        s"""WITH ${qcFeatureCtesSql("documents", "")},
+           |  ${qcTrainCtesSql(withEval = false)},
+           |  batch AS (SELECT doc_id + 70000 AS doc_id,
+           |      concat(text, ' zq', CAST(doc_id % 11 AS VARCHAR)) AS text
+           |    FROM documents WHERE doc_id % 5 = 4),
+           |  ${qcFeatureCtesSql("batch", "b")},
+           |  bz AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+           |    FROM bfeat f JOIN w$QcRounds w USING (b) GROUP BY 1),
+           |  bp AS (SELECT doc_id,
+           |      CAST(ROUND(1 / (1 + EXP(-CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6)) AS p
+           |    FROM bz)
+           |SELECT bp.doc_id, blab.y, CAST(p AS DOUBLE) AS p,
+           |  (p >= CAST(0.5 AS DECIMAL(18,6))) AS admitted
+           |FROM bp JOIN blab USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import java.math.{BigDecimal => JDec}
+      val w: Map[Int, JDec] = s.read.parquet(qcModelPrepared(s, dir))
+        .collect()
+        .map(r => r.getAs[Int]("b") -> new JDec(r.getAs[String]("w")))
+        .toMap
+      val batch = docs(s, dir).filter(col("doc_id") % 5 === 4)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(col("text"), lit(" zq"),
+            pmod(col("doc_id"), lit(11)).cast("string")).as("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q118").toFile.getAbsolutePath
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      batch.repartition(2).write.parquet(src) // two files → two micro-batches
+      graft.streaming.StreamScore.runAvailableNow(
+        s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
+        qcScored(qcFeaturesOf(b), w)
+          .filter(col("b") === QcBuckets + 1) // bias row: one per doc
+          .select(col("doc_id"), col("y"),
+            col("p").cast("double").as("p"),
+            (col("p") >= lit(0.5).cast(QcDec)).as("admitted"))
+      }
+      s.read.parquet(target).orderBy("doc_id")
     }
   )
 }

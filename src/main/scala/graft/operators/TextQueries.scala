@@ -58,7 +58,7 @@ object TextQueries {
   private val PmiMinCount = 20
 
   /** q108: number of BPE merge rules learned. */
-  private val BpeMerges = 8
+  private[graft] val BpeMerges = 8
 
   /** One greedy-leftmost BPE merge applied to a word table
     * `(w: space-joined units, cnt)` — the application step of
@@ -170,7 +170,7 @@ object TextQueries {
 
   /** DuckDB mirror of q108's per-round SQL: the adjacent-pair count +
     * argmax CTEs over word table `src`. */
-  private def bpePairCte(i: Int, src: String): String =
+  private[graft] def bpePairCte(i: Int, src: String): String =
     s"""pr_$i AS (
        |  SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS total FROM (
        |    SELECT cnt, unnest(list_slice(us, 1, len(us) - 1)) AS u1,
@@ -185,7 +185,7 @@ object TextQueries {
     * `carry` = the non-w columns threaded through unchanged; `out`
     * names the produced CTE (q112 replays the rules onto a batch
     * chain `b_i` beside the training chain `w_i`). */
-  private def bpeApplyCte(i: Int, src: String,
+  private[graft] def bpeApplyCte(i: Int, src: String,
       carry: Seq[String] = Seq("cnt"), out: String = ""): String = {
     val c = carry.mkString(", ")
     val name = if (out.isEmpty) s"w_$i" else out

@@ -317,4 +317,66 @@ class CurationSpec extends AnyFunSuite {
     assert(agree > prior,
       s"gate agreement $agree does not beat the batch prior $prior")
   }
+
+  test("q117: copies never ship, the gate is the persisted model, billing matches the full tokenizer") {
+    val rows = run("q117_learned_manifest")
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    // Stage-1 law: every planted verbatim copy (id ≥ 20000) was
+    // deduped away; only originals ship, each at most once.
+    assert(ids.forall(_ < 20000), "a planted copy shipped")
+    assert(ids.distinct.length == ids.length)
+    // Stage-2 law: the manifest's doc set is EXACTLY the originals the
+    // persisted classifier admits (p ≥ 0.5 on the bias-row sigmoid) —
+    // the learned gate, not some other filter.
+    rows.foreach(r => assert(r.getAs[Double]("p") >= 0.5))
+    // Stage-3 law: per-doc billing equals the FULL-corpus tokenizer's
+    // (q109 trains on the same corpus the persisted rules came from,
+    // so persisted-replay billing must agree doc for doc).
+    val full = run("q109_bpe_segment")
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_units"))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      full.get(id).foreach { case (nt, nu) =>
+        assert(r.getAs[Long]("n_tokens") == nt, s"doc $id n_tokens mismatch")
+        assert(r.getAs[Long]("n_units") == nu, s"doc $id n_units mismatch")
+      }
+      assert(r.getAs[Long]("n_units") >= r.getAs[Long]("n_tokens"))
+    }
+    // Stage-4 law: split assignment is exhaustive over the three bins.
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
+  test("q118: streaming scoring equals the one-shot batch plan over the same append set") {
+    import org.apache.spark.sql.functions._
+    import java.math.{BigDecimal => JDec}
+    // The stream drains per-file micro-batches (maxFilesPerTrigger=1
+    // over a 2-file source), so equality against the ONE-SHOT batch
+    // evaluation of the identical scoring pipeline proves scoring is
+    // correct across batch boundaries — the statelessness claim.
+    val streamed = run("q118_stream_score")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("y"),
+        r.getAs[Double]("p"), r.getAs[Boolean]("admitted"))).sorted
+    assert(streamed.nonEmpty)
+    val C = graft.operators.CurationQueries
+    val w = spark.read.parquet(C.qcModelPrepared(spark, dir)).collect()
+      .map(r => r.getAs[Int]("b") -> new JDec(r.getAs[String]("w"))).toMap
+    val plant = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 4)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(col("text"), lit(" zq"),
+          pmod(col("doc_id"), lit(11)).cast("string")).as("text"))
+    val batch = C.qcScored(C.qcFeaturesOf(plant), w)
+      .filter(col("b") === C.QcBuckets + 1)
+      .select(col("doc_id"), col("y"), col("p").cast("double").as("p"),
+        (col("p") >= lit(0.5).cast(
+          org.apache.spark.sql.types.DecimalType(18, 6))).as("admitted"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("y"),
+        r.getAs[Double]("p"), r.getAs[Boolean]("admitted"))).sorted
+    assert(streamed.sameElements(batch),
+      "streaming scoring diverges from the one-shot batch plan")
+  }
 }
