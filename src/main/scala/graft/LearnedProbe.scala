@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** 10× scale probe for the PERSISTED-MODEL scoring family (round 11):
+  * q116 (batch score-on-append), q117 (the learned release manifest),
+  * q118 (streaming score-on-append). q115's training loop already has
+  * clean + adversarial rows in SCALE_r11; this probe pins the
+  * INFERENCE side — with both persisted artifacts (classifier weights,
+  * BPE merges) built ahead of time, exactly the production
+  * precondition score-on-append claims, the measured cost must scale
+  * ~linearly with the data that actually flows: the append batch for
+  * q116/q118 (batch ∝ corpus here, so ratios read against copies /
+  * chars like every corpus query), the survivor corpus + its
+  * vocabulary for q117.
+  *
+  * Reuses ScaleProbe's corpora (same /tmp caches, same clean /
+  * adversarial transforms — see ScaleProbe's scaladoc for what each
+  * mode stresses) and ProbeHarness's min-of-two discipline. Artifacts
+  * are warmed OUTSIDE the measured passes at both scales: a first call
+  * that trains would bill one-time index construction to a query whose
+  * claim is that it never retrains.
+  *
+  * Usage: java ... graft.LearnedProbe [sf01Dir] [outJson] [clean|adversarial]
+  */
+object LearnedProbe {
+
+  val Probed: Seq[String] =
+    Seq("q116_score_persisted", "q117_learned_manifest", "q118_stream_score")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outFile = args.lift(1).getOrElse("SCALE_r11_learned.json")
+    val adversarial = args.lift(2).contains("adversarial")
+    val spark = ProbeHarness.session()
+    import org.apache.spark.sql.functions.{col, sum}
+    import ProbeHarness.{f3, jstr}
+
+    val (smallDir, bigDir) =
+      if (adversarial) {
+        val s = "/tmp/graft_scaleprobe_advbase"
+        val b = "/tmp/graft_scaleprobe_advsf1"
+        ScaleProbe.synthesize(spark, baseDir, s, 1, adversarial = true)
+        ScaleProbe.synthesize(spark, baseDir, b, ScaleProbe.Copies, adversarial = true)
+        (s, b)
+      } else {
+        val b = "/tmp/graft_scaleprobe_sf1"
+        ScaleProbe.synthesize(spark, baseDir, b, ScaleProbe.Copies, adversarial = false)
+        (baseDir, b)
+      }
+
+    // Both persisted artifacts, both scales, BEFORE any measurement —
+    // the production precondition (the model/rules already exist; a
+    // batch never retrains). publishOnce memoizes on the corpus
+    // fingerprint, so re-runs are free.
+    for (dir <- Seq(smallDir, bigDir)) {
+      operators.CurationQueries.qcModelPrepared(spark, dir)
+      operators.TextQueries.bpeMergesPrepared(spark, dir)
+      println(s"[probe] artifacts warm for $dir")
+    }
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    // Codegen warm (Bench's rationale): each probed query once at the
+    // smallest SF so the measured numbers are data cost, not JIT.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) Probed.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    def measureOnce(frame: => DataFrame): (Double, Double, Option[String]) = {
+      org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val err =
+        try { frame.write.mode("overwrite").format("noop").save(); None }
+        catch { case scala.util.control.NonFatal(e) => Some(ProbeHarness.errMsg(e)) }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
+      val mb = (shuffleBytes.get() - s0) / 1048576.0
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (elapsed, mb, err)
+    }
+    def measure(frame: => DataFrame): ProbeHarness.Measured[Double] =
+      ProbeHarness.minOfTwo(() => measureOnce(frame))
+
+    val rows = Probed.map { name =>
+      val mS = measure(SparkEntry.queries(name)(spark, smallDir))
+      System.gc()
+      val mL = measure(SparkEntry.queries(name)(spark, bigDir))
+      System.gc()
+      val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+        .reduceOption(_ + "; " + _)
+      println(s"[probe] $name base ${f3(mS.sec)}s/${f3(mS.payload)}MB " +
+        s"10x ${f3(mL.sec)}s/${f3(mL.payload)}MB" + err.fold("")(e => s" ERR $e"))
+      (name, mS, mL)
+    }
+
+    val charsRatio = {
+      def chars(dir: String): Long = Tables.load(spark, dir, "documents")
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      chars(bigDir).toDouble / chars(smallDir)
+    }
+    val qjson = rows.map { case (name, mS, mL) =>
+      val ratioT = if (mS.sec > 0) mL.sec / mS.sec else -1.0
+      val ratioMb = if (mS.payload > 0.005) mL.payload / mS.payload else -1.0
+      val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
+        .reduceOption(_ + "; " + _)
+      val rerr = (mS.remeasureError.map("base: " + _) ++
+        mL.remeasureError.map("10x: " + _)).reduceOption(_ + "; " + _)
+      s""""$name":{"base_sec":${f3(mS.sec)},"base_shuffle_mb":${f3(mS.payload)},""" +
+        s""""big_sec":${f3(mL.sec)},"big_shuffle_mb":${f3(mL.payload)},""" +
+        s""""wall_ratio":${f3(ratioT)},"shuffle_ratio":${f3(ratioMb)}""" +
+        err.fold("")(e => s""","error":"${jstr(e)}"""") +
+        rerr.fold("")(e => s""","remeasure_error":"${jstr(e)}"""") + "}"
+    }.mkString("{", ",", "}")
+    val mode = if (adversarial) "adversarial" else "clean"
+    val json = s"""{"probe":"persisted-model scoring 10x scale ($mode)",""" +
+      s""""copies":${ScaleProbe.Copies},"base":"$smallDir",""" +
+      s""""artifacts":"classifier weights + BPE merges persisted at both scales before measurement",""" +
+      s""""spark_version":"${spark.version}",""" +
+      s""""scala_version":"${scala.util.Properties.versionNumberString}",""" +
+      s""""java_version":"${System.getProperty("java.version")}",""" +
+      s""""chars_ratio":${f3(charsRatio)},""" +
+      s""""law":"shuffle_ratio ~<= chars_ratio (batch/corpus both scale with the corpus here); q118 adds fixed per-micro-batch streaming overhead",""" +
+      s""""queries":$qjson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
