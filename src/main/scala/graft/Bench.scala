@@ -85,6 +85,9 @@ object Bench {
     // And q100's persisted ANN assignment index (same production
     // precondition as the dedup index above).
     warm("vector index")(pipeline.VectorIndex.prepared(spark, sfDir, operators.SimilarityQueries.IvfCells))
+    // And q119's persisted IVF-PQ codes table (the composite-index
+    // sibling: encode-on-append assumes the bulk index already exists).
+    warm("ivfpq index")(operators.SimilarityQueries.ivfPqIndexPrepared(spark, sfDir))
     // And q112's persisted BPE merge table (same precondition again:
     // tokenize-on-append assumes the rules already exist). Without this
     // explicit warm, q112's single measured pass would either pay the
@@ -118,6 +121,7 @@ object Bench {
         streaming.NormalizedEvents.sourceDir(spark, warmDir)
         streaming.NormalizedEvents.outerJoinFixture(spark, warmDir)
         pipeline.VectorIndex.prepared(spark, warmDir, operators.SimilarityQueries.IvfCells)
+        operators.SimilarityQueries.ivfPqIndexPrepared(spark, warmDir)
       }
       selected.foreach { case (_, fn) =>
         // NonFatal only: an OOM/VM error here means the JVM is already

@@ -85,7 +85,7 @@ object SimilarityQueries {
   // coarse centroids (first ids, a k-means stand-in); private[graft] so
   // Bench can pre-build q100's persisted index at the same cell count
   private[graft] val IvfCells = 16
-  private val PqM = 4        // PQ subspaces (64 dims → 4×16)
+  private[graft] val PqM = 4 // PQ subspaces (64 dims → 4×16)
   // private[graft]: PlanShapeSpec rebuilds q113's residual codebook to
   // pin the encode path's no-vector-shuffle law on the untruncated plan.
   private[graft] val PqK = 4 // PQ codes per subspace (seed centroids)
@@ -228,13 +228,21 @@ object SimilarityQueries {
     * reintroduce the vector exchange, so the map-only form wins here
     * (the same cost either way; l2Hof is law-pinned equal to the
     * codegen'd L2Dist in L2DistSpec, so the 6dp parity contract holds). */
-  private[graft] def ivfpqSub(base: DataFrame): DataFrame = {
+  private[graft] def ivfpqSub(base: DataFrame): DataFrame =
+    ivfpqSub(base, base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("ev").as("cv")))
+
+  /** Two-frame form (q119): encode `vectors` against an EXPLICIT
+    * centroid frame — the append path assigns a batch against the
+    * CORPUS's centroids, which the single-frame overload (centroids
+    * derived from the encoded frame itself) cannot express. Given the
+    * centroids, encoding is row-local, so incremental ≡ bulk per row
+    * (IvfPqAppendSpec pins the law). */
+  private[graft] def ivfpqSub(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val S = Embedder.Dim / PqM
-    val cents = base.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
     val centArr = cents.groupBy()
       .agg(collect_list(struct(col("cell_id"), col("cv"))).as("cents"))
-    base.crossJoin(broadcast(centArr))
+    vectors.crossJoin(broadcast(centArr))
       // argmin over the in-row centroid array: struct(d, cell_id, cv)
       // compares lexicographically — the (d ASC, cell_id ASC) contract
       // the oracle's ROW_NUMBER expresses; cv rides along for the
@@ -260,6 +268,131 @@ object SimilarityQueries {
       .withColumn("d", round(VectorOps.l2(col("sv"), col("cvr")), 6))
       .groupBy(col("vec_id"), col("cell_id"), col("m"))
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** The residual codebook recomputed from the corpus seeds — byte-equal
+    * to the bulk build's `sub.filter(vec_id < PqK)` slice because
+    * encoding is row-local given the centroids, but costs PqK rows
+    * instead of a corpus pass. The append path (q119) rides on this:
+    * centroids and codebook are seed-deterministic, so only the CODES
+    * table needs persistence. */
+  private[graft] def ivfpqCodebook(base: DataFrame, cents: DataFrame): DataFrame =
+    ivfpqSub(base.filter(col("vec_id") < PqK), cents)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
+
+  /** Per-vector PACKED code rows `(vec_id, cell_id, codes[PqM])` from
+    * the per-(vector, subspace) code stream — the deployed FAISS-style
+    * layout: one row per vector, codes ordered by subspace, so ADC can
+    * read a candidate's whole code word without a per-m join. */
+  private[graft] def ivfpqPacked(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"), col("cell_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        t => t.getField("code")).as("codes"))
+
+  /** One-time persisted IVF-PQ codes table `(vec_id, cell_id,
+    * codes[PqM])` — the composite-index sibling of [[graft.pipeline
+    * .VectorIndex.prepared]] (q100's assignment index): written once
+    * per corpus fingerprint, so an append (q119) pays only the batch's
+    * map-only encode plus index-sized aggregates, never a corpus
+    * re-encode. At 100 TB this table IS the deployed index (clustered
+    * by cell_id); the raw vectors are cold storage it never rescans. */
+  private[graft] def ivfPqIndexPrepared(s: SparkSession, sfDir: String,
+      cells: Int = IvfCells): String =
+    graft.pipeline.PreparedArtifact.publishOnce(s, "graft_ivfpq_index",
+        s"${graft.pipeline.PreparedArtifact.fingerprint(s, sfDir, "embeddings")}_${cells}_${PqM}_$PqK") { tmp =>
+      val base = emb(s, sfDir)
+      val cents = base.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      val sub = ivfpqSub(base, cents).checkpointed()
+      val cb = sub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
+      ivfpqPacked(ivfpqCodes(sub, cb)).write.parquet(tmp.toString)
+    }
+
+  /** q119's append pipeline with the cell count as the explicit scale
+    * knob — the registered query runs `cells = IvfCells`; the 10×
+    * probe runs `cells ∝ corpus` (the q99_scaled_cells convention),
+    * the configuration that bounds per-cell occupancy and with it the
+    * in-task ADC pair work. */
+  private[graft] def ivfpqAppend(s: SparkSession, dir: String, cells: Int): DataFrame = {
+    val idx = s.read.parquet(ivfPqIndexPrepared(s, dir, cells))
+    val occ = idx.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n_index"))
+    val base = emb(s, dir)
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+    val cb = ivfpqCodebook(base, cents)
+    val batch = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("ev"), x => -x).as("ev"))
+    // EAGER checkpoint: bsub feeds the encode AND the distance-table
+    // side, and the codebook subtree above it lands in a broadcast
+    // build thread (the q99/q113 lesson) — without the barrier the
+    // map-only encode projection computes twice in parallel.
+    val bsub = ivfpqSub(batch, cents).checkpointed()
+    val barr = ivfpqPacked(ivfpqCodes(bsub, cb))
+    // The batch's flat ADC table: one 16-double array per vector,
+    // entry (m, code) at index m·PqK + code + 1 — complete because cb
+    // carries every (m, code) pair, so array_sort by (m, code) IS the
+    // flat layout.
+    val dt16 = bsub.join(broadcast(cb), "m")
+      .withColumn("t", round(VectorOps.l2(col("sv"), col("cvr")), 6))
+      .withColumn("d2", round(col("t") * col("t"), 6))
+      .groupBy(col("vec_id"), col("cell_id"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("m"), col("code"), col("d2")))),
+        t => t.getField("d2")).as("dt16"))
+      .select(col("vec_id").as("query_id"), col("cell_id"), col("dt16"))
+    // The insert check: ONE equi-join on cell_id; the ADC distance is
+    // computed in-row (exact-decimal 4-term sum of the looked-up 6dp
+    // entries) — no per-pair exchange exists in this plan.
+    val adSum = (0 until PqM).map(m =>
+      element_at(col("dt16"),
+        (lit(m * PqK) + element_at(col("codes"), m + 1) + 1).cast("int"))
+        .cast(Exact.Dec)).reduce(_ + _)
+    val adc = idx.join(dt16, Seq("cell_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(sqrt(adSum.cast("double")), 6).as("ad"))
+    val nn = adc.groupBy(col("query_id"))
+      .agg(min_by(struct(col("vec_id"), col("ad")),
+        struct(col("ad"), col("vec_id"))).as("n"))
+      .select(col("query_id").as("vec_id"),
+        col("n.vec_id").as("nn_vec_id"), col("n.ad").as("nn_ad"))
+    barr.join(occ, Seq("cell_id"), "left_outer")
+      .na.fill(0L, Seq("cell_n_index"))
+      .join(nn, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell_id"),
+        element_at(col("codes"), 1).as("c0"),
+        element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"),
+        element_at(col("codes"), 4).as("c3"),
+        col("cell_n_index"), col("nn_vec_id"), col("nn_ad"))
+      .orderBy("vec_id") // row-per-batch-vector: parallel range sort
+  }
+
+  /** The index half of the IVF-PQ oracle chain (es → cents → assign →
+    * res → sub → cb → codes), shared verbatim by q113 and q119 so the
+    * two oracles can never drift on the encode semantics. */
+  private def ivfpqIndexCtesSql: String = {
+    val S = Embedder.Dim / PqM
+    s"""es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |  cents AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells),
+       |  assign AS (SELECT vec_id, cell_id FROM (
+       |    SELECT es.vec_id, cents.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
+       |        ROUND(list_distance(ev, cv), 6) ASC, cents.cell_id) AS rn
+       |    FROM es, cents) WHERE rn = 1),
+       |  res AS (SELECT a.vec_id, a.cell_id,
+       |            [es.ev[i] - c.cv[i] for i in range(1, len(es.ev) + 1)] AS rv
+       |          FROM assign a JOIN es USING (vec_id) JOIN cents c USING (cell_id)),
+       |  sub AS (SELECT vec_id, cell_id, m.m,
+       |            list_slice(rv, m.m * $S + 1, m.m * $S + $S) AS sv
+       |          FROM res CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
+       |  cb AS (SELECT m, vec_id AS code, sv AS cvr FROM sub WHERE vec_id < $PqK),
+       |  codes AS (SELECT vec_id, cell_id, m, code FROM (
+       |    SELECT s.vec_id, s.cell_id, s.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
+       |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1)""".stripMargin
+  }
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -1212,25 +1345,7 @@ object SimilarityQueries {
       "X2 composite: IVF-PQ residual index — map-only encode, nprobe ADC search, recall audit"
     }, {
       val S = Embedder.Dim / PqM
-      s"""WITH es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-         |  cents AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells),
-         |  assign AS (SELECT vec_id, cell_id FROM (
-         |    SELECT es.vec_id, cents.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
-         |        ROUND(list_distance(ev, cv), 6) ASC, cents.cell_id) AS rn
-         |    FROM es, cents) WHERE rn = 1),
-         |  res AS (SELECT a.vec_id, a.cell_id,
-         |            [es.ev[i] - c.cv[i] for i in range(1, len(es.ev) + 1)] AS rv
-         |          FROM assign a JOIN es USING (vec_id) JOIN cents c USING (cell_id)),
-         |  sub AS (SELECT vec_id, cell_id, m.m,
-         |            list_slice(rv, m.m * $S + 1, m.m * $S + $S) AS sv
-         |          FROM res CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
-         |  cb AS (SELECT m, vec_id AS code, sv AS cvr FROM sub WHERE vec_id < $PqK),
-         |  codes AS (SELECT vec_id, cell_id, m, code FROM (
-         |    SELECT s.vec_id, s.cell_id, s.m, c.code,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-         |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
-         |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1),
+      s"""WITH $ivfpqIndexCtesSql,
          |  qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
          |  probes AS (SELECT query_id, cell_id FROM (
          |    SELECT qs.query_id, cents.cell_id,
@@ -1322,6 +1437,103 @@ object SimilarityQueries {
           round(coalesce(col("n_overlap"), lit(0L)).cast("double") / IvfK, 6)
             .as("recall"))
         .presented("query_id", "rn")
+    },
+
+    // ----- X2/LLM (incremental, round-11 completion of the append
+    // family): IVF-PQ ENCODE-ON-APPEND — the q112/q116 pattern applied
+    // to the composite index. The corpus's packed codes table is a
+    // PERSISTED artifact ([[ivfPqIndexPrepared]], same publish
+    // discipline as the dedup/ANN/BPE/classifier artifacts); an
+    // incoming batch (every 5th vector negated under a +100000 id
+    // shift — q100's convention) is encoded WITHOUT re-touching the
+    // corpus: centroids and the residual codebook are seed-
+    // deterministic ([[ivfpqCodebook]] recomputes them from PqK rows),
+    // so the batch pays one map-only assign + residual + PQ encode.
+    // The query then runs the production INSERT path: each batch
+    // vector ADC-checks its HOME cell against the persisted codes (the
+    // near-dup-on-insert triage a 100 TB vector store runs before
+    // admitting a vector) and reports the nearest existing neighbor.
+    //
+    // SCALE SHAPE — every exchange linear, the quadratic stays in-task:
+    // batch encode is exchange-free up to the tiny code rows
+    // (ivfpqSub's map-only law, pinned in PlanShapeSpec); the batch's
+    // M·K distance-table entries collapse to ONE flat 16-double array
+    // per vector (indexed m·K+code — q89's lookup table as a row
+    // value); the insert check is then a single equi-join on cell_id
+    // between two packed-row frames (persisted codes ∥ batch tables),
+    // and each joined row computes its ADC distance IN PLACE — an
+    // exact-decimal 4-term sum of the looked-up 6dp entries, no per-
+    // pair shuffle anywhere (the pair-level groupBy that a per-m join
+    // would need is exactly what turns quadratic candidate volume into
+    // quadratic SHUFFLE; here pair volume is in-task CPU, bounded by
+    // cell occupancy, which production holds constant by growing cells
+    // ∝ corpus — the q99/q113 contract). The final per-query min is a
+    // min_by whose map-side partial leaves one row per (query,
+    // partition). Output per batch vector: home cell, its PqM codes,
+    // the cell's persisted occupancy, nearest existing neighbor + ADC
+    // distance.
+    q("q119_ivfpq_append", {
+      "X2/LLM incremental: IVF-PQ encode-on-append + per-cell in-row ADC insert check vs the persisted codes"
+    }, {
+      val dt16Sql = (0 until PqM).flatMap(m => (0 until PqK).map(k =>
+        s"MAX(CASE WHEN m = $m AND code = $k THEN d2 END)"))
+        .mkString("[", ", ", "]")
+      val packSql = (0 until PqM).map(m =>
+        s"MAX(CASE WHEN m = $m THEN code END)").mkString("[", ", ", "]")
+      val adSql = (0 until PqM).map(m =>
+        s"CAST(d.dt16[${m * PqK} + e.codes[${m + 1}] + 1] AS DECIMAL(28,6))")
+        .mkString(" + ")
+      s"""WITH $ivfpqIndexCtesSql,
+         |  idxa AS (SELECT vec_id, cell_id, $packSql AS codes
+         |           FROM codes GROUP BY 1, 2),
+         |  occ AS (SELECT cell_id, COUNT(*) AS cell_n_index
+         |          FROM idxa GROUP BY 1),
+         |  batch AS (SELECT vec_id + 100000 AS vec_id,
+         |              list_transform(ev, x -> -x) AS ev
+         |            FROM es WHERE vec_id % 5 = 0),
+         |  bassign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT b.vec_id, cents.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ROUND(list_distance(b.ev, cv), 6) ASC, cents.cell_id) AS rn
+         |    FROM batch b, cents) WHERE rn = 1),
+         |  bres AS (SELECT a.vec_id, a.cell_id,
+         |             [b.ev[i] - c.cv[i] for i in range(1, len(b.ev) + 1)] AS rv
+         |           FROM bassign a JOIN batch b USING (vec_id)
+         |           JOIN cents c USING (cell_id)),
+         |  bsub AS (SELECT vec_id, cell_id, m.m,
+         |             list_slice(rv, m.m * ${Embedder.Dim / PqM} + 1,
+         |               m.m * ${Embedder.Dim / PqM} + ${Embedder.Dim / PqM}) AS sv
+         |           FROM bres CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
+         |  bcodes AS (SELECT vec_id, cell_id, m, code FROM (
+         |    SELECT s.vec_id, s.cell_id, s.m, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
+         |    FROM bsub s JOIN cb c USING (m)) WHERE rn = 1),
+         |  barr AS (SELECT vec_id, cell_id, $packSql AS codes
+         |           FROM bcodes GROUP BY 1, 2),
+         |  bdts AS (SELECT s.vec_id AS query_id, s.cell_id, c.m, c.code,
+         |             ROUND(list_distance(s.sv, c.cvr), 6) AS t
+         |           FROM bsub s JOIN cb c USING (m)),
+         |  bdt AS (SELECT query_id, cell_id, m, code, ROUND(t * t, 6) AS d2
+         |          FROM bdts),
+         |  dt16 AS (SELECT query_id, cell_id, $dt16Sql AS dt16
+         |           FROM bdt GROUP BY 1, 2),
+         |  adc AS (SELECT d.query_id, e.vec_id,
+         |            ROUND(sqrt(CAST($adSql AS DOUBLE)), 6) AS ad
+         |          FROM idxa e JOIN dt16 d USING (cell_id)),
+         |  nn AS (SELECT query_id, vec_id AS nn_vec_id, ad AS nn_ad FROM (
+         |    SELECT query_id, vec_id, ad,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id) AS rn
+         |    FROM adc) WHERE rn = 1)
+         |SELECT b.vec_id, b.cell_id,
+         |  b.codes[1] AS c0, b.codes[2] AS c1, b.codes[3] AS c2, b.codes[4] AS c3,
+         |  COALESCE(occ.cell_n_index, 0) AS cell_n_index,
+         |  nn.nn_vec_id, nn.nn_ad
+         |FROM barr b LEFT JOIN occ USING (cell_id)
+         |LEFT JOIN nn ON nn.query_id = b.vec_id
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      ivfpqAppend(s, dir, IvfCells) // body shared with the scaled-cells probe
     }
   )
 }
