@@ -26,7 +26,8 @@ import org.apache.spark.sql.DataFrame
 object LearnedProbe {
 
   val Probed: Seq[String] =
-    Seq("q116_score_persisted", "q117_learned_manifest", "q118_stream_score")
+    Seq("q116_score_persisted", "q117_learned_manifest", "q118_stream_score",
+      "q119_ivfpq_append")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -56,8 +57,15 @@ object LearnedProbe {
     for (dir <- Seq(smallDir, bigDir)) {
       operators.CurationQueries.qcModelPrepared(spark, dir)
       operators.TextQueries.bpeMergesPrepared(spark, dir)
+      // q119's persisted IVF-PQ codes, in BOTH configurations measured
+      // below: the registered cell count, and cells ∝ corpus at 10×
+      // (the q99_scaled_cells convention) — index construction is the
+      // bulk build's cost, never the append's.
+      operators.SimilarityQueries.ivfPqIndexPrepared(spark, dir)
       println(s"[probe] artifacts warm for $dir")
     }
+    operators.SimilarityQueries.ivfPqIndexPrepared(spark, bigDir,
+      operators.SimilarityQueries.IvfCells * ScaleProbe.Copies)
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -104,6 +112,20 @@ object LearnedProbe {
       (name, mS, mL)
     }
 
+    // q119 with cells ∝ corpus at 10× (the q99_scaled_cells convention):
+    // the deployment knob that bounds per-cell occupancy, so the insert
+    // check's in-task ADC pair work scales with the batch instead of
+    // batch × corpus. The 160-cell index was pre-built above; the
+    // measured thunk pays only the append. Clean mode only — the
+    // adversarial corpus stresses text joins, not the vector grid.
+    val scaledCells = if (adversarial) None else Some {
+      val m = measure(operators.SimilarityQueries.ivfpqAppend(
+        spark, bigDir, operators.SimilarityQueries.IvfCells * ScaleProbe.Copies))
+      println(s"[probe] q119_scaled_cells 10x ${f3(m.sec)}s/${f3(m.payload)}MB" +
+        m.error.fold("")(e => s" ERR $e"))
+      m
+    }
+
     val charsRatio = {
       def chars(dir: String): Long = Tables.load(spark, dir, "documents")
         .agg(sum(col("n_chars"))).head().getLong(0)
@@ -130,8 +152,13 @@ object LearnedProbe {
       s""""scala_version":"${scala.util.Properties.versionNumberString}",""" +
       s""""java_version":"${System.getProperty("java.version")}",""" +
       s""""chars_ratio":${f3(charsRatio)},""" +
-      s""""law":"shuffle_ratio ~<= chars_ratio (batch/corpus both scale with the corpus here); q118 adds fixed per-micro-batch streaming overhead",""" +
-      s""""queries":$qjson}"""
+      s""""law":"shuffle_ratio ~<= chars_ratio (batch/corpus both scale with the corpus here); q118 adds fixed per-micro-batch streaming overhead; q119's in-task ADC pair work is occupancy-bounded — cells ∝ corpus (the scaled_cells row) is the deployment knob",""" +
+      s""""queries":$qjson""" +
+      scaledCells.fold("") { m =>
+        s""","q119_scaled_cells_sf1":{"cells":${operators.SimilarityQueries.IvfCells * ScaleProbe.Copies},""" +
+          s""""sec":${f3(m.sec)},"shuffle_mb":${f3(m.payload)}""" +
+          m.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+      } + "}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(json)
     spark.stop()

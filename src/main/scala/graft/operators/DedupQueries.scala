@@ -776,6 +776,58 @@ object DedupQueries {
     (1000537L, 5247L), (1000541L, 5378L), (1000547L, 5509L), (1000577L, 5640L), (1000579L, 5771L),
     (1000589L, 5902L), (1000609L, 6033L), (1000619L, 6164L), (1000621L, 6295L), (1000639L, 6426L))
 
+  /** q68/q120's shared append batch: every 4th doc — verbatim (%12),
+    * first token dropped (%8), or token-reversed (reversal destroys
+    * every shingle, so those must come out 'new'). */
+  private def appendTriageBatch(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+    base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 90000).as("doc_id"),
+        when(col("doc_id") % 12 === 0, col("text"))
+          .when(col("doc_id") % 8 === 0, dropFirstTok(col("text")))
+          .otherwise(concat_ws(" ", reverse(TextOps.tokens(col("text")))))
+          .as("text"))
+  }
+
+  /** q68's oracle, shared VERBATIM by q120 (the same triage drained as
+    * an AvailableNow stream): stream ≡ batch is q120's hash gate. */
+  private def appendTriageOracleSql: String = {
+    val toks = tokensSql("text")
+    val sigExpr = simhashSql(
+      s"list_transform(${shinglesSql(toks)}, t -> ${hash60Sql("t")})")
+    s"""WITH batch AS (SELECT doc_id + 90000 AS doc_id,
+       |         CASE WHEN doc_id % 12 = 0 THEN text
+       |              WHEN doc_id % 8 = 0 THEN $dropFirstTokSql
+       |              ELSE list_aggregate(list_reverse($toks), 'string_agg', ' ') END AS text
+       |       FROM documents WHERE doc_id % 4 = 0),
+       |  ex AS (SELECT bh.doc_id, COUNT(*) AS exact_n
+       |         FROM (SELECT doc_id, md5(text) AS h FROM batch) bh
+       |         JOIN (SELECT md5(text) AS h FROM documents) ih USING (h)
+       |         GROUP BY 1),
+       |  u AS (SELECT 'idx' AS side, doc_id, text FROM documents
+       |        UNION ALL SELECT 'new', doc_id, text FROM batch),
+       |  sg AS (SELECT side, doc_id, $sigExpr AS sig FROM u),
+       |  bands AS (SELECT side, doc_id, sig, b.band_id,
+       |              (sig >> (b.band_id * 15)) & 32767 AS band_val
+       |            FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),
+       |  nearm AS (SELECT n.doc_id, COUNT(DISTINCT i.doc_id) AS near_n
+       |            FROM bands n JOIN bands i
+       |              ON n.band_id = i.band_id AND n.band_val = i.band_val
+       |            WHERE n.side = 'new' AND i.side = 'idx'
+       |              AND CAST(bit_count(xor(n.sig, i.sig)) AS BIGINT) <= $HammingThresh
+       |            GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN COALESCE(ex.exact_n, 0) > 0 THEN 'exact_dup'
+       |       WHEN COALESCE(nm.near_n, 0) > 0 THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  CASE WHEN COALESCE(ex.exact_n, 0) > 0 THEN ex.exact_n
+       |       ELSE COALESCE(nm.near_n, 0) END AS n_matches
+       |FROM batch b
+       |LEFT JOIN ex ON ex.doc_id = b.doc_id
+       |LEFT JOIN nearm nm ON nm.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // ----- X3 exact: hash-groupBy dedup with provenance. Planted: every
@@ -972,60 +1024,44 @@ object DedupQueries {
     // so those must come out 'new').
     q("q68_incremental_dedup",
       "X3: batch-vs-index append triage (exact / near / new)",
-      {
-        val toks = tokensSql("text")
-        val sigExpr = simhashSql(
-          s"list_transform(${shinglesSql(toks)}, t -> ${hash60Sql("t")})")
-        s"""WITH batch AS (SELECT doc_id + 90000 AS doc_id,
-           |         CASE WHEN doc_id % 12 = 0 THEN text
-           |              WHEN doc_id % 8 = 0 THEN $dropFirstTokSql
-           |              ELSE list_aggregate(list_reverse($toks), 'string_agg', ' ') END AS text
-           |       FROM documents WHERE doc_id % 4 = 0),
-           |  ex AS (SELECT bh.doc_id, COUNT(*) AS exact_n
-           |         FROM (SELECT doc_id, md5(text) AS h FROM batch) bh
-           |         JOIN (SELECT md5(text) AS h FROM documents) ih USING (h)
-           |         GROUP BY 1),
-           |  u AS (SELECT 'idx' AS side, doc_id, text FROM documents
-           |        UNION ALL SELECT 'new', doc_id, text FROM batch),
-           |  sg AS (SELECT side, doc_id, $sigExpr AS sig FROM u),
-           |  bands AS (SELECT side, doc_id, sig, b.band_id,
-           |              (sig >> (b.band_id * 15)) & 32767 AS band_val
-           |            FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),
-           |  nearm AS (SELECT n.doc_id, COUNT(DISTINCT i.doc_id) AS near_n
-           |            FROM bands n JOIN bands i
-           |              ON n.band_id = i.band_id AND n.band_val = i.band_val
-           |            WHERE n.side = 'new' AND i.side = 'idx'
-           |              AND CAST(bit_count(xor(n.sig, i.sig)) AS BIGINT) <= $HammingThresh
-           |            GROUP BY 1)
-           |SELECT b.doc_id,
-           |  CASE WHEN COALESCE(ex.exact_n, 0) > 0 THEN 'exact_dup'
-           |       WHEN COALESCE(nm.near_n, 0) > 0 THEN 'near_dup'
-           |       ELSE 'new' END AS verdict,
-           |  CASE WHEN COALESCE(ex.exact_n, 0) > 0 THEN ex.exact_n
-           |       ELSE COALESCE(nm.near_n, 0) END AS n_matches
-           |FROM batch b
-           |LEFT JOIN ex ON ex.doc_id = b.doc_id
-           |LEFT JOIN nearm nm ON nm.doc_id = b.doc_id
-           |ORDER BY b.doc_id""".stripMargin
-      }) { (s, dir) =>
-      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-      val batch = base.filter(col("doc_id") % 4 === 0)
-        .select((col("doc_id") + 90000).as("doc_id"),
-          when(col("doc_id") % 12 === 0, col("text"))
-            .when(col("doc_id") % 8 === 0, dropFirstTok(col("text")))
-            .otherwise(concat_ws(" ", reverse(TextOps.tokens(col("text")))))
-            .as("text"))
-      // The index side's md5s + SimHash signatures come from the
-      // PERSISTED signature table (built once by DedupIndex.prepared,
-      // exactly as production's prior appends would have left it) — only
-      // the BATCH pays signature compute here, so the append costs
-      // O(batch), not O(corpus). Both probes are equi-joins against the
-      // index parquet (content_hash; (band_id, band_val)).
+      appendTriageOracleSql) { (s, dir) =>
       val indexPath = graft.pipeline.DedupIndex.prepared(s, dir)
-      val batchSigs = graft.pipeline.DedupIndex.signatures(batch)
+      val batchSigs = graft.pipeline.DedupIndex.signatures(appendTriageBatch(s, dir))
         .checkpointed(false) // exact probe, band probe, and verdict all read it
       graft.pipeline.DedupIndex.triage(s, indexPath, batchSigs)
         .orderBy("doc_id") // triage child is index-scan joins: cheap resample
+    },
+
+    // ----- T6 + X3 (streaming): STREAMING dedup-on-append — q68's
+    // batch-vs-index triage drained as an AvailableNow stream: the
+    // append batch lands as parquet files, maxFilesPerTrigger=1 forces
+    // ≥2 micro-batches, and foreachBatch runs the IDENTICAL triage
+    // (batch signatures → exact-hash probe + SimHash band probe against
+    // the persisted index) on each micro-batch as an ordinary batch
+    // plan. NO streaming state: the triage compares batch docs against
+    // the PERSISTED index only — never batch-vs-batch — so each doc's
+    // verdict derives from its own text plus the index, rows are
+    // self-contained, and micro-batch boundaries cannot change any
+    // verdict (the q118 stateless-ingest argument applied to X3). The
+    // oracle is q68's, verbatim: stream ≡ batch IS the hash gate. At
+    // 100 TB this is the admission filter in front of the corpus store:
+    // catch-up over any backlog is just more batches, each paying
+    // O(its own docs) signature compute + index-keyed equi-join probes.
+    q("q120_stream_triage",
+      "T6+X3: streaming dedup-on-append (q68's triage via foreachBatch, stateless)",
+      appendTriageOracleSql) { (s, dir) =>
+      val indexPath = graft.pipeline.DedupIndex.prepared(s, dir)
+      val batch = appendTriageBatch(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q120").toFile.getAbsolutePath
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      batch.repartition(2).write.parquet(src) // two files → two micro-batches
+      graft.streaming.StreamScore.runAvailableNow(
+        s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
+        graft.pipeline.DedupIndex.triage(s, indexPath,
+          graft.pipeline.DedupIndex.signatures(b).checkpointed(false))
+      }
+      s.read.parquet(target).orderBy("doc_id")
     },
 
     // ----- X3 exact n-gram Jaccard: the DETERMINISTIC near-dup tier —

@@ -85,4 +85,21 @@ class DedupIndexSpec extends AnyFunSuite {
     second.filter(r => firstNew.contains(r.getAs[Long]("doc_id")))
       .foreach(r => assert(r.getAs[String]("verdict") == "exact_dup"))
   }
+
+  test("q120 streams the triage: >= 2 micro-batches, stream == batch verdicts") {
+    // q120's correctness claim in-engine (the oracle gate proves
+    // stream ≡ DuckDB; this pins stream ≡ the q68 batch plan directly
+    // and that the drain really crossed a micro-batch boundary).
+    val stream = SparkEntry.queries("q120_stream_triage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val asBatch = SparkEntry.queries("q68_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream.nonEmpty && stream == asBatch,
+      s"stream verdicts drift from batch: ${(stream diff asBatch).take(3)} / ${(asBatch diff stream).take(3)}")
+    // Boundary discipline: the source is written as TWO parquet files
+    // and drained with maxFilesPerTrigger=1 (q118's convention), and
+    // both files are non-empty because the batch far exceeds two rows —
+    // so the equality above really spans a micro-batch boundary.
+    assert(batch.count() > 2, "batch too small to exercise a micro-batch boundary")
+  }
 }
