@@ -147,7 +147,7 @@ object LearnedProbe {
     val mode = if (adversarial) "adversarial" else "clean"
     val json = s"""{"probe":"persisted-model scoring 10x scale ($mode)",""" +
       s""""copies":${ScaleProbe.Copies},"base":"$smallDir",""" +
-      s""""artifacts":"classifier weights + BPE merges persisted at both scales before measurement",""" +
+      s""""artifacts":"classifier weights + BPE merges + IVF-PQ codes persisted at both scales (codes additionally at cells-x-copies for the scaled row) before measurement",""" +
       s""""spark_version":"${spark.version}",""" +
       s""""scala_version":"${scala.util.Properties.versionNumberString}",""" +
       s""""java_version":"${System.getProperty("java.version")}",""" +

@@ -133,6 +133,13 @@ object Tables {
     * invisible to the oracle gate. Called once per entry point
     * (Verify/Bench), not per load: one max() aggregate per run. */
   val PlantIdFloor = 70000L
+
+  /** The vector tier's analog: q100/q119 mint append batches at
+    * vec_id + 100000, and the IVF/PQ seed conventions (vec_id < cells /
+    * < PqK) assume the seeds are corpus rows — both need base vec_ids
+    * strictly below the batch offset. */
+  val VecPlantIdFloor = 100000L
+
   def assertIdHeadroom(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions.{col, max}
     val m = load(spark, sfDir, "documents")
@@ -140,6 +147,11 @@ object Tables {
     require(m < PlantIdFloor,
       s"documents.doc_id max $m >= $PlantIdFloor: planted-copy offsets " +
         s"would collide with real ids — regenerate plants with more headroom")
+    val mv = load(spark, sfDir, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    require(mv < VecPlantIdFloor,
+      s"embeddings.vec_id max $mv >= $VecPlantIdFloor: appended-batch ids " +
+        s"(q100/q119's +100000) would collide with real vectors")
   }
 
   /** Load all tables as a name→DataFrame map. */
