@@ -94,6 +94,9 @@ object SimilarityQueries {
   private val SemCells = 64  // q99 blocking cells: within-cell pair cost
                              // is Σ cell², so more cells = the guard
   private val KmIters = 3    // q93 training-loop iterations
+  // q121: Lloyd updates applied before the IVF-PQ build — 2 updates =
+  // the centroid state q93's third-round assignment runs against.
+  private[graft] val KmTrainedUpdates = 2
   // q105 MMR: K picks from M relevance candidates; λ·rel − μ·redundancy.
   // μ is its OWN literal, not 1−λ: `1 - 0.7` is 0.30000000000000004 in
   // doubles, and the oracle writes 0.3 — the constants must be the
@@ -368,13 +371,27 @@ object SimilarityQueries {
       .orderBy("vec_id") // row-per-batch-vector: parallel range sort
   }
 
+  private val esCteSql =
+    "es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)"
+
+  /** The seed-centroid body q113/q119 build on; q121 swaps in the
+    * Lloyd-trained frame ([[kmCentsSql]]) — the layout is unchanged,
+    * which is the whole point of the composition. */
+  private def seedCentsBodySql =
+    s"SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells"
+
   /** The index half of the IVF-PQ oracle chain (es → cents → assign →
     * res → sub → cb → codes), shared verbatim by q113 and q119 so the
     * two oracles can never drift on the encode semantics. */
-  private def ivfpqIndexCtesSql: String = {
+  private def ivfpqIndexCtesSql: String =
+    s"""$esCteSql,
+       |  ${ivfpqChainSqlFrom(seedCentsBodySql)}""".stripMargin
+
+  /** The chain below `es`, parameterized by the centroid source (q121
+    * points it at the trained `kcents` CTE). */
+  private def ivfpqChainSqlFrom(centsBody: String): String = {
     val S = Embedder.Dim / PqM
-    s"""es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-       |  cents AS (SELECT vec_id AS cell_id, ev AS cv FROM es WHERE vec_id < $IvfCells),
+    s"""cents AS ($centsBody),
        |  assign AS (SELECT vec_id, cell_id FROM (
        |    SELECT es.vec_id, cents.cell_id,
        |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
@@ -392,6 +409,145 @@ object SimilarityQueries {
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
        |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The search half (qs → probes → qres → ADC → top-k → recall audit),
+    * shared verbatim by q113 and q121: the index layout is identical,
+    * so the consumer SQL must be too. Includes the final SELECT. */
+  private def ivfpqSearchSql: String = {
+    val S = Embedder.Dim / PqM
+    s"""qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
+       |  probes AS (SELECT query_id, cell_id FROM (
+       |    SELECT qs.query_id, cents.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+       |        ROUND(list_distance(qv, cv), 6) ASC, cents.cell_id) AS rn
+       |    FROM qs, cents) WHERE rn <= $IvfProbes),
+       |  qres AS (SELECT p.query_id, p.cell_id,
+       |             [q.qv[i] - c.cv[i] for i in range(1, len(q.qv) + 1)] AS qr
+       |           FROM probes p JOIN qs q USING (query_id) JOIN cents c USING (cell_id)),
+       |  dts AS (SELECT query_id, qres.cell_id, cb.m, cb.code,
+       |            ROUND(list_distance(list_slice(qr, cb.m * $S + 1, cb.m * $S + $S), cb.cvr), 6) AS t
+       |          FROM qres CROSS JOIN cb),
+       |  dt AS (SELECT query_id, cell_id, m, code, ROUND(t * t, 6) AS d2 FROM dts),
+       |  adc AS (SELECT d.query_id, e.vec_id, ROUND(sqrt(${ExactSql.dsum("d.d2")}), 6) AS ad
+       |          FROM codes e JOIN dt d USING (cell_id, m, code)
+       |          GROUP BY 1, 2),
+       |  sel AS (SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
+       |    SELECT query_id, vec_id, ad,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id) AS rn
+       |    FROM adc) WHERE rn <= $IvfK),
+       |  topx AS (SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ROUND(list_distance(e.ev, q.qv), 6) ASC, e.vec_id) AS rn
+       |    FROM es e CROSS JOIN qs q) WHERE rn <= $IvfK),
+       |  hit AS (SELECT s.query_id, COUNT(*) AS n_overlap
+       |          FROM sel s JOIN topx x USING (query_id, vec_id) GROUP BY 1)
+       |SELECT s.query_id, s.rn, s.vec_id, s.ad,
+       |  COALESCE(h.n_overlap, 0) AS n_overlap,
+       |  ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / $IvfK, 6) AS recall
+       |FROM sel s LEFT JOIN hit h USING (query_id)
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** q93's Lloyd update chain, lean (no stats CTEs): kcents0 = seeds,
+    * kcents$i = exact-decimal per-(cell, dim) means of kassign$i — the
+    * same davgRound(6) recipe q93's oracle runs, so the trained frame
+    * is cross-engine exact. Requires `es` and `dims` CTEs upstream. */
+  private def kmCentsSql(updates: Int): String = {
+    val rounds = (1 to updates).map { i =>
+      s"""kassign$i AS (SELECT vec_id, cell_id FROM (
+         |    SELECT es.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
+         |        ROUND(list_distance(es.ev, c.cv), 6) ASC, c.cell_id) AS rn
+         |    FROM es, kcents${i - 1} c) WHERE rn = 1),
+         |  kmem$i AS (SELECT a.cell_id, dm.dim, es.ev[dm.dim] AS val
+         |            FROM kassign$i a JOIN es USING (vec_id) CROSS JOIN dims dm),
+         |  kmeans$i AS (SELECT cell_id, dim, ${ExactSql.davgRound("val", 6)} AS m
+         |               FROM kmem$i GROUP BY 1, 2),
+         |  kcents$i AS (SELECT cell_id, list(m ORDER BY dim) AS cv
+         |               FROM kmeans$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n  ")
+    s"""kcents0 AS ($seedCentsBodySql),
+       |  $rounds""".stripMargin
+  }
+
+  /** Lloyd-trained centroids, the engine side of [[kmCentsSql]] —
+    * q93's exact update recipe (argmin assign, per-(cell, dim)
+    * exact-decimal 6dp means, list ordered by dim), extracted so q121
+    * can feed a TRAINED frame into the unchanged IVF-PQ layout. */
+  private[graft] def kmTrainedCents(base: DataFrame, updates: Int): DataFrame = {
+    var cents = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+    for (_ <- 1 to updates) {
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("d", round(VectorOps.l2(col("ev"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cell_id"), col("d")),
+          struct(col("d"), col("cell_id"))).as("a"))
+        .select(col("vec_id"), col("a.cell_id").as("cell_id"))
+      cents = assign.join(base, "vec_id")
+        .select(col("cell_id"), posexplode(col("ev")).as(Seq("pos", "val")))
+        .select(col("cell_id"), (col("pos") + 1).as("dim"), col("val"))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg(Exact.davgRound(col("val"), 6).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell_id"), col("dm").getField("m").as("cv"))
+    }
+    cents
+  }
+
+  /** q113/q121's shared search engine: nprobe cell selection, per-
+    * (query, cell) residual distance tables, ADC over the codes,
+    * CollectTopK selection, exact-top-k recall audit. Every frame is
+    * query-count-sized; the centroid/codebook layout is whatever the
+    * caller built (seed for q113, Lloyd-trained for q121). */
+  private def ivfpqSearch(base: DataFrame, cents: DataFrame,
+      cb: DataFrame, codes: DataFrame): DataFrame = {
+    import graft.plans.CollectTopK
+    val S = Embedder.Dim / PqM
+    val qs = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("negd", -round(VectorOps.l2(col("qv"), col("cv")), 6))
+      .groupBy(col("query_id"))
+      .agg(CollectTopK.topk(col("negd"), col("cell_id"), IvfProbes).as("tk"))
+      .select(col("query_id"), explode(col("tk.vec_id")).as("cell_id"))
+    // Per-(query, probed cell) residual → the M·K ADC distance table.
+    val qres = probes.join(broadcast(qs), "query_id")
+      .join(broadcast(cents), "cell_id")
+      .select(col("query_id"), col("cell_id"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))
+    val dt = qres.crossJoin(broadcast(cb))
+      .withColumn("t", round(VectorOps.l2(
+        slice(col("qr"), col("m") * S + 1, lit(S)), col("cvr")), 6))
+      .select(col("query_id"), col("cell_id"), col("m"), col("code"),
+        round(col("t") * col("t"), 6).as("d2"))
+    // ADC: candidates = codes in probed cells (equi-join on cell_id);
+    // approximate distance = lookup + exact-decimal sum (q89 recipe).
+    val adc = codes.join(broadcast(dt), Seq("cell_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("ad"))
+    val sel = adc.groupBy(col("query_id"))
+      .agg(CollectTopK.topk(-col("ad"), col("vec_id"), IvfK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.vec_id").as("vec_id"), (-col("t.sim")).as("ad"))
+    val topx = base.crossJoin(broadcast(qs))
+      .withColumn("xd", round(VectorOps.l2(col("ev"), col("qv")), 6))
+      .groupBy(col("query_id"))
+      .agg(CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
+      .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+    val hit = sel.select("query_id", "vec_id")
+      .join(topx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    sel.join(hit, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("rn"), col("vec_id"), col("ad"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / IvfK, 6)
+          .as("recall"))
+      .presented("query_id", "rn")
   }
 
   val all: Seq[NamedQuery] = Seq(
@@ -1344,43 +1500,9 @@ object SimilarityQueries {
     q("q113_ivfpq_search", {
       "X2 composite: IVF-PQ residual index — map-only encode, nprobe ADC search, recall audit"
     }, {
-      val S = Embedder.Dim / PqM
       s"""WITH $ivfpqIndexCtesSql,
-         |  qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
-         |  probes AS (SELECT query_id, cell_id FROM (
-         |    SELECT qs.query_id, cents.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
-         |        ROUND(list_distance(qv, cv), 6) ASC, cents.cell_id) AS rn
-         |    FROM qs, cents) WHERE rn <= $IvfProbes),
-         |  qres AS (SELECT p.query_id, p.cell_id,
-         |             [q.qv[i] - c.cv[i] for i in range(1, len(q.qv) + 1)] AS qr
-         |           FROM probes p JOIN qs q USING (query_id) JOIN cents c USING (cell_id)),
-         |  dts AS (SELECT query_id, qres.cell_id, cb.m, cb.code,
-         |            ROUND(list_distance(list_slice(qr, cb.m * $S + 1, cb.m * $S + $S), cb.cvr), 6) AS t
-         |          FROM qres CROSS JOIN cb),
-         |  dt AS (SELECT query_id, cell_id, m, code, ROUND(t * t, 6) AS d2 FROM dts),
-         |  adc AS (SELECT d.query_id, e.vec_id, ROUND(sqrt(${ExactSql.dsum("d.d2")}), 6) AS ad
-         |          FROM codes e JOIN dt d USING (cell_id, m, code)
-         |          GROUP BY 1, 2),
-         |  sel AS (SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
-         |    SELECT query_id, vec_id, ad,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id) AS rn
-         |    FROM adc) WHERE rn <= $IvfK),
-         |  topx AS (SELECT query_id, vec_id FROM (
-         |    SELECT q.query_id, e.vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-         |        ROUND(list_distance(e.ev, q.qv), 6) ASC, e.vec_id) AS rn
-         |    FROM es e CROSS JOIN qs q) WHERE rn <= $IvfK),
-         |  hit AS (SELECT s.query_id, COUNT(*) AS n_overlap
-         |          FROM sel s JOIN topx x USING (query_id, vec_id) GROUP BY 1)
-         |SELECT s.query_id, s.rn, s.vec_id, s.ad,
-         |  COALESCE(h.n_overlap, 0) AS n_overlap,
-         |  ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / $IvfK, 6) AS recall
-         |FROM sel s LEFT JOIN hit h USING (query_id)
-         |ORDER BY query_id, rn""".stripMargin
+         |  $ivfpqSearchSql""".stripMargin
     }) { (s, dir) =>
-      import graft.plans.CollectTopK
-      val S = Embedder.Dim / PqM
       // EAGER: base feeds the centroid subtree (a broadcast thread —
       // the q99 lesson) plus the exact-recall side and the query set.
       val base = emb(s, dir).checkpointed()
@@ -1394,49 +1516,7 @@ object SimilarityQueries {
       val sub = ivfpqSub(base).checkpointed()
       val cb = sub.filter(col("vec_id") < PqK)
         .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
-      val codes = ivfpqCodes(sub, cb)
-      // Query side: every frame from here on is query-count-sized.
-      val qs = base.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
-      val probes = qs.crossJoin(broadcast(cents))
-        .withColumn("negd", -round(VectorOps.l2(col("qv"), col("cv")), 6))
-        .groupBy(col("query_id"))
-        .agg(CollectTopK.topk(col("negd"), col("cell_id"), IvfProbes).as("tk"))
-        .select(col("query_id"), explode(col("tk.vec_id")).as("cell_id"))
-      // Per-(query, probed cell) residual → the M·K ADC distance table.
-      val qres = probes.join(broadcast(qs), "query_id")
-        .join(broadcast(cents), "cell_id")
-        .select(col("query_id"), col("cell_id"),
-          zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))
-      val dt = qres.crossJoin(broadcast(cb))
-        .withColumn("t", round(VectorOps.l2(
-          slice(col("qr"), col("m") * S + 1, lit(S)), col("cvr")), 6))
-        .select(col("query_id"), col("cell_id"), col("m"), col("code"),
-          round(col("t") * col("t"), 6).as("d2"))
-      // ADC: candidates = codes in probed cells (equi-join on cell_id);
-      // approximate distance = lookup + exact-decimal sum (q89 recipe).
-      val adc = codes.join(broadcast(dt), Seq("cell_id", "m", "code"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("ad"))
-      val sel = adc.groupBy(col("query_id"))
-        .agg(CollectTopK.topk(-col("ad"), col("vec_id"), IvfK).as("tk"))
-        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
-        .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
-          col("t.vec_id").as("vec_id"), (-col("t.sim")).as("ad"))
-      val topx = base.crossJoin(broadcast(qs))
-        .withColumn("xd", round(VectorOps.l2(col("ev"), col("qv")), 6))
-        .groupBy(col("query_id"))
-        .agg(CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
-        .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
-      val hit = sel.select("query_id", "vec_id")
-        .join(topx, Seq("query_id", "vec_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
-      sel.join(hit, Seq("query_id"), "left_outer")
-        .select(col("query_id"), col("rn"), col("vec_id"), col("ad"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / IvfK, 6)
-            .as("recall"))
-        .presented("query_id", "rn")
+      ivfpqSearch(base, cents, cb, ivfpqCodes(sub, cb))
     },
 
     // ----- X2/LLM (incremental, round-11 completion of the append
@@ -1534,6 +1614,42 @@ object SimilarityQueries {
          |ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
       ivfpqAppend(s, dir, IvfCells) // body shared with the scaled-cells probe
+    },
+
+    // ----- X2 composite (round-11 closure of the "a trained codebook
+    // drops in" claim): IVF-PQ over LLOYD-TRAINED centroids — q93's
+    // training loop feeds q113's unchanged index layout. Two exact
+    // Lloyd updates ([[kmTrainedCents]]: argmin assign, per-(cell, dim)
+    // 6dp exact-decimal means — the identical recipe q93's oracle
+    // unrolls) replace the seed centroid frame; the encode chain, the
+    // residual codebook convention, the nprobe/ADC search, and the
+    // recall audit are [[ivfpqChainSqlFrom]]/[[ivfpqSearch]] VERBATIM.
+    // Training tightens cells around the data, so residuals shrink and
+    // the same 4×4 codebook quantizes better — measured in the output's
+    // own recall column against the exact top-k (vs q113's seed index;
+    // IvfPqTrainedSpec pins trained-mean-recall ≥ seed-mean-recall at
+    // the gate SFs). SCALE: training is q93's shape (centroids
+    // broadcast per round, vectors never shuffle, 2 rounds fixed);
+    // everything after is exactly q113's map-only encode + query-sized
+    // search — composing the pieces adds NO new exchange class.
+    q("q121_ivfpq_trained", {
+      "X2 composite: IVF-PQ over Lloyd-trained centroids — q93's training feeding q113's layout, recall audited"
+    }, {
+      s"""WITH $esCteSql,
+         |  dims AS (SELECT unnest(range(1, ${Embedder.Dim + 1})) AS dim),
+         |  ${kmCentsSql(KmTrainedUpdates)},
+         |  ${ivfpqChainSqlFrom(s"SELECT cell_id, cv FROM kcents$KmTrainedUpdates")},
+         |  $ivfpqSearchSql""".stripMargin
+    }) { (s, dir) =>
+      val base = emb(s, dir).checkpointed()
+      // Trained centroid frame — cells×dims rows of exact decimal
+      // means; EAGER checkpoint: it feeds ivfpqSub's broadcast thread,
+      // the probe side, and the qres join.
+      val cents = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
+      val sub = ivfpqSub(base, cents).checkpointed()
+      val cb = sub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
+      ivfpqSearch(base, cents, cb, ivfpqCodes(sub, cb))
     }
   )
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q121's value claim, pinned: feeding q93's Lloyd-trained centroids
+  * into q113's UNCHANGED IVF-PQ layout improves recall — training
+  * tightens cells around the data, residuals shrink, and the same 4×4
+  * codebook quantizes better. (Measured at the gate SFs when the law
+  * was pinned: mean recall 0.32→0.40 at sf0.001, 0.24→0.40 at sf0.01,
+  * 0.24→0.36 at sf0.1.) The composition itself is oracle-hash-gated;
+  * this spec keeps the IMPROVEMENT from silently regressing — a
+  * trained index that stops beating the seed index means the training
+  * or the residual encode broke even if both stay self-consistent.
+  */
+class IvfPqTrainedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def meanRecall(name: String): (Double, Int) = {
+    val rows = SparkEntry.queries(name)(spark, dir).collect()
+    // One recall value per query (constant across its rn rows).
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+      .map(_._2.head.getAs[Double]("recall"))
+    (perQuery.sum / perQuery.size, rows.length)
+  }
+
+  test("trained centroids beat seed centroids on mean recall; output well-formed") {
+    val (seed, seedRows) = meanRecall("q113_ivfpq_search")
+    val (trained, trainedRows) = meanRecall("q121_ivfpq_trained")
+    assert(seedRows == trainedRows && trainedRows > 0,
+      s"row-shape drift: seed $seedRows vs trained $trainedRows")
+    assert(trained >= seed,
+      s"Lloyd-trained IVF-PQ recall $trained fell below the seed index's $seed")
+  }
+}
