@@ -1064,6 +1064,110 @@ object DedupQueries {
       s.read.parquet(target).orderBy("doc_id")
     },
 
+    // ----- X3/X4+ GOVERNANCE: TAKEDOWN — purge a removal list from the
+    // PERSISTED artifacts, the pass a production corpus store runs for
+    // takedown requests / right-to-be-forgotten: every derived artifact
+    // that carries a removed doc's signature must drop it, and the
+    // store must afterwards treat re-submitted content as if it had
+    // never been seen. Removal list: doc_id % 37 = 0 (and the paired
+    // vectors, vec_id % 37 = 0). Three outputs in one audit frame:
+    //  1. dedup-index rewrite audit (rows before / removed / after) —
+    //     the engine counts the PERSISTED table's actual rows, the
+    //     oracle counts the corpus, so the gate doubles as the
+    //     one-row-per-doc artifact-shape proof;
+    //  2. the same for the IVF-PQ packed codes (one row per vector);
+    //  3. the RE-ADMISSION proof: the post-takedown index is published
+    //     (anti-join rewrite, written like production would) and the
+    //     removed docs' texts re-triage against it — per-verdict
+    //     counts. 'new' = truly forgotten; 'exact/near_dup' = a
+    //     surviving doc carries the same or near content (takedown of
+    //     one copy does not forget content that other docs still
+    //     carry — the honest semantics, counted not hidden).
+    // SCALE: the rewrite is one anti-join/filter over each artifact
+    // (never touches raw text), audits are count aggregates, and the
+    // re-triage pays O(removal list) — q68's append shape with the
+    // batch being the removed docs.
+    q("q122_takedown",
+      "X3/X4+ governance: takedown — purge a removal list from the persisted artifacts, audit the rewrite, prove re-admission",
+      {
+        val toks = tokensSql("text")
+        val sigExpr = simhashSql(
+          s"list_transform(${shinglesSql(toks)}, t -> ${hash60Sql("t")})")
+        s"""WITH u AS (SELECT 'idx' AS side, doc_id, text FROM documents
+           |             WHERE doc_id % 37 <> 0
+           |           UNION ALL
+           |           SELECT 'new', doc_id, text FROM documents
+           |             WHERE doc_id % 37 = 0),
+           |  ex AS (SELECT bh.doc_id, COUNT(*) AS exact_n
+           |         FROM (SELECT doc_id, md5(text) AS h FROM u WHERE side = 'new') bh
+           |         JOIN (SELECT md5(text) AS h FROM u WHERE side = 'idx') ih USING (h)
+           |         GROUP BY 1),
+           |  sg AS (SELECT side, doc_id, $sigExpr AS sig FROM u),
+           |  bands AS (SELECT side, doc_id, sig, b.band_id,
+           |              (sig >> (b.band_id * 15)) & 32767 AS band_val
+           |            FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),
+           |  nearm AS (SELECT n.doc_id, COUNT(DISTINCT i.doc_id) AS near_n
+           |            FROM bands n JOIN bands i
+           |              ON n.band_id = i.band_id AND n.band_val = i.band_val
+           |            WHERE n.side = 'new' AND i.side = 'idx'
+           |              AND CAST(bit_count(xor(n.sig, i.sig)) AS BIGINT) <= $HammingThresh
+           |            GROUP BY 1),
+           |  verd AS (SELECT b.doc_id,
+           |             CASE WHEN COALESCE(ex.exact_n, 0) > 0 THEN 'exact_dup'
+           |                  WHEN COALESCE(nm.near_n, 0) > 0 THEN 'near_dup'
+           |                  ELSE 'new' END AS verdict
+           |           FROM (SELECT doc_id FROM u WHERE side = 'new') b
+           |           LEFT JOIN ex ON ex.doc_id = b.doc_id
+           |           LEFT JOIN nearm nm ON nm.doc_id = b.doc_id),
+           |  vcounts AS (SELECT 'retriage_' || verdict AS item, COUNT(*) AS n
+           |              FROM verd GROUP BY 1),
+           |  audit AS (
+           |    SELECT 'dedup_index_before' AS item, COUNT(*) AS n FROM documents
+           |    UNION ALL SELECT 'dedup_index_removed', COUNT(*)
+           |      FROM documents WHERE doc_id % 37 = 0
+           |    UNION ALL SELECT 'dedup_index_after', COUNT(*)
+           |      FROM documents WHERE doc_id % 37 <> 0
+           |    UNION ALL SELECT 'ivfpq_codes_before', COUNT(*) FROM embeddings
+           |    UNION ALL SELECT 'ivfpq_codes_removed', COUNT(*)
+           |      FROM embeddings WHERE vec_id % 37 = 0
+           |    UNION ALL SELECT 'ivfpq_codes_after', COUNT(*)
+           |      FROM embeddings WHERE vec_id % 37 <> 0)
+           |SELECT item, n FROM (SELECT * FROM audit UNION ALL SELECT * FROM vcounts)
+           |ORDER BY item""".stripMargin
+      }) { (s, dir) =>
+      val idx = s.read.parquet(graft.pipeline.DedupIndex.prepared(s, dir))
+      val pq = s.read.parquet(
+        graft.operators.SimilarityQueries.ivfPqIndexPrepared(s, dir))
+      // Rewrite audit as one aggregate per artifact — before/removed
+      // counted in a single pass, after derived (never a second scan).
+      def audit(name: String, df: DataFrame, isRm: Column): DataFrame =
+        df.agg(count(lit(1)).as("before"),
+            sum(when(isRm, 1L).otherwise(0L)).as("removed"))
+          .select(explode(array(
+            struct(lit(s"${name}_before").as("item"), col("before").as("n")),
+            struct(lit(s"${name}_removed").as("item"), col("removed").as("n")),
+            struct(lit(s"${name}_after").as("item"),
+              (col("before") - col("removed")).as("n")))).as("a"))
+          .select(col("a.item").as("item"), col("a.n").as("n"))
+      // Publish the post-takedown index (production rewrites the
+      // artifact; readers must never see purged signatures) and
+      // re-triage the removed docs' texts against it.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q122").toFile.getAbsolutePath
+      idx.filter(col("doc_id") % 37 =!= 0).write.parquet(s"$root/index")
+      val removed = Tables.load(s, dir, "documents")
+        .select("doc_id", "text").filter(col("doc_id") % 37 === 0)
+      val verdicts = graft.pipeline.DedupIndex
+        .triage(s, s"$root/index", graft.pipeline.DedupIndex.signatures(removed)
+          .checkpointed(false))
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .select(concat(lit("retriage_"), col("verdict")).as("item"), col("n"))
+      audit("dedup_index", idx, col("doc_id") % 37 === 0)
+        .unionAll(audit("ivfpq_codes", pq, col("vec_id") % 37 === 0))
+        .unionAll(verdicts)
+        .presented("item")
+    },
+
     // ----- X3 exact n-gram Jaccard: the DETERMINISTIC near-dup tier —
     // no MinHash approximation, guaranteed recall at the τ threshold.
     // Inverted index on the hashed shingle (one shuffle keyed by h),

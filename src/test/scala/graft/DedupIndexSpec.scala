@@ -102,4 +102,24 @@ class DedupIndexSpec extends AnyFunSuite {
     // so the equality above really spans a micro-batch boundary.
     assert(batch.count() > 2, "batch too small to exercise a micro-batch boundary")
   }
+
+  test("q122 takedown: audits reconcile and the forgotten really re-admit") {
+    val rows = SparkEntry.queries("q122_takedown")(spark, dir)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
+    for (art <- Seq("dedup_index", "ivfpq_codes")) {
+      assert(rows(s"${art}_before") ==
+        rows(s"${art}_removed") + rows(s"${art}_after"),
+        s"$art audit does not reconcile: $rows")
+      assert(rows(s"${art}_removed") > 0, s"$art removal list was empty")
+    }
+    // Every removed doc re-triages as SOMETHING (the verdict counts
+    // partition the removal list)...
+    val retriaged = rows.collect { case (k, n) if k.startsWith("retriage_") => n }.sum
+    assert(retriaged == rows("dedup_index_removed"),
+      s"re-triage lost docs: $rows")
+    // ...and at least one is truly forgotten ('new'): the removal list
+    // (doc_id % 37) contains docs whose content no survivor carries.
+    assert(rows.getOrElse("retriage_new", 0L) > 0,
+      s"takedown forgot nothing — purged signatures still matching? $rows")
+  }
 }
