@@ -64,8 +64,11 @@ object LearnedProbe {
       operators.SimilarityQueries.ivfPqIndexPrepared(spark, dir)
       println(s"[probe] artifacts warm for $dir")
     }
-    operators.SimilarityQueries.ivfPqIndexPrepared(spark, bigDir,
-      operators.SimilarityQueries.IvfCells * ScaleProbe.Copies)
+    // The scaled-cells row below runs in clean mode only — don't pay
+    // the 160-cell 10x encode on adversarial runs that never read it.
+    if (!adversarial)
+      operators.SimilarityQueries.ivfPqIndexPrepared(spark, bigDir,
+        operators.SimilarityQueries.IvfCells * ScaleProbe.Copies)
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

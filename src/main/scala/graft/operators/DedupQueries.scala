@@ -1138,23 +1138,24 @@ object DedupQueries {
       val idx = s.read.parquet(graft.pipeline.DedupIndex.prepared(s, dir))
       val pq = s.read.parquet(
         graft.operators.SimilarityQueries.ivfPqIndexPrepared(s, dir))
-      // Rewrite audit as one aggregate per artifact — before/removed
-      // counted in a single pass, after derived (never a second scan).
-      def audit(name: String, df: DataFrame, isRm: Column): DataFrame =
-        df.agg(count(lit(1)).as("before"),
-            sum(when(isRm, 1L).otherwise(0L)).as("removed"))
-          .select(explode(array(
-            struct(lit(s"${name}_before").as("item"), col("before").as("n")),
-            struct(lit(s"${name}_removed").as("item"), col("removed").as("n")),
-            struct(lit(s"${name}_after").as("item"),
-              (col("before") - col("removed")).as("n")))).as("a"))
-          .select(col("a.item").as("item"), col("a.n").as("n"))
-      // Publish the post-takedown index (production rewrites the
-      // artifact; readers must never see purged signatures) and
-      // re-triage the removed docs' texts against it.
+      // Publish the post-takedown state of BOTH artifacts (production
+      // rewrites them; readers must never see purged rows), then audit
+      // with the 'after' row MEASURED from the published table — the
+      // reconciliation before == removed + after is a real check of
+      // the anti-join rewrite, not re-derived arithmetic.
       val root = java.nio.file.Files
         .createTempDirectory("graft_q122").toFile.getAbsolutePath
       idx.filter(col("doc_id") % 37 =!= 0).write.parquet(s"$root/index")
+      pq.filter(col("vec_id") % 37 =!= 0).write.parquet(s"$root/codes")
+      def item(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("item"), col("n"))
+      def audit(name: String, before: DataFrame, isRm: Column,
+          published: String): DataFrame =
+        item(s"${name}_before", before)
+          .unionAll(item(s"${name}_removed", before.filter(isRm)))
+          .unionAll(item(s"${name}_after", s.read.parquet(published)))
+      // Re-admission proof: the removed docs' texts re-triage against
+      // the PUBLISHED post-takedown index.
       val removed = Tables.load(s, dir, "documents")
         .select("doc_id", "text").filter(col("doc_id") % 37 === 0)
       val verdicts = graft.pipeline.DedupIndex
@@ -1162,8 +1163,8 @@ object DedupQueries {
           .checkpointed(false))
         .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
         .select(concat(lit("retriage_"), col("verdict")).as("item"), col("n"))
-      audit("dedup_index", idx, col("doc_id") % 37 === 0)
-        .unionAll(audit("ivfpq_codes", pq, col("vec_id") % 37 === 0))
+      audit("dedup_index", idx, col("doc_id") % 37 === 0, s"$root/index")
+        .unionAll(audit("ivfpq_codes", pq, col("vec_id") % 37 === 0, s"$root/codes"))
         .unionAll(verdicts)
         .presented("item")
     },

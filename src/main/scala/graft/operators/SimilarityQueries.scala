@@ -387,29 +387,42 @@ object SimilarityQueries {
     s"""$esCteSql,
        |  ${ivfpqChainSqlFrom(seedCentsBodySql)}""".stripMargin
 
-  /** The chain below `es`, parameterized by the centroid source (q121
-    * points it at the trained `kcents` CTE). */
-  private def ivfpqChainSqlFrom(centsBody: String): String = {
+  /** assign → res → sub for an arbitrary vector-source CTE, CTE names
+    * prefixed by `p` — ONE text for the corpus encode (src="es", p="")
+    * and q119's batch encode (src="batch", p="b"), so the two can
+    * never drift on the encode semantics (tie-break, ROUND placement,
+    * slice arithmetic). */
+  private def ivfpqSubSqlFrom(src: String, p: String): String = {
     val S = Embedder.Dim / PqM
-    s"""cents AS ($centsBody),
-       |  assign AS (SELECT vec_id, cell_id FROM (
-       |    SELECT es.vec_id, cents.cell_id,
-       |      ROW_NUMBER() OVER (PARTITION BY es.vec_id ORDER BY
-       |        ROUND(list_distance(ev, cv), 6) ASC, cents.cell_id) AS rn
-       |    FROM es, cents) WHERE rn = 1),
-       |  res AS (SELECT a.vec_id, a.cell_id,
-       |            [es.ev[i] - c.cv[i] for i in range(1, len(es.ev) + 1)] AS rv
-       |          FROM assign a JOIN es USING (vec_id) JOIN cents c USING (cell_id)),
-       |  sub AS (SELECT vec_id, cell_id, m.m,
+    s"""${p}assign AS (SELECT vec_id, cell_id FROM (
+       |    SELECT $src.vec_id, cents.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
+       |        ROUND(list_distance($src.ev, cv), 6) ASC, cents.cell_id) AS rn
+       |    FROM $src, cents) WHERE rn = 1),
+       |  ${p}res AS (SELECT a.vec_id, a.cell_id,
+       |            [$src.ev[i] - c.cv[i] for i in range(1, len($src.ev) + 1)] AS rv
+       |          FROM ${p}assign a JOIN $src USING (vec_id) JOIN cents c USING (cell_id)),
+       |  ${p}sub AS (SELECT vec_id, cell_id, m.m,
        |            list_slice(rv, m.m * $S + 1, m.m * $S + $S) AS sv
-       |          FROM res CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
-       |  cb AS (SELECT m, vec_id AS code, sv AS cvr FROM sub WHERE vec_id < $PqK),
-       |  codes AS (SELECT vec_id, cell_id, m, code FROM (
+       |          FROM ${p}res CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m)""".stripMargin
+  }
+
+  /** min_by PQ encode of a prefixed `sub` CTE against the shared `cb`
+    * codebook — same single-text discipline as [[ivfpqSubSqlFrom]]. */
+  private def ivfpqCodesSqlFrom(p: String): String =
+    s"""${p}codes AS (SELECT vec_id, cell_id, m, code FROM (
        |    SELECT s.vec_id, s.cell_id, s.m, c.code,
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
-       |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1)""".stripMargin
-  }
+       |    FROM ${p}sub s JOIN cb c USING (m)) WHERE rn = 1)""".stripMargin
+
+  /** The chain below `es`, parameterized by the centroid source (q121
+    * points it at the trained `kcents` CTE). */
+  private def ivfpqChainSqlFrom(centsBody: String): String =
+    s"""cents AS ($centsBody),
+       |  ${ivfpqSubSqlFrom("es", "")},
+       |  cb AS (SELECT m, vec_id AS code, sv AS cvr FROM sub WHERE vec_id < $PqK),
+       |  ${ivfpqCodesSqlFrom("")}""".stripMargin
 
   /** The search half (qs → probes → qres → ADC → top-k → recall audit),
     * shared verbatim by q113 and q121: the index layout is identical,
@@ -1571,24 +1584,8 @@ object SimilarityQueries {
          |  batch AS (SELECT vec_id + 100000 AS vec_id,
          |              list_transform(ev, x -> -x) AS ev
          |            FROM es WHERE vec_id % 5 = 0),
-         |  bassign AS (SELECT vec_id, cell_id FROM (
-         |    SELECT b.vec_id, cents.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-         |        ROUND(list_distance(b.ev, cv), 6) ASC, cents.cell_id) AS rn
-         |    FROM batch b, cents) WHERE rn = 1),
-         |  bres AS (SELECT a.vec_id, a.cell_id,
-         |             [b.ev[i] - c.cv[i] for i in range(1, len(b.ev) + 1)] AS rv
-         |           FROM bassign a JOIN batch b USING (vec_id)
-         |           JOIN cents c USING (cell_id)),
-         |  bsub AS (SELECT vec_id, cell_id, m.m,
-         |             list_slice(rv, m.m * ${Embedder.Dim / PqM} + 1,
-         |               m.m * ${Embedder.Dim / PqM} + ${Embedder.Dim / PqM}) AS sv
-         |           FROM bres CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m),
-         |  bcodes AS (SELECT vec_id, cell_id, m, code FROM (
-         |    SELECT s.vec_id, s.cell_id, s.m, c.code,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-         |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
-         |    FROM bsub s JOIN cb c USING (m)) WHERE rn = 1),
+         |  ${ivfpqSubSqlFrom("batch", "b")},
+         |  ${ivfpqCodesSqlFrom("b")},
          |  barr AS (SELECT vec_id, cell_id, $packSql AS codes
          |           FROM bcodes GROUP BY 1, 2),
          |  bdts AS (SELECT s.vec_id AS query_id, s.cell_id, c.m, c.code,

@@ -107,6 +107,9 @@ class DedupIndexSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q122_takedown")(spark, dir)
       .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
     for (art <- Seq("dedup_index", "ivfpq_codes")) {
+      // 'after' is COUNTED from the published post-takedown table (not
+      // derived arithmetic), so this reconciliation actually checks
+      // the anti-join rewrite of each artifact.
       assert(rows(s"${art}_before") ==
         rows(s"${art}_removed") + rows(s"${art}_after"),
         s"$art audit does not reconcile: $rows")
