@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench record. With the default LoggedOutput strategy sbt
+// prefixes every forked-child line with "[info] " and then appends its
+// own "[success] Total time: ..." line AFTER the child's final summary,
+// so a last-line parse reads sbt noise instead of the JSON
+// (BENCH_r{9,10,11}.json all ended parsed:null). StdoutOutput passes the
+// child's stdout through raw (no prefix), and showSuccess:=false kills
+// the trailing [success] line, leaving Bench's compact summary as the
+// literal last stdout line.
+Compile / run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -150,7 +150,11 @@ object LearnedProbe {
     val mode = if (adversarial) "adversarial" else "clean"
     val json = s"""{"probe":"persisted-model scoring 10x scale ($mode)",""" +
       s""""copies":${ScaleProbe.Copies},"base":"$smallDir",""" +
-      s""""artifacts":"classifier weights + BPE merges + IVF-PQ codes persisted at both scales (codes additionally at cells-x-copies for the scaled row) before measurement",""" +
+      // Mode-dependent: the cells-x-copies index is only built (and its
+      // scaled_cells row only measured) in clean mode — saying otherwise
+      // overstated what an adversarial run prepared (ADVICE r11).
+      s""""artifacts":"classifier weights + BPE merges + IVF-PQ codes persisted at both scales before measurement${
+        if (adversarial) "" else " (codes additionally at cells-x-copies for the scaled row)"}",""" +
       s""""spark_version":"${spark.version}",""" +
       s""""scala_version":"${scala.util.Properties.versionNumberString}",""" +
       s""""java_version":"${System.getProperty("java.version")}",""" +

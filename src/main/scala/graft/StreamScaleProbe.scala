@@ -135,8 +135,7 @@ object StreamScaleProbe {
       import streaming.{NormalizedEvents, StreamIntervalJoin}
       val src = NormalizedEvents.sourceDir(spark, sf1Dir)
       def run(parts: Int): ProbeHarness.Measured[Long] = measure {
-        val root = java.nio.file.Files.createTempDirectory("graft_sprobe53")
-          .toFile.getAbsolutePath
+        val root = graft.TempDirs.fresh("sprobe53")
         StreamIntervalJoin.runAvailableNow(spark, src, NormalizedEvents.schema,
           s"$root/t", s"$root/c", statePartitions = Some(parts),
           noDataBatches = false)

@@ -97,7 +97,7 @@ object AdvancedQueries {
       s"""SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
          |  ${ExactSql.dsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_q49").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q49")
       val target = s"$root/target"; val ckpt = s"$root/ckpt"
       // The shared pre-normalized source (NANOS→micros once per SF dir,
       // memoized — a parquet file stream cannot apply the legacy-nanos
@@ -198,7 +198,7 @@ object AdvancedQueries {
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
         |ORDER BY p_event_id, c_event_id""".stripMargin) { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_q53").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q53")
       val target = s"$root/target"; val ckpt = s"$root/ckpt"
       // Shared normalized source (see q49) — this query never mutates
       // its source dir, so it streams the memoized copy directly.
@@ -226,7 +226,7 @@ object AdvancedQueries {
       "T6/X3: dropDuplicatesWithinWatermark across re-delivered batches",
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_q54").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q54")
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
       // Two deliveries = two filesystem copies of the shared sharded
       // source, delivery-level mtimes + a delivery-sized trigger, so the
@@ -262,7 +262,7 @@ object AdvancedQueries {
         |  AND c.event_type = 'click' AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
         |WHERE p.event_type = 'purchase'
         |ORDER BY p_event_id, c_event_id""".stripMargin) { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_q94").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q94")
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
       // Private source dir assembled by FILESYSTEM COPY from the
       // memoized per-corpus fixture: the one-file real delivery, then
@@ -483,7 +483,7 @@ object AdvancedQueries {
       import s.implicits._
       val weights = Seq("click" -> 1.5, "view" -> 0.5, "purchase" -> 5.0,
         "signup" -> 3.0, "error" -> 0.0).toDF("event_type", "weight")
-      val root = java.nio.file.Files.createTempDirectory("graft_q71").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q71")
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))

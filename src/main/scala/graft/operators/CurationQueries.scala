@@ -157,6 +157,14 @@ object CurationQueries {
     * by the q115 query (which ships the trace) and [[qcModelPrepared]]
     * (which persists the weights). */
   private[graft] def qcTrain(s: SparkSession, dir: String)
+      : (Map[Int, java.math.BigDecimal], Seq[(Int, Double, Long, Double, Long)]) =
+    qcTrainOf(s, docs(s, dir))
+
+  /** Same, over any `(doc_id, text)` frame — q125 RETRAINS on the
+    * post-takedown corpus with the identical loop (retrain-on-takedown:
+    * an aggregate artifact trained on removed docs is rebuilt from the
+    * survivors, not patched). */
+  private[graft] def qcTrainOf(s: SparkSession, d: DataFrame)
       : (Map[Int, java.math.BigDecimal], Seq[(Int, Double, Long, Double, Long)]) = {
     import java.math.{BigDecimal => JDec, RoundingMode}
     // Spark's round(double, s) is valueOf → setScale(HALF_UP); the
@@ -171,7 +179,7 @@ object CurationQueries {
     // Materialized by the bucket-census job below; unpersisted before
     // return (the trace is a local relation), so the query leaves no
     // block-manager debt behind.
-    val featY = qcFeatures(s, dir).repartition(col("doc_id"))
+    val featY = qcFeaturesOf(d).repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var w: Map[Int, JDec] = featY.select(col("b")).distinct().collect()
       .map(r => r.getInt(0) -> JDec.ZERO.setScale(6)).toMap
@@ -278,37 +286,40 @@ object CurationQueries {
        |    SELECT doc_id, ${B + 1} AS b, CAST(1 AS DECIMAL(18,6)) FROM $src)""".stripMargin
   }
 
-  /** The unrolled-rounds training chain through `w{QcRounds}` (the
+  /** The unrolled-rounds training chain through `{pfx}w{QcRounds}` (the
     * trained weight table); `withEval` adds the per-round ws/e trace
-    * CTEs q115's output unions. Assumes [[qcFeatureCtesSql]]'s
-    * unprefixed CTEs precede it. */
-  private def qcTrainCtesSql(withEval: Boolean): String = {
+    * CTEs q115's output unions. Assumes [[qcFeatureCtesSql]]'s CTEs
+    * with the SAME `pfx` precede it; `src` is the corpus relation the
+    * doc count divides by (q125 trains a second chain over the purged
+    * corpus beside the full-corpus one). */
+  private def qcTrainCtesSql(withEval: Boolean,
+      src: String = "documents", pfx: String = ""): String = {
     def zp(r: Int): String =
-      s"""z$r AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
-         |    FROM feat f JOIN w$r w USING (b) GROUP BY 1),
-         |  p$r AS (SELECT lab.doc_id, lab.y,
+      s"""${pfx}z$r AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+         |    FROM ${pfx}feat f JOIN ${pfx}w$r w USING (b) GROUP BY 1),
+         |  ${pfx}p$r AS (SELECT lab.doc_id, lab.y,
          |      CAST(ROUND(1 / (1 + EXP(-CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6)) AS p
-         |    FROM lab JOIN z$r USING (doc_id))""".stripMargin
+         |    FROM ${pfx}lab lab JOIN ${pfx}z$r USING (doc_id))""".stripMargin
     def update(r: Int): String =
-      s"""g${r + 1} AS (SELECT f.b, SUM((p.p - p.y) * f.x) AS g
-         |    FROM feat f JOIN p$r p USING (doc_id) GROUP BY 1),
-         |  w${r + 1} AS (SELECT w.b,
+      s"""${pfx}g${r + 1} AS (SELECT f.b, SUM((p.p - p.y) * f.x) AS g
+         |    FROM ${pfx}feat f JOIN ${pfx}p$r p USING (doc_id) GROUP BY 1),
+         |  ${pfx}w${r + 1} AS (SELECT w.b,
          |      CAST(ROUND(CAST(w.w AS DOUBLE)
          |        - $QcLr * CAST(g.g AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
          |        AS DECIMAL(18,6)) AS w
-         |    FROM w$r w JOIN g${r + 1} g USING (b) CROSS JOIN n)""".stripMargin
+         |    FROM ${pfx}w$r w JOIN ${pfx}g${r + 1} g USING (b) CROSS JOIN ${pfx}n n)""".stripMargin
     def eval(r: Int): String =
-      s"""ws$r AS (SELECT CAST(SUM(ABS(w)) AS DOUBLE) AS w_l1,
-         |    CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w_nnz FROM w$r),
-         |  e$r AS (SELECT $r AS iter, loss, n_correct, w_l1, w_nnz FROM (
+      s"""${pfx}ws$r AS (SELECT CAST(SUM(ABS(w)) AS DOUBLE) AS w_l1,
+         |    CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w_nnz FROM ${pfx}w$r),
+         |  ${pfx}e$r AS (SELECT $r AS iter, loss, n_correct, w_l1, w_nnz FROM (
          |      SELECT ${ExactSql.davgRound("ce", 6)} AS loss,
          |        CAST(SUM(CASE WHEN (p >= CAST(0.5 AS DECIMAL(18,6))) = (y = 1)
          |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |      FROM (SELECT y, p, ROUND(-(y * LN(pc) + (1 - y) * LN(1 - pc)), 6) AS ce
          |            FROM (SELECT y, p,
          |                LEAST(GREATEST(CAST(p AS DOUBLE), 0.000001), 0.999999) AS pc
-         |              FROM p$r)))
-         |    CROSS JOIN ws$r)""".stripMargin
+         |              FROM ${pfx}p$r)))
+         |    CROSS JOIN ${pfx}ws$r)""".stripMargin
     val rounds = (0 to QcRounds).flatMap { r =>
       val needZp = withEval || r < QcRounds
       Seq(
@@ -317,8 +328,8 @@ object CurationQueries {
         if (r < QcRounds) Some(update(r)) else None
       ).flatten
     }.mkString(",\n  ")
-    s"""n AS (SELECT COUNT(*) AS n FROM documents),
-       |  w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(18,6)) AS w FROM feat),
+    s"""${pfx}n AS (SELECT COUNT(*) AS n FROM $src),
+       |  ${pfx}w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(18,6)) AS w FROM ${pfx}feat),
        |  $rounds""".stripMargin
   }
 
@@ -1301,8 +1312,7 @@ object CurationQueries {
         .select((col("doc_id") + 70000).as("doc_id"),
           concat(col("text"), lit(" zq"),
             pmod(col("doc_id"), lit(11)).cast("string")).as("text"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q118").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q118")
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
       batch.repartition(2).write.parquet(src) // two files → two micro-batches
       graft.streaming.StreamScore.runAvailableNow(
@@ -1314,6 +1324,147 @@ object CurationQueries {
             (col("p") >= lit(0.5).cast(QcDec)).as("admitted"))
       }
       s.read.parquet(target).orderBy("doc_id")
+    },
+
+    // ----- X3/X4+ GOVERNANCE (round-12 completion of q122's takedown):
+    // RETRAIN-ON-TAKEDOWN — the takedown pass extended to EVERY
+    // remaining persisted artifact (q122 already purges the dedup
+    // signatures and the IVF-PQ packed codes). Removal list: the q122
+    // convention (doc_id % 37 = 0, vec_id % 37 = 0). Three artifact
+    // classes, three disciplines, one audit frame:
+    //  1. the q100 VectorIndex (per-vector cell assignments) is
+    //     ROW-IDENTIFYING — purged row-wise like the codes: anti-join
+    //     rewrite, published, 'after' and the leak check COUNTED from
+    //     the published table (before == removed + after, leak == 0);
+    //  2. the BPE merge table and 3. the qc model weights are AGGREGATE
+    //     artifacts — no row maps to a doc, but both were TRAINED on
+    //     removed content, so the honest remedy is retraining on the
+    //     survivors: both trainers rerun ([[graft.operators.TextQueries
+    //     .bpeTrain]] / [[qcTrainOf]] — the IDENTICAL loops that built
+    //     the persisted artifacts, fed the purged corpus), the new
+    //     artifacts are published, and the audit reports their shape
+    //     (rule/weight row counts) plus how many entries actually
+    //     changed vs the persisted full-corpus artifacts — the record a
+    //     governance review reads to see the removed docs' influence
+    //     leave the models. The oracle re-derives BOTH sides of each
+    //     comparison (full-corpus chain AND purged-corpus chain — two
+    //     unrolled BPE trainings, two unrolled LR trainings in one
+    //     query), so retrained-vs-persisted deltas are cross-engine
+    //     exact, not a self-check. SCALE: the purge is one anti-join;
+    //     each retrain costs exactly its original build (q108/q115
+    //     shapes — vocab-sized pair rounds, ≤66-row gradient rounds),
+    //     paid only when the removal list is non-empty; nothing here
+    //     adds a new exchange class.
+    q("q125_takedown_artifacts",
+      "X3/X4+ governance: takedown completion — purge the assignment index, retrain the aggregate artifacts, audit all",
+      {
+        val B = TextQueries.BpeMerges
+        val chain = new StringBuilder
+        chain.append(
+          s"""WITH ${qcFeatureCtesSql("documents", "")},
+             |  ${qcTrainCtesSql(withEval = false)},
+             |  purged AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0),
+             |  ${qcFeatureCtesSql("purged", "r")},
+             |  ${qcTrainCtesSql(withEval = false, src = "purged", pfx = "r")},
+             |  w_0 AS (
+             |    SELECT concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
+             |           CAST(COUNT(*) AS BIGINT) AS cnt
+             |    FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+             |    GROUP BY 1),
+             |  v_0 AS (
+             |    SELECT concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
+             |           CAST(COUNT(*) AS BIGINT) AS cnt
+             |    FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM purged)
+             |    GROUP BY 1)""".stripMargin)
+        for (i <- 1 to B) {
+          chain.append(",\n").append(TextQueries.bpePairCte(i, s"w_${i - 1}"))
+          if (i < B)
+            chain.append(",\n").append(TextQueries.bpeApplyCte(i, s"w_${i - 1}"))
+        }
+        for (i <- 1 to B) {
+          chain.append(",\n").append(TextQueries.bpePairCte(i, s"v_${i - 1}", "p"))
+          if (i < B)
+            chain.append(",\n").append(TextQueries.bpeApplyCte(
+              i, s"v_${i - 1}", Seq("cnt"), out = s"v_$i", pfx = "p"))
+        }
+        def rules(pfx: String) = (1 to B)
+          .map(i => s"SELECT $i AS step, u1, u2 FROM ${pfx}best_$i")
+          .mkString(" UNION ALL ")
+        chain.append(
+          s""",
+             |  frules AS (${rules("")}),
+             |  prules AS (${rules("p")}),
+             |  audit AS (
+             |    SELECT 'vec_index_before' AS item, COUNT(*) AS n FROM embeddings
+             |    UNION ALL SELECT 'vec_index_removed', COUNT(*)
+             |      FROM embeddings WHERE vec_id % 37 = 0
+             |    UNION ALL SELECT 'vec_index_after', COUNT(*)
+             |      FROM embeddings WHERE vec_id % 37 <> 0
+             |    UNION ALL SELECT 'vec_index_leak', 0
+             |    UNION ALL SELECT 'bpe_rules_n', COUNT(*) FROM prules
+             |    UNION ALL SELECT 'bpe_rules_changed', COUNT(*)
+             |      FROM frules f FULL JOIN prules p USING (step)
+             |      WHERE (f.u1 IS DISTINCT FROM p.u1) OR (f.u2 IS DISTINCT FROM p.u2)
+             |    UNION ALL SELECT 'qc_w_rows', COUNT(*) FROM rw$QcRounds
+             |    UNION ALL SELECT 'qc_weights_changed', COUNT(*)
+             |      FROM w$QcRounds w FULL JOIN rw$QcRounds r USING (b)
+             |      WHERE w.w IS DISTINCT FROM r.w)
+             |SELECT item, CAST(n AS BIGINT) AS n FROM audit ORDER BY item""".stripMargin)
+        chain.toString
+      }) { (s, dir) =>
+      import s.implicits._
+      val root = graft.TempDirs.fresh("q125")
+      def item(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("item"), col("n"))
+      // 1. The assignment index: row-wise anti-join purge, published,
+      // audited from the PUBLISHED table (q122's discipline — the
+      // reconciliation checks the rewrite, not re-derived arithmetic;
+      // the leak check proves no removed vec_id survived).
+      val vidx = s.read.parquet(graft.pipeline.VectorIndex.prepared(
+        s, dir, SimilarityQueries.IvfCells))
+      vidx.filter(col("vec_id") % 37 =!= 0).write.parquet(s"$root/vec_index")
+      val vpub = s.read.parquet(s"$root/vec_index")
+      val vecAudit = item("vec_index_before", vidx)
+        .unionAll(item("vec_index_removed", vidx.filter(col("vec_id") % 37 === 0)))
+        .unionAll(item("vec_index_after", vpub))
+        .unionAll(item("vec_index_leak", vpub.filter(col("vec_id") % 37 === 0)))
+      // 2. The BPE merge table: RETRAIN on the survivors with the
+      // identical trainer that built the persisted artifact, publish,
+      // diff against the persisted rules step by step.
+      val purged = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 37 =!= 0)
+      val words0 = purged
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .select(concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
+          col("cnt"))
+      val (_, retrained) =
+        TextQueries.bpeTrain(words0, carry = Seq("cnt"), applyLast = false)
+      s.createDataFrame(retrained)
+        .toDF("step", "lhs", "rhs", "merged", "score")
+        .repartition(1).write.parquet(s"$root/bpe_merges")
+      val oldRules = s.read.parquet(TextQueries.bpeMergesPrepared(s, dir))
+        .select(col("step"), col("lhs").as("olhs"), col("rhs").as("orhs"))
+      val newRules = s.read.parquet(s"$root/bpe_merges")
+      val bpeChanged = newRules.select(col("step"), col("lhs"), col("rhs"))
+        .join(oldRules, Seq("step"), "full_outer")
+        .filter(!(col("lhs") <=> col("olhs")) || !(col("rhs") <=> col("orhs")))
+      val bpeAudit = item("bpe_rules_n", newRules)
+        .unionAll(item("bpe_rules_changed", bpeChanged))
+      // 3. The qc model: same retrain discipline via the shared loop.
+      val (rw, _) = qcTrainOf(s, purged)
+      rw.toSeq.sortBy(_._1).map { case (b, v) => (b, v.toPlainString) }
+        .toDF("b", "w")
+        .repartition(1).write.parquet(s"$root/qc_model")
+      val oldW = s.read.parquet(qcModelPrepared(s, dir))
+        .select(col("b"), col("w").cast(QcDec).as("ow"))
+      val newW = s.read.parquet(s"$root/qc_model")
+      val wChanged = newW.select(col("b"), col("w").cast(QcDec).as("nw"))
+        .join(oldW, Seq("b"), "full_outer")
+        .filter(!(col("nw") <=> col("ow")))
+      val qcAudit = item("qc_w_rows", newW)
+        .unionAll(item("qc_weights_changed", wChanged))
+      vecAudit.unionAll(bpeAudit).unionAll(qcAudit).presented("item")
     }
   )
 }

@@ -1052,8 +1052,7 @@ object DedupQueries {
       appendTriageOracleSql) { (s, dir) =>
       val indexPath = graft.pipeline.DedupIndex.prepared(s, dir)
       val batch = appendTriageBatch(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q120").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q120")
       val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
       batch.repartition(2).write.parquet(src) // two files → two micro-batches
       graft.streaming.StreamScore.runAvailableNow(
@@ -1143,8 +1142,7 @@ object DedupQueries {
       // with the 'after' row MEASURED from the published table — the
       // reconciliation before == removed + after is a real check of
       // the anti-join rewrite, not re-derived arithmetic.
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q122").toFile.getAbsolutePath
+      val root = graft.TempDirs.fresh("q122")
       idx.filter(col("doc_id") % 37 =!= 0).write.parquet(s"$root/index")
       pq.filter(col("vec_id") % 37 =!= 0).write.parquet(s"$root/codes")
       def item(name: String, df: DataFrame): DataFrame =

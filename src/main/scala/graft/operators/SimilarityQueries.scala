@@ -316,16 +316,40 @@ object SimilarityQueries {
     * probe runs `cells ∝ corpus` (the q99_scaled_cells convention),
     * the configuration that bounds per-cell occupancy and with it the
     * in-task ADC pair work. */
-  private[graft] def ivfpqAppend(s: SparkSession, dir: String, cells: Int): DataFrame = {
+  private[graft] def ivfpqAppend(s: SparkSession, dir: String, cells: Int): DataFrame =
+    ivfpqTriage(ivfpqAppendStatics(s, dir, cells), ivfpqAppendBatch(s, dir))
+      .orderBy("vec_id") // row-per-batch-vector: parallel range sort
+
+  /** The INDEX side of the append triage — persisted packed codes, their
+    * per-cell occupancy, the seed centroids, and the residual codebook —
+    * built once and closed over by every batch (q119 runs one batch;
+    * q124 drains micro-batches against the same statics). */
+  private[graft] final case class IvfPqStatics(
+      idx: DataFrame, occ: DataFrame, cents: DataFrame, cb: DataFrame)
+
+  private[graft] def ivfpqAppendStatics(
+      s: SparkSession, dir: String, cells: Int): IvfPqStatics = {
     val idx = s.read.parquet(ivfPqIndexPrepared(s, dir, cells))
     val occ = idx.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n_index"))
     val base = emb(s, dir)
     val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
-    val cb = ivfpqCodebook(base, cents)
-    val batch = base.filter(col("vec_id") % 5 === 0)
+    IvfPqStatics(idx, occ, cents, ivfpqCodebook(base, cents))
+  }
+
+  /** q119's planted append batch: every 5th vector negated under a
+    * +100000 id shift (q100's convention). */
+  private[graft] def ivfpqAppendBatch(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("ev"), x => -x).as("ev"))
+
+  /** Encode `batch` against the statics and ADC-check each vector's
+    * home cell vs the persisted codes — the production insert triage.
+    * Unordered: q119 adds the range sort; q124 runs this per
+    * micro-batch and sorts the drained target instead. */
+  private[graft] def ivfpqTriage(st: IvfPqStatics, batch: DataFrame): DataFrame = {
+    import st.{idx, occ, cents, cb}
     // EAGER checkpoint: bsub feeds the encode AND the distance-table
     // side, and the codebook subtree above it lands in a broadcast
     // build thread (the q99/q113 lesson) — without the barrier the
@@ -368,7 +392,6 @@ object SimilarityQueries {
         element_at(col("codes"), 3).as("c2"),
         element_at(col("codes"), 4).as("c3"),
         col("cell_n_index"), col("nn_vec_id"), col("nn_ad"))
-      .orderBy("vec_id") // row-per-batch-vector: parallel range sort
   }
 
   private val esCteSql =
@@ -461,6 +484,55 @@ object SimilarityQueries {
        |  ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / $IvfK, 6) AS recall
        |FROM sel s LEFT JOIN hit h USING (query_id)
        |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** q119's (and q124's) oracle: re-derive the packed index from the
+    * corpus (the q68 convention: persisted artifact vs oracle
+    * recompute), encode the planted batch on a parallel CTE chain, and
+    * run the per-cell ADC insert check. ONE text shared by the batch
+    * and streaming registrations so the two gates can never drift. */
+  private def ivfpqAppendOracleSql: String = {
+    val dt16Sql = (0 until PqM).flatMap(m => (0 until PqK).map(k =>
+      s"MAX(CASE WHEN m = $m AND code = $k THEN d2 END)"))
+      .mkString("[", ", ", "]")
+    val packSql = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN m = $m THEN code END)").mkString("[", ", ", "]")
+    val adSql = (0 until PqM).map(m =>
+      s"CAST(d.dt16[${m * PqK} + e.codes[${m + 1}] + 1] AS DECIMAL(28,6))")
+      .mkString(" + ")
+    s"""WITH $ivfpqIndexCtesSql,
+       |  idxa AS (SELECT vec_id, cell_id, $packSql AS codes
+       |           FROM codes GROUP BY 1, 2),
+       |  occ AS (SELECT cell_id, COUNT(*) AS cell_n_index
+       |          FROM idxa GROUP BY 1),
+       |  batch AS (SELECT vec_id + 100000 AS vec_id,
+       |              list_transform(ev, x -> -x) AS ev
+       |            FROM es WHERE vec_id % 5 = 0),
+       |  ${ivfpqSubSqlFrom("batch", "b")},
+       |  ${ivfpqCodesSqlFrom("b")},
+       |  barr AS (SELECT vec_id, cell_id, $packSql AS codes
+       |           FROM bcodes GROUP BY 1, 2),
+       |  bdts AS (SELECT s.vec_id AS query_id, s.cell_id, c.m, c.code,
+       |             ROUND(list_distance(s.sv, c.cvr), 6) AS t
+       |           FROM bsub s JOIN cb c USING (m)),
+       |  bdt AS (SELECT query_id, cell_id, m, code, ROUND(t * t, 6) AS d2
+       |          FROM bdts),
+       |  dt16 AS (SELECT query_id, cell_id, $dt16Sql AS dt16
+       |           FROM bdt GROUP BY 1, 2),
+       |  adc AS (SELECT d.query_id, e.vec_id,
+       |            ROUND(sqrt(CAST($adSql AS DOUBLE)), 6) AS ad
+       |          FROM idxa e JOIN dt16 d USING (cell_id)),
+       |  nn AS (SELECT query_id, vec_id AS nn_vec_id, ad AS nn_ad FROM (
+       |    SELECT query_id, vec_id, ad,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id) AS rn
+       |    FROM adc) WHERE rn = 1)
+       |SELECT b.vec_id, b.cell_id,
+       |  b.codes[1] AS c0, b.codes[2] AS c1, b.codes[3] AS c2, b.codes[4] AS c3,
+       |  COALESCE(occ.cell_n_index, 0) AS cell_n_index,
+       |  nn.nn_vec_id, nn.nn_ad
+       |FROM barr b LEFT JOIN occ USING (cell_id)
+       |LEFT JOIN nn ON nn.query_id = b.vec_id
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** q93's Lloyd update chain, lean (no stats CTEs): kcents0 = seeds,
@@ -1567,50 +1639,52 @@ object SimilarityQueries {
     // distance.
     q("q119_ivfpq_append", {
       "X2/LLM incremental: IVF-PQ encode-on-append + per-cell in-row ADC insert check vs the persisted codes"
-    }, {
-      val dt16Sql = (0 until PqM).flatMap(m => (0 until PqK).map(k =>
-        s"MAX(CASE WHEN m = $m AND code = $k THEN d2 END)"))
-        .mkString("[", ", ", "]")
-      val packSql = (0 until PqM).map(m =>
-        s"MAX(CASE WHEN m = $m THEN code END)").mkString("[", ", ", "]")
-      val adSql = (0 until PqM).map(m =>
-        s"CAST(d.dt16[${m * PqK} + e.codes[${m + 1}] + 1] AS DECIMAL(28,6))")
-        .mkString(" + ")
-      s"""WITH $ivfpqIndexCtesSql,
-         |  idxa AS (SELECT vec_id, cell_id, $packSql AS codes
-         |           FROM codes GROUP BY 1, 2),
-         |  occ AS (SELECT cell_id, COUNT(*) AS cell_n_index
-         |          FROM idxa GROUP BY 1),
-         |  batch AS (SELECT vec_id + 100000 AS vec_id,
-         |              list_transform(ev, x -> -x) AS ev
-         |            FROM es WHERE vec_id % 5 = 0),
-         |  ${ivfpqSubSqlFrom("batch", "b")},
-         |  ${ivfpqCodesSqlFrom("b")},
-         |  barr AS (SELECT vec_id, cell_id, $packSql AS codes
-         |           FROM bcodes GROUP BY 1, 2),
-         |  bdts AS (SELECT s.vec_id AS query_id, s.cell_id, c.m, c.code,
-         |             ROUND(list_distance(s.sv, c.cvr), 6) AS t
-         |           FROM bsub s JOIN cb c USING (m)),
-         |  bdt AS (SELECT query_id, cell_id, m, code, ROUND(t * t, 6) AS d2
-         |          FROM bdts),
-         |  dt16 AS (SELECT query_id, cell_id, $dt16Sql AS dt16
-         |           FROM bdt GROUP BY 1, 2),
-         |  adc AS (SELECT d.query_id, e.vec_id,
-         |            ROUND(sqrt(CAST($adSql AS DOUBLE)), 6) AS ad
-         |          FROM idxa e JOIN dt16 d USING (cell_id)),
-         |  nn AS (SELECT query_id, vec_id AS nn_vec_id, ad AS nn_ad FROM (
-         |    SELECT query_id, vec_id, ad,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id) AS rn
-         |    FROM adc) WHERE rn = 1)
-         |SELECT b.vec_id, b.cell_id,
-         |  b.codes[1] AS c0, b.codes[2] AS c1, b.codes[3] AS c2, b.codes[4] AS c3,
-         |  COALESCE(occ.cell_n_index, 0) AS cell_n_index,
-         |  nn.nn_vec_id, nn.nn_ad
-         |FROM barr b LEFT JOIN occ USING (cell_id)
-         |LEFT JOIN nn ON nn.query_id = b.vec_id
-         |ORDER BY vec_id""".stripMargin
-    }) { (s, dir) =>
+    }, ivfpqAppendOracleSql) { (s, dir) =>
       ivfpqAppend(s, dir, IvfCells) // body shared with the scaled-cells probe
+    },
+
+    // ----- T6 + X2/LLM (round-12 completion of the append family's
+    // streaming column): STREAMING IVF-PQ encode-on-append — q119's
+    // triage drained as an AvailableNow stream (the q118/q120/q123
+    // harness): the append batch lands as parquet files (vector arrays
+    // stream through the parquet source schema unchanged),
+    // maxFilesPerTrigger=1 forces ≥2 micro-batches, and foreachBatch
+    // runs the IDENTICAL [[ivfpqTriage]] — map-only assign + residual +
+    // PQ encode, flat per-vector ADC table, ONE cell_id equi-join
+    // against the persisted codes — on each micro-batch as an ordinary
+    // batch plan. The INDEX side ([[ivfpqAppendStatics]]: persisted
+    // packed codes, occupancy, centroids, codebook) is built ONCE and
+    // closed over, eagerly checkpointed so no micro-batch re-derives it
+    // — exactly how a production ingest holds its index constant across
+    // a catch-up. NO streaming state: a vector's cell, codes, and
+    // nearest-existing-neighbor derive from its own values plus the
+    // statics — never from other batch vectors — so rows are
+    // self-contained and micro-batch boundaries cannot change any
+    // output (the q120 stateless-ingest argument applied to X2). The
+    // oracle is q119's verbatim: stream ≡ batch IS the hash gate, and
+    // IvfPqAppendSpec pins in-engine stream-vs-batch equality plus the
+    // observed ≥2-micro-batch discipline. At 100 TB this is the vector
+    // store's admission path: each arriving shard pays its own map-only
+    // encode + occupancy-bounded in-task ADC, nothing ever rescans the
+    // corpus.
+    q("q124_stream_ivfpq_append", {
+      "T6+X2/LLM: streaming IVF-PQ encode-on-append vs the persisted codes (foreachBatch, stateless)"
+    }, ivfpqAppendOracleSql) { (s, dir) =>
+      val st0 = ivfpqAppendStatics(s, dir, IvfCells)
+      // Statics checkpoint EAGERLY once: idx/occ/cb otherwise re-derive
+      // inside every micro-batch's plan (cb's subtree also lands in a
+      // broadcast build thread — the q99/q113 lesson).
+      val st = IvfPqStatics(st0.idx.checkpointed(), st0.occ.checkpointed(),
+        st0.cents.checkpointed(), st0.cb.checkpointed())
+      val batch = ivfpqAppendBatch(s, dir)
+      val root = graft.TempDirs.fresh("q124")
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      batch.repartition(2).write.parquet(src) // two files → two micro-batches
+      graft.streaming.StreamScore.runAvailableNow(
+        s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
+        ivfpqTriage(st, b)
+      }
+      s.read.parquet(target).orderBy("vec_id")
     },
 
     // ----- X2 composite (round-11 closure of the "a trained codebook

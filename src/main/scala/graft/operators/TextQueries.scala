@@ -120,7 +120,7 @@ object TextQueries {
     * table unchanged through such rounds, so both engines converge on
     * the same final table. `applyLast` = false lets q108 skip the
     * K-th rewrite its output never reads. */
-  private def bpeTrain(words0: DataFrame, carry: Seq[String],
+  private[graft] def bpeTrain(words0: DataFrame, carry: Seq[String],
       applyLast: Boolean)
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     var words = words0.checkpointed()
@@ -169,15 +169,17 @@ object TextQueries {
     }
 
   /** DuckDB mirror of q108's per-round SQL: the adjacent-pair count +
-    * argmax CTEs over word table `src`. */
-  private[graft] def bpePairCte(i: Int, src: String): String =
-    s"""pr_$i AS (
+    * argmax CTEs over word table `src`. `pfx` prefixes the produced CTE
+    * names so a second training chain (q125 retrains on the purged
+    * corpus beside the full-corpus chain) can coexist in one query. */
+  private[graft] def bpePairCte(i: Int, src: String, pfx: String = ""): String =
+    s"""${pfx}pr_$i AS (
        |  SELECT u1, u2, CAST(SUM(cnt) AS BIGINT) AS total FROM (
        |    SELECT cnt, unnest(list_slice(us, 1, len(us) - 1)) AS u1,
        |           unnest(list_slice(us, 2, len(us))) AS u2
        |    FROM (SELECT string_split(w, ' ') AS us, cnt FROM $src))
        |  GROUP BY 1, 2),
-       |best_$i AS (SELECT u1, u2, total FROM pr_$i
+       |${pfx}best_$i AS (SELECT u1, u2, total FROM ${pfx}pr_$i
        |            ORDER BY total DESC, u1, u2 LIMIT 1)""".stripMargin
 
   /** DuckDB mirror of [[bpeApplyMerge]] over word table `src` with the
@@ -186,9 +188,10 @@ object TextQueries {
     * names the produced CTE (q112 replays the rules onto a batch
     * chain `b_i` beside the training chain `w_i`). */
   private[graft] def bpeApplyCte(i: Int, src: String,
-      carry: Seq[String] = Seq("cnt"), out: String = ""): String = {
+      carry: Seq[String] = Seq("cnt"), out: String = "",
+      pfx: String = ""): String = {
     val c = carry.mkString(", ")
-    val name = if (out.isEmpty) s"w_$i" else out
+    val name = if (out.isEmpty) s"${pfx}w_$i" else out
     s"""$name AS (
        |  SELECT string_agg(nu, ' ' ORDER BY i) AS w, $c FROM (
        |    SELECT ow, $c, i, nu, sel,
@@ -215,7 +218,7 @@ object TextQueries {
        |                SELECT w AS ow, $c, unnest(us) AS u,
        |                       unnest(range(1, len(us) + 1)) AS i, u1, u2
        |                FROM (SELECT w, $c, string_split(w, ' ') AS us FROM $src)
-       |                LEFT JOIN best_$i ON true)))))))
+       |                LEFT JOIN ${pfx}best_$i ON true)))))))
        |  WHERE NOT selp GROUP BY ow, $c)""".stripMargin
   }
 
@@ -874,67 +877,128 @@ object TextQueries {
     // them on a parallel batch CTE chain.
     q("q112_bpe_apply_persisted",
       "X4+/LLM: batch tokenization via persisted BPE merges (no retrain, OOV-safe)",
-      {
-        val chain = new StringBuilder
-        chain.append(
-          s"""WITH w_0 AS (
-             |  SELECT concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
-             |         CAST(COUNT(*) AS BIGINT) AS cnt
-             |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
-             |  GROUP BY 1)""".stripMargin)
-        for (i <- 1 to BpeMerges) {
-          chain.append(",\n").append(bpePairCte(i, s"w_${i - 1}"))
-          if (i < BpeMerges)
-            chain.append(",\n").append(bpeApplyCte(i, s"w_${i - 1}"))
-        }
-        chain.append(
-          s""",
-             |batch AS (SELECT doc_id + 70000 AS doc_id, text FROM (
-             |            SELECT doc_id,
-             |              concat(text, ' zq', CAST(doc_id % 7 AS VARCHAR)) AS text
-             |            FROM documents WHERE doc_id % 5 = 1)),
-             |b_0 AS (
-             |  SELECT DISTINCT tok,
-             |         concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w
-             |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM batch))""".stripMargin)
-        for (i <- 1 to BpeMerges)
-          chain.append(",\n")
-            .append(bpeApplyCte(i, s"b_${i - 1}", Seq("tok"), out = s"b_$i"))
-        chain.append(
-          s""",
-             |seg AS (SELECT tok, CAST(len(string_split(w, ' ')) AS BIGINT) AS units
-             |        FROM b_$BpeMerges)
-             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             |       CAST(SUM(units) AS BIGINT) AS n_units
-             |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM batch)
-             |JOIN seg USING (tok)
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin)
-        chain.toString
-      }) { (s, dir) =>
-      val merges = s.read.parquet(bpeMergesPrepared(s, dir))
-        .orderBy("step").collect()
-        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
-      val batch = docs(s, dir).filter(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + 70000).as("doc_id"),
-          concat(col("text"), lit(" zq"), pmod(col("doc_id"), lit(7)).cast("string"))
-            .as("text"))
-      val words0 = batch
-        .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
-        .select(col("tok"),
-          concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"))
-      val words = merges.foldLeft(words0.checkpointed()) { case (w, (l, r)) =>
-        bpeApplyMerge(w, l, r, carry = Seq("tok")).checkpointed()
-      }
-      val seg = words.select(col("tok"),
-        size(split(col("w"), " ")).cast("long").as("units"))
-      batch
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .join(broadcast(seg), "tok")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("units")).as("n_units"))
+      bpeApplyPersistedOracleSql) { (s, dir) =>
+      val merges = bpeMergesOf(s, dir)
+      bpeSegmentWith(merges, bpeAppendBatch(s, dir))
         .orderBy("doc_id") // row-per-doc output: parallel range sort
-    }
+    },
+
+    // ----- T6 + X4+/LLM (round-12 completion of the append family's
+    // streaming column): STREAMING tokenize-on-append — q112's replay
+    // drained as an AvailableNow stream (the q118/q120 harness): the
+    // append batch lands as parquet files, maxFilesPerTrigger=1 forces
+    // ≥2 micro-batches, and foreachBatch replays the PERSISTED 8 merge
+    // rules over each micro-batch's own vocab-sized word table before
+    // the broadcast seg join — the identical [[bpeSegmentWith]] plan
+    // q112 runs over the whole batch. NO streaming state: a token's
+    // segmentation is a pure function of (token, persisted rules), so
+    // each doc's (n_tokens, n_units) derives from its own text plus
+    // the artifact, rows are self-contained, and micro-batch
+    // boundaries cannot change any count (per-micro-batch word tables
+    // are SUBSETS of the whole-batch table; the replay visits each
+    // distinct token identically wherever it appears). The oracle is
+    // q112's verbatim: stream ≡ batch IS the hash gate, and
+    // BpeTokenizerSpec pins in-engine stream-vs-batch equality plus
+    // the observed ≥2-micro-batch discipline. At 100 TB this is the
+    // tokenizer in the ingest path: catch-up over any backlog is just
+    // more batches, each paying 8 rule replays over its OWN tiny
+    // vocabulary + one broadcast join over its doc stream.
+    q("q123_stream_tokenize",
+      "T6+X4+/LLM: streaming tokenize-on-append via persisted BPE merges (foreachBatch, stateless)",
+      bpeApplyPersistedOracleSql) { (s, dir) =>
+      val merges = bpeMergesOf(s, dir)
+      val batch = bpeAppendBatch(s, dir)
+      val root = graft.TempDirs.fresh("q123")
+      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+      batch.repartition(2).write.parquet(src) // two files → two micro-batches
+      graft.streaming.StreamScore.runAvailableNow(
+        s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
+        bpeSegmentWith(merges, b)
+      }
+      s.read.parquet(target).orderBy("doc_id")
+    },
+
   )
+
+  /** q112's (and q123's) oracle: re-derive the 8 rules from the
+    * training corpus in an unrolled CTE chain (the q68 convention:
+    * persisted index vs oracle recompute), then replay them on a
+    * parallel batch chain. ONE text shared by the batch and streaming
+    * registrations so the two gates can never drift. */
+  private[graft] def bpeApplyPersistedOracleSql: String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""WITH w_0 AS (
+         |  SELECT concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+         |  GROUP BY 1)""".stripMargin)
+    for (i <- 1 to BpeMerges) {
+      chain.append(",\n").append(bpePairCte(i, s"w_${i - 1}"))
+      if (i < BpeMerges)
+        chain.append(",\n").append(bpeApplyCte(i, s"w_${i - 1}"))
+    }
+    chain.append(
+      s""",
+         |batch AS (SELECT doc_id + 70000 AS doc_id, text FROM (
+         |            SELECT doc_id,
+         |              concat(text, ' zq', CAST(doc_id % 7 AS VARCHAR)) AS text
+         |            FROM documents WHERE doc_id % 5 = 1)),
+         |b_0 AS (
+         |  SELECT DISTINCT tok,
+         |         concat(regexp_replace(tok, '(.)', '\\1 ', 'g'), '_') AS w
+         |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM batch))""".stripMargin)
+    for (i <- 1 to BpeMerges)
+      chain.append(",\n")
+        .append(bpeApplyCte(i, s"b_${i - 1}", Seq("tok"), out = s"b_$i"))
+    chain.append(
+      s""",
+         |seg AS (SELECT tok, CAST(len(string_split(w, ' ')) AS BIGINT) AS units
+         |        FROM b_$BpeMerges)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(units) AS BIGINT) AS n_units
+         |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM batch)
+         |JOIN seg USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    chain.toString
+  }
+
+  /** The persisted merge rules, read once (8 tiny rows → closure). */
+  private[graft] def bpeMergesOf(s: SparkSession, dir: String): Array[(String, String)] =
+    s.read.parquet(bpeMergesPrepared(s, dir))
+      .orderBy("step").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+
+  /** q112's planted append batch: every 5th doc, id-shifted +70000
+    * (under the Tables.PlantIdFloor headroom guard), an OOV marker
+    * token appended — the fixed-tokenizer-on-unseen-text case. */
+  private[graft] def bpeAppendBatch(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(col("text"), lit(" zq"), pmod(col("doc_id"), lit(7)).cast("string"))
+          .as("text"))
+
+  /** Segment `b`'s docs by REPLAYING the persisted rules over b's own
+    * vocab-sized word table (8 replays + one broadcast seg join — the
+    * cost scales with b, never the corpus). Unordered: q112 adds the
+    * row-per-doc range sort; q123 runs this per micro-batch and sorts
+    * the drained target instead. */
+  private[graft] def bpeSegmentWith(
+      merges: Array[(String, String)], b: DataFrame): DataFrame = {
+    val words0 = b
+      .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+      .select(col("tok"),
+        concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"))
+    val words = merges.foldLeft(words0.checkpointed()) { case (w, (l, r)) =>
+      bpeApplyMerge(w, l, r, carry = Seq("tok")).checkpointed()
+    }
+    val seg = words.select(col("tok"),
+      size(split(col("w"), " ")).cast("long").as("units"))
+    b.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .join(broadcast(seg), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("units")).as("n_units"))
+  }
 
   /** q103's model-train + scoring frame `(doc_id, n_bigrams, h_bits)`,
     * BEFORE its checkpoint — the registered query's exact input, kept

@@ -244,4 +244,31 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(x => (x.getString(0), x.getLong(1))).toSet
     assert(out == Set(("ab c _", 7L), ("ab ab _", 3L), ("z _", 11L)))
   }
+
+  test("q123 streams the tokenize: >= 2 micro-batches, stream == batch counts") {
+    // The oracle gate proves stream ≡ DuckDB; this pins stream ≡ the
+    // q112 batch plan directly (per-micro-batch word tables are SUBSETS
+    // of the whole-batch table — replaying the persisted rules on a
+    // subset must segment every token identically).
+    val dir = "/root/testdata/sf0.001"
+    def keyed(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = keyed("q123_stream_tokenize")
+    val asBatch = keyed("q112_bpe_apply_persisted")
+    assert(stream.nonEmpty && stream == asBatch,
+      s"stream counts drift from batch: ${(stream diff asBatch).take(3)} / ${(asBatch diff stream).take(3)}")
+    // Boundary discipline, OBSERVED (the DedupIndexSpec q120 check):
+    // ≥2 committed micro-batches in the checkpoint, ≥2 non-empty source
+    // part files drained at maxFilesPerTrigger=1.
+    val root = TempDirs.current("q123").getOrElse(
+      fail("q123 left no scratch root to inspect"))
+    val commits = Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+      .getOrElse(Array.empty).count(_.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected >=2 committed micro-batches, saw $commits")
+    val srcParts = Option(new java.io.File(s"$root/src").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(srcParts.count(_.length > 0) >= 2,
+      s"expected >=2 non-empty source part files, saw ${srcParts.map(_.length).mkString(",")}")
+  }
 }

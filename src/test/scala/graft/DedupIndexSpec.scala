@@ -96,11 +96,22 @@ class DedupIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(stream.nonEmpty && stream == asBatch,
       s"stream verdicts drift from batch: ${(stream diff asBatch).take(3)} / ${(asBatch diff stream).take(3)}")
-    // Boundary discipline: the source is written as TWO parquet files
-    // and drained with maxFilesPerTrigger=1 (q118's convention), and
-    // both files are non-empty because the batch far exceeds two rows —
-    // so the equality above really spans a micro-batch boundary.
-    assert(batch.count() > 2, "batch too small to exercise a micro-batch boundary")
+    // Boundary discipline, OBSERVED not assumed (ADVICE r11): the drain
+    // leaves its checkpoint behind in the query's scratch root —
+    // AvailableNow writes one commit file per executed micro-batch, so
+    // counting them proves ≥2 micro-batches actually ran; and each
+    // micro-batch was non-empty because the source holds ≥2 non-empty
+    // parquet part files drained at maxFilesPerTrigger=1.
+    val root = TempDirs.current("q120").getOrElse(
+      fail("q120 left no scratch root to inspect"))
+    val commits = Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+      .getOrElse(Array.empty).count(_.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected >=2 committed micro-batches, saw $commits")
+    val srcParts = Option(new java.io.File(s"$root/src").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(srcParts.count(_.length > 0) >= 2,
+      s"expected >=2 non-empty source part files, saw ${srcParts.map(_.length).mkString(",")}")
   }
 
   test("q122 takedown: audits reconcile and the forgotten really re-admit") {
@@ -124,5 +135,29 @@ class DedupIndexSpec extends AnyFunSuite {
     // (doc_id % 37) contains docs whose content no survivor carries.
     assert(rows.getOrElse("retriage_new", 0L) > 0,
       s"takedown forgot nothing — purged signatures still matching? $rows")
+  }
+
+  test("q125 takedown completion: index purge reconciles, aggregate artifacts retrain") {
+    val rows = SparkEntry.queries("q125_takedown_artifacts")(spark, dir)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
+    // The assignment index: counted from the PUBLISHED post-takedown
+    // table, so before == removed + after checks the anti-join rewrite,
+    // and the leak row proves no removed vec_id survived it.
+    assert(rows("vec_index_before") ==
+      rows("vec_index_removed") + rows("vec_index_after"),
+      s"vec_index audit does not reconcile: $rows")
+    assert(rows("vec_index_removed") > 0, "removal list was empty")
+    assert(rows("vec_index_leak") == 0,
+      s"removed vec_ids survive in the published index: $rows")
+    // The retrained aggregate artifacts exist with their full shape...
+    assert(rows("bpe_rules_n") > 0, s"BPE retrain produced no rules: $rows")
+    assert(rows("qc_w_rows") > 0, s"qc retrain produced no weights: $rows")
+    // ...and the retrain is REAL, not a copy: removing 1/37 of the
+    // corpus shifts every gradient sum, so at 6dp at least one weight
+    // must move (bpe_rules_changed may legitimately be 0 — the top-8
+    // pair ranking can survive a small removal — so it is reported,
+    // not asserted).
+    assert(rows("qc_weights_changed") > 0,
+      s"retrained qc model identical to the persisted one — retrain-on-takedown is a no-op? $rows")
   }
 }

@@ -81,4 +81,29 @@ class IvfPqAppendSpec extends AnyFunSuite {
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("nn_vec_id"))))
     assert(rows.forall(r => r.getAs[Long]("cell_n_index") > 0))
   }
+
+  test("q124 streams the append: >= 2 micro-batches, stream == batch rows") {
+    // The oracle gate proves stream ≡ DuckDB; this pins stream ≡ the
+    // q119 batch plan directly (the statics are closed over once, so
+    // any hidden per-micro-batch dependence would surface as drift).
+    def keyed(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val stream = keyed("q124_stream_ivfpq_append")
+    val asBatch = keyed("q119_ivfpq_append")
+    assert(stream.nonEmpty && stream == asBatch,
+      s"stream rows drift from batch: ${(stream diff asBatch).take(3)} / ${(asBatch diff stream).take(3)}")
+    // Boundary discipline, OBSERVED (the DedupIndexSpec q120 check):
+    // ≥2 committed micro-batches in the checkpoint, ≥2 non-empty source
+    // part files drained at maxFilesPerTrigger=1.
+    val root = TempDirs.current("q124").getOrElse(
+      fail("q124 left no scratch root to inspect"))
+    val commits = Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+      .getOrElse(Array.empty).count(_.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected >=2 committed micro-batches, saw $commits")
+    val srcParts = Option(new java.io.File(s"$root/src").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(srcParts.count(_.length > 0) >= 2,
+      s"expected >=2 non-empty source part files, saw ${srcParts.map(_.length).mkString(",")}")
+  }
 }
