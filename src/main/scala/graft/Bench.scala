@@ -305,7 +305,19 @@ object Bench {
     // agg → sentence render → embedding → last-write-wins upsert frame),
     // materialized like every other query. Tracked separately: it is the
     // reference's reason to exist, not one of the operator queries.
-    val entrySec = {
+    // TWO passes, min reported, both stamped (VERDICT r11 #5): the
+    // r10→r11 drift (2.47→4.77 s) was profiled — the pipeline's code is
+    // byte-identical between the two records, and an isolated StageProf
+    // run shows only ~1.3 s of its ~3.4 s total lives in stages; the
+    // rest is per-plan DRIVER overhead (optimization, whole-stage
+    // codegen compilation, broadcast-build threads), which the suite
+    // never warms (entry is not a registered query) and which swings
+    // with end-of-suite JVM state and host band. Pass 1 carries that
+    // one-time cost (comparable to prior rounds' single-shot number);
+    // pass 2 is the steady-state data cost a long-running deployment
+    // actually pays per window.
+    val entryPasses = (1 to 2).map { _ =>
+      System.gc() // entry must not absorb the suite's reclaimable debt
       val t0 = System.nanoTime()
       try {
         pipeline.DailySummary.run(spark, sfDir)
@@ -313,6 +325,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    val entrySec = entryPasses.min
     // Transparency record for the min-of-passes tail: both readings, so
     // the artifact shows HOW noisy the first pass was, not just the min.
     val passes = firstPass.collect { case (name, e1, _, _) if secondPass.contains(name) =>
@@ -400,7 +413,13 @@ object Bench {
     // record itself, not just in the commit message.
     val passLabel = jstr(sys.env.getOrElse("SPARK_GRAFT_PASS_LABEL", "1/1"))
     val calib = s""""host_calibration":{"workload":"splitmix64 mix, 20M iters/thread","ops_per_ms_1t":${opsPerMs(1)},"ops_per_ms_nt":$ntMedian,"ops_per_ms_nt_samples":${ntSorted.mkString("[", ",", "]")},"calibration_spread":${f3(calibSpread)},"io_workload":"32MiB fsync'd write to repo target (same ext4 as testdata)","io_mb_s_samples":${ioSorted.map(f3).mkString("[", ",", "]")},"io_mb_s_median":${f3(ioMedian)},"io_spread":${f3(ioSpread)},"ref_io_mb_s":${f3(refIoMbS)},"io_slow":$ioSlow,"contended":$contended,"ref_ops_per_ms_nt":$refNt,"ref_protocol":"r10 in-suite interleaved median (matched protocol)","ref_ops_per_ms_nt_r8":$refNtR8,"ref_r8_note":"retired end-of-run snapshot, within 1.65% of current ref","threads_nt":${spark.sparkContext.defaultParallelism},"checksum":${calibSink.get()}}"""
-    val meta = s""""spark_version":"${spark.version}","bench_pass":"$passLabel","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass; calibrated_total = total x median(nt samples)/ref, suppressed (null) when contended",$calibNote$calib"""
+    val entryNote = "entry_pipeline_sec = min of 2 passes (both in " +
+      "entry_pipeline_passes); pass 1 includes the plan's one-time driver " +
+      "overhead (optimize + codegen + broadcast threads, ~2s of the ~3.4s " +
+      "isolated total, stage sum only ~1.3s) — the r10->r11 2.47->4.77 " +
+      "drift was this overhead under end-of-suite JVM state + host band, " +
+      "the pipeline code being byte-identical between those records"
+    val meta = s""""spark_version":"${spark.version}","bench_pass":"$passLabel","entry_pipeline_passes":${entryPasses.map(f3).mkString("[", ",", "]")},"entry_pipeline_note":"$entryNote","timing_rule":"min of error-free passes (tail re-measured once; both readings in remeasured_passes); shuffle_mb always from first pass; calibrated_total = total x median(nt samples)/ref, suppressed (null) when contended",$calibNote$calib"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibrated_total":$calibratedJson,"contended":$contended,"n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},"spark_version":"${spark.version}","sf":"$sfDir"}"""
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibrated_total":$calibratedJson,"contended":$contended,"n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},$meta,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
     // Stdout AND a file: the driver's tail-capture truncated the r3

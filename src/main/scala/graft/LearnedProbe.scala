@@ -27,7 +27,14 @@ object LearnedProbe {
 
   val Probed: Seq[String] =
     Seq("q116_score_persisted", "q117_learned_manifest", "q118_stream_score",
-      "q119_ivfpq_append")
+      "q119_ivfpq_append",
+      // r12: the streaming column's remaining members (stateless drains
+      // of q112/q119 — cost must scale with the drained batch) and the
+      // takedown-completion pass (which RETRAINS by design: its cost is
+      // the q108+q115 trainer shapes over the survivor corpus plus an
+      // anti-join purge, so it too must scale ~linearly).
+      "q123_stream_tokenize", "q124_stream_ivfpq_append",
+      "q125_takedown_artifacts")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -62,6 +69,10 @@ object LearnedProbe {
       // (the q99_scaled_cells convention) — index construction is the
       // bulk build's cost, never the append's.
       operators.SimilarityQueries.ivfPqIndexPrepared(spark, dir)
+      // q125 purges the q100 assignment index row-wise — build it ahead
+      // too (one-time bulk cost, never the takedown's).
+      pipeline.VectorIndex.prepared(spark, dir,
+        operators.SimilarityQueries.IvfCells)
       println(s"[probe] artifacts warm for $dir")
     }
     // The scaled-cells row below runs in clean mode only — don't pay

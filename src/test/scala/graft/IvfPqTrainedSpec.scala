@@ -32,4 +32,30 @@ class IvfPqTrainedSpec extends AnyFunSuite {
     assert(trained >= seed,
       s"Lloyd-trained IVF-PQ recall $trained fell below the seed index's $seed")
   }
+
+  test("q126 nprobe curve: full shape, re-rank >= plain row-wise, trained >= seed at the operating point") {
+    val rows = SparkEntry.queries("q126_ivfpq_nprobe_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("variant"), r.getAs[Long]("nprobe")) ->
+        (r.getAs[Double]("mean_recall"), r.getAs[Double]("mean_recall_rr")))
+      .toMap
+    // Full surface: both variants at every nprobe 1..cells.
+    val cells = operators.SimilarityQueries.IvfCells
+    assert(rows.size == 2 * cells, s"expected ${2 * cells} rows, got ${rows.size}")
+    for (v <- Seq("seed", "trained"); n <- 1L to cells) {
+      val (plain, rr) = rows((v, n))
+      assert(plain >= 0 && plain <= 1 && rr >= 0 && rr <= 1,
+        s"recall out of range at ($v, $n): $plain / $rr")
+      // A theorem, not a tuning claim: every true neighbor that makes
+      // the ADC shortlist survives an exact re-rank (at most K vectors
+      // can beat the global K-th distance), so the re-ranked top-k can
+      // only gain overlap vs taking the shortlist's first K by ADC.
+      assert(rr >= plain,
+        s"exact re-rank LOST recall at ($v, $n): $rr < $plain")
+    }
+    // The q113/q121 trained >= seed law, restated on the curve's
+    // registered operating point (nprobe = 2) for both pipelines.
+    assert(rows(("trained", 2L))._1 >= rows(("seed", 2L))._1)
+    assert(rows(("trained", 2L))._2 >= rows(("seed", 2L))._2)
+  }
 }
