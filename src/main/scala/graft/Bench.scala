@@ -373,27 +373,33 @@ object Bench {
     val calibSpread =
       if (ntSorted.nonEmpty && ntSorted.head > 0) ntSorted.last.toDouble / ntSorted.head
       else -1.0
-    // I/O contention verdict (VERDICT r11 #2). Three triggers, any one of
-    // which marks the run contended: shifting CPU contention (spread of
-    // the interleaved mix samples > 3x), shifting I/O contention (spread
-    // of the fsync'd-write samples > 3x), or UNIFORMLY slow I/O (median
-    // under 40% of the quiet-host reference — r11's miss was exactly this
-    // shape: every sample slow, so a spread check alone stays quiet).
-    // ref_io_mb_s is this box's quiet in-suite median, stamped r12 the
-    // same way ref_ops_per_ms_nt was stamped r10; override via env for a
-    // different fleet host.
+    // I/O contention verdict (VERDICT r11 #2). Two triggers mark the run
+    // contended: shifting CPU contention (spread of the interleaved mix
+    // samples > 3x — this caught r11's driver run at 3.12 and a genuinely
+    // hammered pass at 10.3), or UNIFORMLY slow I/O (median under 40% of
+    // the in-suite reference — r11's blind spot was exactly this shape:
+    // every sample slow, so a CPU check alone stays quiet). io_spread is
+    // REPORTED but not a trigger: the samples run at the GC-nudge points
+    // right after queries complete, when the suite's OWN dirty-page
+    // writeback is still draining, so max/min spreads of 5-10x are normal
+    // for a healthy full pass (measured 9.4x on a pass whose CPU samples
+    // and raw total were both clean) — a min/max ratio there measures our
+    // flush timing, not the host.
     val ioSorted = ioSamples.sorted
     val ioMedian = if (ioSorted.nonEmpty) ioSorted(ioSorted.size / 2) else -1.0
     val ioSpread =
       if (ioSorted.nonEmpty && ioSorted.head > 0) ioSorted.last / ioSorted.head
       else -1.0
-    // Quiet reference: in-suite medians on this box read ~75 MB/s (the
-    // standalone dd band is 62-181 — fsync'd virtio writes are noisy, so
-    // the threshold is deliberately loose at 0.4x and only the MEDIAN of
-    // ~10 interleaved samples is compared, never one reading).
-    val refIoMbS = sys.env.get("SPARK_GRAFT_REF_IO_MBS").map(_.toDouble).getOrElse(75.0)
+    // Reference = the IN-SUITE median of full quiet-host passes (the r9
+    // CPU-ref lesson applied to I/O: both sides of the comparison must
+    // use the same sampling discipline — an idle-host sample reads ~75
+    // MB/s but a mid-suite sample competes with the suite's writeback
+    // and reads 40-60 on this box). Override via env for a different
+    // fleet host. The 0.4x floor means "sustained under ~20 MB/s", the
+    // shape of a host whose disk another tenant is saturating.
+    val refIoMbS = sys.env.get("SPARK_GRAFT_REF_IO_MBS").map(_.toDouble).getOrElse(50.0)
     val ioSlow = ioMedian >= 0 && ioMedian < 0.4 * refIoMbS
-    val contended = calibSpread > 3.0 || ioSpread > 3.0 || ioSlow
+    val contended = calibSpread > 3.0 || ioSlow
     // A contended record REFUSES to publish a calibrated total rather
     // than print a misleading one: the CPU-only factor absorbed r11's
     // 2.4x I/O slowdown to 11% and a reader saw a phantom 3x regression.
