@@ -325,7 +325,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    val entrySec = entryPasses.min
+    // Same rule as the per-query tail: only error-free passes may be
+    // min'd in; the -1.0 sentinel is reported only when BOTH failed.
+    val entrySec = entryPasses.filter(_ >= 0) match {
+      case ok if ok.nonEmpty => ok.min
+      case _ => -1.0
+    }
     // Transparency record for the min-of-passes tail: both readings, so
     // the artifact shows HOW noisy the first pass was, not just the min.
     val passes = firstPass.collect { case (name, e1, _, _) if secondPass.contains(name) =>
@@ -397,7 +402,10 @@ object Bench {
     // and reads 40-60 on this box). Override via env for a different
     // fleet host. The 0.4x floor means "sustained under ~20 MB/s", the
     // shape of a host whose disk another tenant is saturating.
-    val refIoMbS = sys.env.get("SPARK_GRAFT_REF_IO_MBS").map(_.toDouble).getOrElse(50.0)
+    // Guarded parse: this line runs AFTER the whole suite — a malformed
+    // env value must not cost the run its record.
+    val refIoMbS = sys.env.get("SPARK_GRAFT_REF_IO_MBS")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(50.0)
     val ioSlow = ioMedian >= 0 && ioMedian < 0.4 * refIoMbS
     val contended = calibSpread > 3.0 || ioSlow
     // A contended record REFUSES to publish a calibrated total rather

@@ -121,7 +121,7 @@ object Plans {
     pw.println()
     pw.println(s"`explain(\"formatted\")` on $sfDir — regenerate with:")
     pw.println("`java ... graft.Plans <sfDir> PLANS.md`. Streaming queries")
-    pw.println("(q49/q53/q54/q71, and the foreachBatch pair q118/q120) execute")
+    pw.println("(q49/q53/q54/q71, and the foreachBatch drains q118/q120/q123/q124) execute")
     pw.println("jobs rather than return a plan and are excluded; their physical")
     pw.println("shape is spec-asserted instead.")
     val pre = preSort(spark, sfDir)

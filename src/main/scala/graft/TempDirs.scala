@@ -46,10 +46,20 @@ object TempDirs {
   def current(label: String): Option[String] =
     live.get(label).map(_.toFile.getAbsolutePath)
 
-  /** A fresh empty scratch root for `label`; deletes the previous root
-    * handed out under the same label first. */
+  /** A fresh empty scratch root for `label`; the previous root handed
+    * out under the same label is deleted on a BACKGROUND daemon thread —
+    * callers invoke fresh() inside timed/measured regions (Bench's tail
+    * re-measure, the probes' min-of-two second pass), and a synchronous
+    * walk-and-unlink of run N−1's corpus-sized tree on the same volume
+    * the bench is measuring would bill cleanup to run N's reading. The
+    * old path is never reused (createTempDirectory mints unique names),
+    * so the deletion races nothing. */
   def fresh(label: String): String = {
-    live.remove(label).foreach(deleteRecursively)
+    live.remove(label).foreach { old =>
+      val t = new Thread(() => deleteRecursively(old), s"graft-tempdir-gc-$label")
+      t.setDaemon(true)
+      t.start()
+    }
     val p = Files.createTempDirectory(s"graft_$label")
     live.put(label, p)
     p.toFile.getAbsolutePath

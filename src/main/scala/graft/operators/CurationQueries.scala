@@ -1415,7 +1415,7 @@ object CurationQueries {
       import s.implicits._
       val root = graft.TempDirs.fresh("q125")
       def item(name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n")).select(lit(name).as("item"), col("n"))
+        DedupQueries.auditItem(name, df) // shared with q122 — one audit-row shape
       // 1. The assignment index: row-wise anti-join purge, published,
       // audited from the PUBLISHED table (q122's discipline — the
       // reconciliation checks the rewrite, not re-derived arithmetic;
@@ -1433,13 +1433,9 @@ object CurationQueries {
       // diff against the persisted rules step by step.
       val purged = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 37 =!= 0)
-      val words0 = purged
-        .select(explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .select(concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
-          col("cnt"))
-      val (_, retrained) =
-        TextQueries.bpeTrain(words0, carry = Seq("cnt"), applyLast = false)
+      // IDENTICAL trainer input as the persisted build, by sharing.
+      val (_, retrained) = TextQueries.bpeTrain(
+        TextQueries.bpeWords0(purged), carry = Seq("cnt"), applyLast = false)
       s.createDataFrame(retrained)
         .toDF("step", "lhs", "rhs", "merged", "score")
         .repartition(1).write.parquet(s"$root/bpe_merges")

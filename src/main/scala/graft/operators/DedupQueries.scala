@@ -615,6 +615,12 @@ object DedupQueries {
     * re-reads the edge list every round. private[graft]: q114's
     * cross-modal manifest unions these text edges with q104's phash
     * edges over one id space. */
+  /** One `(item, n)` audit row: the takedown family's shared count-row
+    * shape (q122 here, q125 in CurationQueries) — ONE definition so the
+    * two audit frames can never diverge in naming or typing. */
+  private[graft] def auditItem(name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n")).select(lit(name).as("item"), col("n"))
+
   private[graft] def blockingEdges(u: DataFrame): DataFrame =
     u.select(col("doc_id"), explode(array(
         md5(col("text")), md5(dropFirstTok(col("text"))))).as("k"))
@@ -1145,8 +1151,7 @@ object DedupQueries {
       val root = graft.TempDirs.fresh("q122")
       idx.filter(col("doc_id") % 37 =!= 0).write.parquet(s"$root/index")
       pq.filter(col("vec_id") % 37 =!= 0).write.parquet(s"$root/codes")
-      def item(name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n")).select(lit(name).as("item"), col("n"))
+      def item(name: String, df: DataFrame): DataFrame = auditItem(name, df)
       def audit(name: String, before: DataFrame, isRm: Column,
           published: String): DataFrame =
         item(s"${name}_before", before)

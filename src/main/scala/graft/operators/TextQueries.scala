@@ -154,15 +154,22 @@ object TextQueries {
     * same build-into-tmp + rename discipline as DedupIndex /
     * VectorIndex — the production precondition of tokenize-on-append:
     * the rules already EXIST, a new batch never retrains. */
+  /** The trainer's input: the corpus collapsed to a (spaced-unit word,
+    * count) frequency table. ONE definition shared by the artifact
+    * build and q125's retrain-on-takedown — the retrain's claim is
+    * "the IDENTICAL trainer over the survivors", which must be enforced
+    * by sharing, not by keeping two copies in sync. */
+  private[graft] def bpeWords0(d: DataFrame): DataFrame =
+    d.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
+        col("cnt"))
+
   private[graft] def bpeMergesPrepared(s: SparkSession, sfDir: String): String =
     graft.pipeline.PreparedArtifact.publishOnce(s, "graft_bpe_merges",
         graft.pipeline.PreparedArtifact.fingerprint(s, sfDir, "documents")) { tmp =>
-      val words0 = docs(s, sfDir)
-        .select(explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .select(concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("_")).as("w"),
-          col("cnt"))
-      val (_, merges) = bpeTrain(words0, carry = Seq("cnt"), applyLast = false)
+      val (_, merges) =
+        bpeTrain(bpeWords0(docs(s, sfDir)), carry = Seq("cnt"), applyLast = false)
       s.createDataFrame(merges)
         .toDF("step", "lhs", "rhs", "merged", "score")
         .repartition(1).write.mode("overwrite").parquet(tmp.toString)

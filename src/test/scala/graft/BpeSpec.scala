@@ -257,18 +257,7 @@ class BpeSpec extends AnyFunSuite {
     val asBatch = keyed("q112_bpe_apply_persisted")
     assert(stream.nonEmpty && stream == asBatch,
       s"stream counts drift from batch: ${(stream diff asBatch).take(3)} / ${(asBatch diff stream).take(3)}")
-    // Boundary discipline, OBSERVED (the DedupIndexSpec q120 check):
-    // ≥2 committed micro-batches in the checkpoint, ≥2 non-empty source
-    // part files drained at maxFilesPerTrigger=1.
-    val root = TempDirs.current("q123").getOrElse(
-      fail("q123 left no scratch root to inspect"))
-    val commits = Option(new java.io.File(s"$root/ckpt/commits").listFiles())
-      .getOrElse(Array.empty).count(_.getName.forall(_.isDigit))
-    assert(commits >= 2, s"expected >=2 committed micro-batches, saw $commits")
-    val srcParts = Option(new java.io.File(s"$root/src").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    assert(srcParts.count(_.length > 0) >= 2,
-      s"expected >=2 non-empty source part files, saw ${srcParts.map(_.length).mkString(",")}")
+    // Boundary discipline, OBSERVED (the shared StreamChecks gate).
+    StreamChecks.assertCrossedBoundary("q123")
   }
 }

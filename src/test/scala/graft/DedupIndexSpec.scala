@@ -96,22 +96,10 @@ class DedupIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(stream.nonEmpty && stream == asBatch,
       s"stream verdicts drift from batch: ${(stream diff asBatch).take(3)} / ${(asBatch diff stream).take(3)}")
-    // Boundary discipline, OBSERVED not assumed (ADVICE r11): the drain
-    // leaves its checkpoint behind in the query's scratch root —
-    // AvailableNow writes one commit file per executed micro-batch, so
-    // counting them proves ≥2 micro-batches actually ran; and each
-    // micro-batch was non-empty because the source holds ≥2 non-empty
-    // parquet part files drained at maxFilesPerTrigger=1.
-    val root = TempDirs.current("q120").getOrElse(
-      fail("q120 left no scratch root to inspect"))
-    val commits = Option(new java.io.File(s"$root/ckpt/commits").listFiles())
-      .getOrElse(Array.empty).count(_.getName.forall(_.isDigit))
-    assert(commits >= 2, s"expected >=2 committed micro-batches, saw $commits")
-    val srcParts = Option(new java.io.File(s"$root/src").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    assert(srcParts.count(_.length > 0) >= 2,
-      s"expected >=2 non-empty source part files, saw ${srcParts.map(_.length).mkString(",")}")
+    // Boundary discipline, OBSERVED not assumed (ADVICE r11): see
+    // StreamChecks — ≥2 committed micro-batches in the checkpoint, ≥2
+    // non-empty source part files drained at maxFilesPerTrigger=1.
+    StreamChecks.assertCrossedBoundary("q120")
   }
 
   test("q122 takedown: audits reconcile and the forgotten really re-admit") {
