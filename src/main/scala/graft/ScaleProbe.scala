@@ -81,7 +81,12 @@ object ScaleProbe {
     "q81_ngram_jaccard", "q84_bloom_decontam", "q86_canonical_pick",
     "q95_dup_spans", "q98_novelty_score", "q99_semantic_prune",
     "q102_dsir_select", "q103_lm_perplexity", "q114_crossmodal_manifest",
-    "q115_quality_classifier", "q117_learned_manifest")
+    "q115_quality_classifier", "q117_learned_manifest",
+    // r12 release family: q127/q130 are hash-keyed (rows-ratio laws);
+    // q128 composes three text-carrying signal frames (chars-ratio);
+    // q129's dup window keys on md5(text) (rows-ratio).
+    "q127_train_order", "q128_quality_ensemble", "q129_data_card",
+    "q130_shard_plan")
 
   /** Synthesize a `copies`-replica corpus (documents + embeddings — all
     * the heavy tier reads) into `outDir`, memoized on a marker file. */

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.PipelineQueries.all ++
       operators.MediaQueries.all ++
       operators.AdvancedQueries.all ++
-      operators.JdbcQueries.all
+      operators.JdbcQueries.all ++
+      operators.ReleaseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The E1 pipeline restated (SURVEY.md §3): daily windowed metrics →

@@ -1,0 +1,330 @@
+package graft.operators
+
+import graft.Materialize.CheckpointOps
+import graft.{NamedQuery, Tables}
+import graft.NamedQuery.{q, PresentationOps}
+import graft.functions.{Exact, ExactSql, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Release-engineering queries over `documents` — the passes that turn a
+  * CURATED corpus into a SHIPPED training run: a reproducible multi-epoch
+  * training order (q127), a calibrated multi-signal quality ensemble
+  * (q128), the release datasheet / data card (q129), and a size-balanced
+  * output shard plan (q130).
+  *
+  * The family's shared discipline is the one CurationQueries establishes:
+  * nothing is random — ordering, sampling, and shard cuts all key off the
+  * md5-derived [[TextOps.hash60]] so any executor (and the DuckDB oracle)
+  * can re-derive any row's assignment independently. That determinism is
+  * what makes each operator a LAW rather than a draw: re-runs, retries,
+  * and corpus increments never move a doc another doc's assignment
+  * depends on (see ReleaseSpec's drop-one-doc invariance).
+  */
+object ReleaseQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Keep-rate denominator: thresholds live in [0, 2^20]. */
+  private val USize = 1048576L
+
+  /** q130 knobs: contiguous hash-ordered shards and the fixed bucket
+    * fan-out of the distributed prefix sum. Buckets are a CONSTANT,
+    * not a corpus function — the offset table stays 256 rows at any
+    * scale, which is what makes the single-task offset window safe. */
+  private val NShards = 32L
+  private val NBuckets = 256L
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ----- Reproducible multi-epoch training order (curriculum
+    // annealing). Epoch e draws a half-corpus budget with language
+    // weights n^tau_e for tau = 1, 1/2, 1/4 — the standard
+    // temperature anneal from natural mixture toward uniform (tau
+    // powers are sqrt chains, NOT pow(): IEEE sqrt is correctly
+    // rounded in both engines, exp/ln-based pow is not guaranteed).
+    // Selection is RATE-based, not rank-based: lang l keeps doc d in
+    // epoch e iff hash(e:d) % 2^20 < floor(share*budget/n_l * 2^20).
+    // That makes the whole query map-only after one tiny counts
+    // aggregate — no window, no sort, no per-stratum rank — which is
+    // the 100 TB answer (exact-quota ranking needs a per-stratum
+    // global order; rate-keep trades <=0.1% mixture error for a scan).
+    // The manifest's order IS the output: (epoch, pos) with
+    // pos = hash(e:doc_id) is the seeded global shuffle a trainer
+    // streams — reshuffled per epoch, reproducible from the seed, and
+    // writable at scale as a range-partitioned sort, never a
+    // "shuffle 100 TB in place".
+    q("q127_train_order",
+      "X4+/LLM: reproducible multi-epoch curriculum order (temperature-annealed mixture, rate-kept, hash-ordered)",
+      {
+        val h = TextOps.hash60Sql("CAST(t.e AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")
+        s"""WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+           |  tot AS (SELECT CAST(SUM(n) AS BIGINT) // 2 AS b FROM cnt),
+           |  ep AS (SELECT unnest([1, 2, 3]) AS e),
+           |  w AS (SELECT e, lang, n,
+           |          CASE e WHEN 1 THEN CAST(n AS DOUBLE)
+           |                 WHEN 2 THEN ROUND(sqrt(CAST(n AS DOUBLE)), 6)
+           |                 ELSE ROUND(sqrt(sqrt(CAST(n AS DOUBLE))), 6) END AS w
+           |        FROM cnt CROSS JOIN ep),
+           |  ws AS (SELECT e, ${ExactSql.dsum("w")} AS wsum FROM w GROUP BY 1),
+           |  thr AS (SELECT w.e, w.lang,
+           |            LEAST(CAST(FLOOR(w.w / ws.wsum * t.b / w.n * $USize) AS BIGINT), $USize) AS thr
+           |          FROM w JOIN ws USING (e) CROSS JOIN tot t),
+           |  sel AS (SELECT CAST(t.e AS BIGINT) AS epoch, $h AS pos, d.doc_id, d.lang
+           |          FROM documents d JOIN thr t ON d.lang = t.lang
+           |          WHERE $h % $USize < t.thr)
+           |SELECT epoch, pos, doc_id, lang FROM sel
+           |ORDER BY epoch, pos, doc_id""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      // THREE consumers (tot, w, and transitively thr) of a 5-row agg:
+      // checkpoint so the threshold build scans the corpus once, not
+      // once per consumer.
+      val cnt = d.groupBy(col("lang")).agg(count(lit(1)).as("n")).checkpointed()
+      val tot = cnt.agg(sum(col("n")).as("nd")).select(expr("nd div 2").as("b"))
+      val ep = Seq(1, 2, 3).toDF("e")
+      val w = cnt.crossJoin(ep).select(col("e"), col("lang"), col("n"),
+        when(col("e") === 1, col("n").cast("double"))
+          .when(col("e") === 2, round(sqrt(col("n").cast("double")), 6))
+          .otherwise(round(sqrt(sqrt(col("n").cast("double"))), 6)).as("w"))
+      val ws = w.groupBy(col("e")).agg(Exact.dsum(col("w")).as("wsum"))
+      val thr = w.join(ws, "e").crossJoin(tot)
+        .select(col("e"), col("lang"),
+          least(floor(col("w") / col("wsum") * col("b") / col("n") * lit(USize)),
+            lit(USize)).as("thr"))
+      // Corpus side: explode the 3 epochs in place (map-side — no join
+      // against an epoch table), broadcast the 15-row threshold frame.
+      val h = TextOps.hash60(
+        concat(col("e").cast("string"), lit(":"), col("doc_id").cast("string")))
+      d.select(col("doc_id"), col("lang"))
+        .withColumn("e", explode(lit(Array(1, 2, 3))))
+        .join(broadcast(thr), Seq("e", "lang"))
+        .withColumn("pos", h)
+        .filter(col("pos") % USize < col("thr"))
+        .select(col("e").cast("long").as("epoch"), col("pos"),
+          col("doc_id"), col("lang"))
+        .orderBy("epoch", "pos", "doc_id") // row-per-doc: parallel range sort
+    },
+
+    // ----- Calibrated quality-signal ensemble: the release gate rarely
+    // trusts ONE filter — it min-max-normalizes the rule score (q34),
+    // the repeated-trigram ratio (q64's signal), and the bigram-LM
+    // cross-entropy (q103's h_bits) into a combined score, then audits
+    // decile bins for signal agreement (a bin where the three signals
+    // spread > 0.5 after orientation is where the hand rule and the
+    // statistical models disagree — the docs a curator actually reads).
+    // Every signal helper is the SHARED one (qualityFrame /
+    // shingleRowsOf / lmScoredFrame + their SQL twins) so the ensemble
+    // can never drift from its member queries. Shape: three doc-keyed
+    // frames join on doc_id, one 1-row stats aggregate broadcasts back
+    // (min-max needs no global sort — the reason it beats rank
+    // normalization at 100 TB), bins are fixed-width (map-side).
+    q("q128_quality_ensemble",
+      "X4+/LLM: min-max ensemble of rule/repetition/LM quality signals with per-bin agreement audit",
+      {
+        val toks = TextOps.tokensSql("text")
+        s"""WITH ${TextQueries.lmScoredCtes},
+           |  qs AS (${TextQueries.qualityScoredSql}),
+           |  g AS (SELECT doc_id, unnest([list_aggregate(list_slice(ts, i, i + 2), 'string_agg', ' ')
+           |                               for i in range(1, len(ts) - 1)]) AS t3
+           |        FROM (SELECT doc_id, $toks AS ts FROM documents)),
+           |  rep AS (SELECT doc_id,
+           |            ROUND(CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT t3) AS DOUBLE) / COUNT(*), 6) AS rr
+           |          FROM g GROUP BY 1),
+           |  j AS (SELECT doc_id, ROUND(qs.quality, 6) AS rq, rep.rr, scored.h_bits AS hb
+           |        FROM qs JOIN rep USING (doc_id) JOIN scored USING (doc_id)
+           |        WHERE qs.n_tokens >= 3),
+           |  st AS (SELECT MIN(rq) AS mnq, MAX(rq) AS mxq, MIN(rr) AS mnr, MAX(rr) AS mxr,
+           |                MIN(hb) AS mnh, MAX(hb) AS mxh FROM j),
+           |  nz AS (SELECT doc_id, rq, rr, hb,
+           |           COALESCE(ROUND((rq - mnq) / NULLIF(mxq - mnq, 0), 6), CAST(0.5 AS DOUBLE)) AS gq,
+           |           CAST(1 AS DOUBLE) - COALESCE(ROUND((rr - mnr) / NULLIF(mxr - mnr, 0), 6), CAST(0.5 AS DOUBLE)) AS gr,
+           |           CAST(1 AS DOUBLE) - COALESCE(ROUND((hb - mnh) / NULLIF(mxh - mnh, 0), 6), CAST(0.5 AS DOUBLE)) AS gh
+           |         FROM j CROSS JOIN st),
+           |  en AS (SELECT doc_id, rq, rr, hb,
+           |           ROUND((gq + gr + gh) / 3, 6) AS ens,
+           |           ROUND(GREATEST(gq, gr, gh) - LEAST(gq, gr, gh), 6) AS spread
+           |         FROM nz)
+           |SELECT LEAST(GREATEST(CAST(FLOOR(ens * 10) AS BIGINT), 0), 9) AS bin,
+           |  COUNT(*) AS n_docs,
+           |  ROUND(${ExactSql.davg("ens")}, 6) AS mean_ens,
+           |  ROUND(${ExactSql.davg("rq")}, 6) AS mean_quality,
+           |  ROUND(${ExactSql.davg("rr")}, 6) AS mean_rep,
+           |  ROUND(${ExactSql.davg("hb")}, 6) AS mean_hbits,
+           |  CAST(SUM(CASE WHEN spread > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+           |FROM en GROUP BY 1 ORDER BY bin""".stripMargin
+      }) { (s, dir) =>
+      // Two consumers (stats + normalize): checkpoint, stats broadcasts.
+      val j = ensembleJoined(s, dir).checkpointed()
+      val st = j.agg(
+        min(col("rq")).as("mnq"), max(col("rq")).as("mxq"),
+        min(col("rr")).as("mnr"), max(col("rr")).as("mxr"),
+        min(col("hb")).as("mnh"), max(col("hb")).as("mxh"))
+      def norm(x: String, mn: String, mx: String) =
+        coalesce(round((col(x) - col(mn)) / nullif(col(mx) - col(mn), lit(0)), 6),
+          lit(0.5))
+      val nz = j.crossJoin(broadcast(st)).select(
+        col("doc_id"), col("rq"), col("rr"), col("hb"),
+        norm("rq", "mnq", "mxq").as("gq"),
+        (lit(1.0) - norm("rr", "mnr", "mxr")).as("gr"),
+        (lit(1.0) - norm("hb", "mnh", "mxh")).as("gh"))
+      val en = nz.select(col("doc_id"), col("rq"), col("rr"), col("hb"),
+        round((col("gq") + col("gr") + col("gh")) / 3, 6).as("ens"),
+        round(greatest(col("gq"), col("gr"), col("gh")) -
+          least(col("gq"), col("gr"), col("gh")), 6).as("spread"))
+      en.groupBy(least(greatest(floor(col("ens") * 10), lit(0L)), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(Exact.davg(col("ens")), 6).as("mean_ens"),
+          round(Exact.davg(col("rq")), 6).as("mean_quality"),
+          round(Exact.davg(col("rr")), 6).as("mean_rep"),
+          round(Exact.davg(col("hb")), 6).as("mean_hbits"),
+          sum(when(col("spread") > 0.5, 1L).otherwise(0L)).as("n_disagree"))
+        .presented("bin")
+    },
+
+    // ----- Release data card: the per-(source, lang) datasheet a
+    // corpus ships with — sizes, token mass, exact-duplicate exposure,
+    // and label/language-ID disagreement, in one frame. One corpus
+    // scan computes every per-doc feature (tokens, md5 signature, the
+    // SHARED q33 language ladder); the only corpus-sized exchange is
+    // the md5-keyed duplicate window (the q27 key), then a 100-group
+    // aggregate. Card semantics, not profiling: n_dup_docs counts docs
+    // EXPOSED to duplication (cluster members, not cluster excess) and
+    // n_langid_flag counts docs whose heuristic language disagrees
+    // with the label — both are "what would a release reviewer ask".
+    q("q129_data_card",
+      "X4+/LLM: per-(source, lang) release data card — sizes, tokens, dup exposure, lang-ID flags",
+      {
+        val scores = TextQueries.Profiles.map { case (l, _) =>
+          s"${TextQueries.langScoreSql("text", l)} AS s_$l"
+        }.mkString(",\n         ")
+        s"""WITH f AS (SELECT doc_id, source, lang, n_chars,
+           |         CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_toks,
+           |         md5(text) AS sig,
+           |         $scores
+           |       FROM documents),
+           |  p AS (SELECT *, ${TextQueries.langLadderSql(l => s"s_$l")} AS pred FROM f),
+           |  f2 AS (SELECT *, COUNT(*) OVER (PARTITION BY sig) AS nsig FROM p),
+           |  a AS (SELECT source, lang, COUNT(*) AS n_docs,
+           |          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |          CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+           |          CAST(SUM(CASE WHEN nsig > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           |          CAST(SUM(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_langid_flag
+           |        FROM f2 GROUP BY 1, 2),
+           |  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+           |SELECT source, lang, n_docs,
+           |  ROUND(CAST(n_docs AS DOUBLE) / nd, 6) AS share_docs,
+           |  sum_chars, sum_tokens,
+           |  ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
+           |  n_dup_docs, n_langid_flag
+           |FROM a CROSS JOIN tot
+           |ORDER BY source, lang""".stripMargin
+      }) { (s, dir) =>
+      val d = docs(s, dir)
+      val base = Seq(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        md5(col("text")).as("sig"))
+      val scores = TextQueries.Profiles.map { case (l, _) =>
+        TextQueries.langScore(col("text"), l).as(s"s_$l")
+      }
+      val f = d.select(base ++ scores: _*)
+      val p = f.withColumn("pred", TextQueries.langLadder(l => col(s"s_$l")))
+      val f2 = p.withColumn("nsig", count(lit(1)).over(Window.partitionBy("sig")))
+      val a = f2.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_toks")).as("sum_tokens"),
+          sum(when(col("nsig") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L)).as("n_langid_flag"))
+      val tot = d.agg(count(lit(1)).as("nd"))
+      a.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("nd"), 6).as("share_docs"),
+          col("sum_chars").cast("long").as("sum_chars"),
+          col("sum_tokens").cast("long").as("sum_tokens"),
+          round(col("sum_chars").cast("double") / col("n_docs"), 6).as("mean_chars"),
+          col("n_dup_docs"), col("n_langid_flag"))
+        .presented("source", "lang")
+    },
+
+    // ----- Size-balanced output shard plan: assign every doc a shard
+    // by its BYTE OFFSET in the deterministic hash write order —
+    // shard = floor(global_prefix_bytes / target) with target =
+    // ceil(total/32). All-integer arithmetic: no float boundary can
+    // disagree between engines, and shard sizes are provably within
+    // one max-doc of target. The prefix sum is the textbook
+    // distributed form: 256 FIXED hash buckets aggregate to a 256-row
+    // offset table (the only single-task window — constant-sized at
+    // any corpus), within-bucket cumsums run partitioned by bucket,
+    // and start = bucket_offset + within_cum. The oracle computes the
+    // same quantity as ONE global window — the spec pins two-phase ≡
+    // global, which is the law that makes the plan trustworthy at
+    // scales where the global window cannot run.
+    q("q130_shard_plan",
+      "X4+/LLM: size-balanced shard assignment via distributed prefix-sum over hash write order",
+      s"""WITH a AS (SELECT doc_id, n_chars,
+         |         ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |  b AS (SELECT doc_id, n_chars, h, h % $NBuckets AS bk FROM a),
+         |  t AS (SELECT (CAST(SUM(n_chars) AS BIGINT) + ${NShards - 1}) // $NShards AS tgt FROM b),
+         |  c AS (SELECT n_chars,
+         |          CAST(SUM(n_chars) OVER (ORDER BY bk, h, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS strt
+         |        FROM b),
+         |  sh AS (SELECT strt // t.tgt AS shard_id, n_chars, t.tgt FROM c CROSS JOIN t)
+         |SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+         |       tgt AS target_chars
+         |FROM sh GROUP BY shard_id, tgt ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val a = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        TextOps.hash60(col("doc_id").cast("string")).as("h"))
+      val b = a.withColumn("bk", col("h") % NBuckets)
+      // The 256-row bucket-total frame feeds BOTH the offset table and
+      // the grand total: checkpoint it so the corpus contributes one
+      // aggregate scan, and derive total from it instead of re-scanning.
+      val bktot = b.groupBy(col("bk")).agg(sum(col("n_chars")).as("bchars"))
+        .checkpointed()
+      val t = bktot.agg(sum(col("bchars")).as("tc"))
+        .select(expr(s"(tc + ${NShards - 1}) div $NShards").as("tgt"))
+      // Exclusive per-bucket offsets: a single-task window over a
+      // CONSTANT 256 rows — the same "tiny by construction" shape as
+      // q62's quota frame, safe at any corpus size.
+      val off = bktot.select(col("bk"),
+        coalesce(sum(col("bchars")).over(
+          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"))
+      val cum = b.withColumn("cum",
+        sum(col("n_chars")).over(Window.partitionBy("bk").orderBy("h", "doc_id")))
+      val strt = cum.join(broadcast(off), "bk")
+        .select(col("n_chars"), (col("off") + col("cum") - col("n_chars")).as("strt"))
+      strt.crossJoin(broadcast(t))
+        .select(expr("strt div tgt").as("shard_id"), col("n_chars"), col("tgt"))
+        .groupBy(col("shard_id"), col("tgt"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
+        .select(col("shard_id"), col("n_docs"),
+          col("shard_chars").cast("long").as("shard_chars"),
+          col("tgt").as("target_chars"))
+        .presented("shard_id")
+    })
+
+  /** q128's joined signal frame `(doc_id, rq, rr, hb)`, BEFORE its
+    * checkpoint — kept separately callable because the checkpoint
+    * truncates the registered plan to an RDD scan and this is where
+    * the load-bearing shape lives (three SHARED doc-keyed signal
+    * frames equi-joined on doc_id; `graft.Plans` dumps it). */
+  private[graft] def ensembleJoined(s: SparkSession, dir: String): DataFrame = {
+    val qf = TextQueries.qualityFrame(s, dir)
+      .filter(col("n_tokens") >= 3)
+      .select(col("doc_id"), round(col("quality"), 6).as("rq"))
+    val rep = DedupQueries.shingleRowsOf(
+        docs(s, dir).select(col("doc_id"), col("text")), 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count_distinct(col("t")).as("n_distinct"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("rr"))
+    val scored = TextQueries.lmScoredFrame(s, dir)
+      .select(col("doc_id"), col("h_bits").as("hb"))
+    qf.join(rep, "doc_id").join(scored, "doc_id")
+  }
+}

@@ -42,7 +42,7 @@ object TextQueries {
     * (The corpus is synthetic English-ish word bags under synthetic lang
     * labels, so the interesting output is the confusion matrix, which is
     * deterministic in both engines.) */
-  private val Profiles: Seq[(String, Seq[String])] = Seq(
+  private[operators] val Profiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
     "en" -> Seq("the", "a", "of", "and", "to", "is"),
     "es" -> Seq("el", "la", "los", "y", "es", "que"),
@@ -50,6 +50,39 @@ object TextQueries {
     "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "men"))
 
   private[operators] val Stopwords: Seq[String] = Profiles.toMap.apply("en")
+
+  /** DuckDB profile-score for language `l` over `textExpr` (q33's
+    * per-lang stopword hit count — the ONE copy, shared with the q129
+    * data card). */
+  private[operators] def langScoreSql(textExpr: String, l: String): String = {
+    val set = Profiles.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(${tokensSql(textExpr)}, t -> list_contains($set, t)))"
+  }
+
+  /** Spark mirror of [[langScoreSql]]. */
+  private[operators] def langScore(text: Column, l: String): Column = {
+    val ws = Profiles.toMap.apply(l)
+    size(filter(TextOps.tokens(text), t => t.isin(ws: _*)))
+  }
+
+  /** The language-ID argmax CASE ladder over per-lang scores. Ties
+    * break in Profiles order — the parity-critical rule, kept as the
+    * ONE copy so q33 and every reuse agree byte-for-byte. `score(l)`
+    * names (q33: the s_l column) or inlines the per-lang score. */
+  private[operators] def langLadderSql(score: String => String): String = {
+    val g = Profiles.map { case (l, _) => score(l) }.mkString("GREATEST(", ", ", ")")
+    Profiles.map { case (l, _) => s"WHEN ${score(l)} = $g THEN '$l'" }
+      .mkString("CASE ", " ", "END")
+  }
+
+  /** Spark mirror of [[langLadderSql]] (same Profiles-order tiebreak). */
+  private[operators] def langLadder(score: String => Column): Column = {
+    val g = greatest(Profiles.map { case (l, _) => score(l) }: _*)
+    Profiles.tail.foldLeft(
+      when(score(Profiles.head._1) === g, Profiles.head._1)) {
+      case (acc, (l, _)) => acc.when(score(l) === g, l)
+    }
+  }
 
   /** Fixed keyword query for the BM25 scorer (corpus-vocabulary terms). */
   private val BmTerms: Seq[String] = Seq("vector", "hash", "merge")
@@ -269,27 +302,18 @@ object TextQueries {
     q("q33_langid_confusion",
       "X4: n-gram/stopword language-ID heuristic, confusion counts",
       {
-        val scores = Profiles.map { case (l, ws) =>
-          val set = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_filter(${tokensSql("text")}, t -> list_contains($set, t))) AS s_$l"
+        val scores = Profiles.map { case (l, _) =>
+          s"${langScoreSql("text", l)} AS s_$l"
         }.mkString(",\n         ")
-        val g = Profiles.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
-        val ladder = Profiles.map { case (l, _) => s"WHEN s_$l = $g THEN '$l'" }
-          .mkString("CASE ", " ", "END")
-        s"""SELECT lang AS actual, $ladder AS predicted, COUNT(*) AS n
+        s"""SELECT lang AS actual, ${langLadderSql(l => s"s_$l")} AS predicted, COUNT(*) AS n
            |FROM (SELECT lang, $scores FROM documents)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }) { (s, dir) =>
-      val toks = TextOps.tokens(col("text"))
       val scored = docsSpread(s, dir).select(col("lang") +:
-        Profiles.map { case (l, ws) =>
-          size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
+        Profiles.map { case (l, _) =>
+          langScore(col("text"), l).as(s"s_$l")
         }: _*)
-      val g = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
-      val ladder = Profiles.tail.foldLeft(
-        when(col(s"s_${Profiles.head._1}") === g, Profiles.head._1)) {
-        case (acc, (l, _)) => acc.when(col(s"s_$l") === g, l)
-      }
+      val ladder = langLadder(l => col(s"s_$l"))
       scored
         .groupBy(col("lang").as("actual"), ladder.as("predicted"))
         .agg(count(lit(1)).as("n"))
@@ -305,51 +329,9 @@ object TextQueries {
     // format_string note).
     q("q34_quality_score",
       "X4: per-doc quality scoring (length/punct/stopword ratios)",
-      {
-        val toks = tokensSql("text")
-        val set = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"""SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stop_ratio,
-           |  CAST(0.4 * (CASE WHEN n_tokens >= 50 THEN CAST(1 AS DECIMAL(8,6))
-           |              ELSE CAST(n_tokens * 0.02 AS DECIMAL(8,6)) END)
-           |     + 0.3 * (CAST(1 AS DECIMAL(8,6)) - CAST(punct_ratio AS DECIMAL(18,6)))
-           |     + 0.3 * (CASE WHEN CAST(stop_ratio AS DECIMAL(18,6)) * 5 >= 1 THEN CAST(1 AS DECIMAL(18,6))
-           |              ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END) AS DOUBLE) AS quality
-           |FROM (
-           |  SELECT doc_id,
-           |    CAST(len($toks) AS BIGINT) AS n_tokens,
-           |    ROUND(CAST(len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-           |          / NULLIF(len(text), 0), 6) AS punct_ratio,
-           |    ROUND(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-           |          / NULLIF(len(text), 0), 6) AS digit_ratio,
-           |    ROUND(CAST(len(list_filter($toks, t -> list_contains($set, t))) AS DOUBLE)
-           |          / NULLIF(len($toks), 0), 6) AS stop_ratio
-           |  FROM documents)
-           |ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
-      val toks = TextOps.tokens(col("text"))
-      val ratios = docsSpread(s, dir).select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        round((length(col("text")) -
-          length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
-          nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
-        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-          nullif(length(col("text")), lit(0)), 6).as("digit_ratio"),
-        round(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
-          nullif(size(toks), lit(0)), 6).as("stop_ratio"))
-      val one = expr("CAST(1 AS DECIMAL(8,6))")
-      val pd = col("punct_ratio").cast(org.apache.spark.sql.types.DecimalType(18, 6))
-      val sd = col("stop_ratio").cast(org.apache.spark.sql.types.DecimalType(18, 6))
-      val lenScore = when(col("n_tokens") >= 50, one)
-        .otherwise((col("n_tokens") * expr("CAST(0.02 AS DECIMAL(3,2))"))
-          .cast(org.apache.spark.sql.types.DecimalType(8, 6)))
-      val stopScore = when(sd * 5 >= 1, expr("CAST(1 AS DECIMAL(18,6))")).otherwise(sd * 5)
-      ratios
-        .withColumn("quality",
-          (expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
-            expr("CAST(0.3 AS DECIMAL(2,1))") * (one - pd) +
-            expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore).cast("double"))
-        .orderBy("doc_id")
+      s"""$qualityScoredSql
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      qualityFrame(s, dir).orderBy("doc_id")
     },
 
     // ----- X4: token counting two ways (whitespace words vs a BPE-ish
@@ -703,24 +685,7 @@ object TextQueries {
     q("q103_lm_perplexity",
       "X4: bigram-LM cross-entropy scoring + CCNet head/middle/tail terciles",
       {
-        val toks = tokensSql("text")
-        s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
-           |  bgw AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w1 FROM (
-           |            SELECT doc_id,
-           |              unnest([list_aggregate(list_slice(t, i, i + 1), 'string_agg', ' ')
-           |                      for i in range(1, len(t))]) AS b
-           |            FROM toks)),
-           |  bgc AS (SELECT b, w1, COUNT(*) AS cbg FROM bgw GROUP BY 1, 2),
-           |  ugc AS (SELECT w1, COUNT(*) AS cug FROM bgw GROUP BY 1),
-           |  vf AS (SELECT COUNT(DISTINCT tok) AS v
-           |         FROM (SELECT unnest(t) AS tok FROM toks)),
-           |  lp AS (SELECT b,
-           |           ROUND(LOG2((cbg + CAST(0.5 AS DOUBLE)) /
-           |                      (cug + CAST(0.5 AS DOUBLE) * v)), 6) AS logp
-           |         FROM bgc JOIN ugc USING (w1) CROSS JOIN vf),
-           |  scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-           |               ROUND(-(${ExactSql.dsum("logp")}) / COUNT(*), 6) AS h_bits
-           |             FROM bgw JOIN lp USING (b) GROUP BY doc_id),
+        s"""WITH $lmScoredCtes,
            |  th AS (SELECT MIN(CASE WHEN rn = (n + 2) // 3 THEN h_bits END) AS t1,
            |                MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN h_bits END) AS t2
            |         FROM (SELECT h_bits, ROW_NUMBER() OVER (ORDER BY h_bits) AS rn,
@@ -1005,6 +970,83 @@ object TextQueries {
       .join(broadcast(seg), "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("units")).as("n_units"))
+  }
+
+  /** q34's DuckDB quality-score SELECT `(doc_id, n_tokens, punct_ratio,
+    * digit_ratio, stop_ratio, quality)` over `documents` — factored so
+    * the q128 ensemble reuses the SAME formula text (the decimal combo
+    * is half-tie-sensitive; a drifted copy would diverge silently). */
+  private[operators] def qualityScoredSql: String = {
+    val toks = tokensSql("text")
+    val set = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stop_ratio,
+       |  CAST(0.4 * (CASE WHEN n_tokens >= 50 THEN CAST(1 AS DECIMAL(8,6))
+       |              ELSE CAST(n_tokens * 0.02 AS DECIMAL(8,6)) END)
+       |     + 0.3 * (CAST(1 AS DECIMAL(8,6)) - CAST(punct_ratio AS DECIMAL(18,6)))
+       |     + 0.3 * (CASE WHEN CAST(stop_ratio AS DECIMAL(18,6)) * 5 >= 1 THEN CAST(1 AS DECIMAL(18,6))
+       |              ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END) AS DOUBLE) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    ROUND(CAST(len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |          / NULLIF(len(text), 0), 6) AS punct_ratio,
+       |    ROUND(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |          / NULLIF(len(text), 0), 6) AS digit_ratio,
+       |    ROUND(CAST(len(list_filter($toks, t -> list_contains($set, t))) AS DOUBLE)
+       |          / NULLIF(len($toks), 0), 6) AS stop_ratio
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Spark mirror of [[qualityScoredSql]] — q34's scored frame, shared
+    * with the q128 ensemble. Map-only; distributes with the scan. */
+  private[operators] def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val ratios = docsSpread(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round((length(col("text")) -
+        length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
+        nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
+      round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        nullif(length(col("text")), lit(0)), 6).as("digit_ratio"),
+      round(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+        nullif(size(toks), lit(0)), 6).as("stop_ratio"))
+    val one = expr("CAST(1 AS DECIMAL(8,6))")
+    val pd = col("punct_ratio").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val sd = col("stop_ratio").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val lenScore = when(col("n_tokens") >= 50, one)
+      .otherwise((col("n_tokens") * expr("CAST(0.02 AS DECIMAL(3,2))"))
+        .cast(org.apache.spark.sql.types.DecimalType(8, 6)))
+    val stopScore = when(sd * 5 >= 1, expr("CAST(1 AS DECIMAL(18,6))")).otherwise(sd * 5)
+    ratios.withColumn("quality",
+      (expr("CAST(0.4 AS DECIMAL(2,1))") * lenScore +
+        expr("CAST(0.3 AS DECIMAL(2,1))") * (one - pd) +
+        expr("CAST(0.3 AS DECIMAL(2,1))") * stopScore).cast("double"))
+  }
+
+  /** q103's DuckDB CTE chain up through `scored(doc_id, n_bigrams,
+    * h_bits)` — the bigram-LM train + score block, factored so the
+    * q128 ensemble's oracle reuses the SAME model text (formula drift
+    * between two hand copies would silently skew one consumer). */
+  private[operators] def lmScoredCtes: String = {
+    val toks = tokensSql("text")
+    s"""toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |  bgw AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w1 FROM (
+       |            SELECT doc_id,
+       |              unnest([list_aggregate(list_slice(t, i, i + 1), 'string_agg', ' ')
+       |                      for i in range(1, len(t))]) AS b
+       |            FROM toks)),
+       |  bgc AS (SELECT b, w1, COUNT(*) AS cbg FROM bgw GROUP BY 1, 2),
+       |  ugc AS (SELECT w1, COUNT(*) AS cug FROM bgw GROUP BY 1),
+       |  vf AS (SELECT COUNT(DISTINCT tok) AS v
+       |         FROM (SELECT unnest(t) AS tok FROM toks)),
+       |  lp AS (SELECT b,
+       |           ROUND(LOG2((cbg + CAST(0.5 AS DOUBLE)) /
+       |                      (cug + CAST(0.5 AS DOUBLE) * v)), 6) AS logp
+       |         FROM bgc JOIN ugc USING (w1) CROSS JOIN vf),
+       |  scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |               ROUND(-(${ExactSql.dsum("logp")}) / COUNT(*), 6) AS h_bits
+       |             FROM bgw JOIN lp USING (b) GROUP BY doc_id)""".stripMargin
   }
 
   /** q103's model-train + scoring frame `(doc_id, n_bigrams, h_bits)`,

@@ -292,6 +292,31 @@ class PlanShapeSpec extends AnyFunSuite {
         joined.queryExecution.executedPlan)
   }
 
+  test("q127 selection is map-only: thresholds broadcast, no window, no per-stratum rank") {
+    val ps = nodes(plan("q127_train_order"))
+    assert(!ps.exists(_.isInstanceOf[WindowExec]),
+      "q127 plans a window — rate-based keep must not rank strata")
+    assert(ps.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "q127's threshold frame is not broadcast onto the corpus")
+    // The 1-row budget frame crosses as a broadcast nested loop by
+    // design (q62's tiny-side pattern); only a true unbroadcast
+    // cartesian is forbidden.
+    assert(!ps.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("q130 cumsum windows: corpus side is bucket-partitioned; only the constant offset window is global") {
+    val ws = nodes(plan("q130_shard_plan")).collect { case w: WindowExec => w }
+    val (global, parted) = ws.partition(_.partitionSpec.isEmpty)
+    assert(parted.nonEmpty, "no bucket-partitioned within-bucket cumsum window")
+    // Any unpartitioned window must sit over the 256-row bucket-total
+    // frame (a checkpoint scan), never over the corpus scan.
+    global.foreach { w =>
+      assert(!w.collectLeaves().exists(_.nodeName.contains("Scan parquet")),
+        s"global window runs over a corpus scan: $w")
+    }
+  }
+
   test("unbounded (row-per-input) outputs never funnel through one partition") {
     // Every query whose output scales with its input: the trailing sort
     // must be a parallel range sort (or top-k), never repartition(1).
@@ -311,7 +336,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q83_domain_sample", "q84_bloom_decontam", "q85_posting_lists",
       "q86_canonical_pick", "q87_gap_interpolate", "q88_pq_encode",
       "q98_novelty_score", "q99_semantic_prune", "q100_ivf_append",
-      "q103_lm_perplexity", "q109_bpe_segment")
+      "q103_lm_perplexity", "q109_bpe_segment", "q127_train_order")
     unbounded.foreach { q =>
       resultFunnel(plan(q)).foreach { e =>
         assert(e.outputPartitioning.numPartitions > 1,

@@ -1,0 +1,160 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the release-engineering family (q127-q130) at sf0.001 —
+  * the properties the DuckDB hash gate can't articulate: the manifest
+  * is INCREMENTALLY stable (membership is per-doc, never a draw over
+  * the corpus), the ensemble's bins partition exactly the scoreable
+  * population, the data card reconciles against independent counts,
+  * and the two-phase distributed prefix sum equals the global cumsum
+  * it stands in for at scale.
+  */
+class ReleaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q127: epochs draw ~budget docs at the annealed mixture, ordered by (epoch, pos)") {
+    val rows = run("q127_train_order")
+    val n = Tables.load(spark, dir, "documents").count()
+    val budget = n / 2
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    byEpoch.foreach { case (e, rs) =>
+      // Rate-based keep: expected = budget (sum of per-lang expectations);
+      // binomial spread at n/2≈250 is ~σ=11 — allow 5σ.
+      assert(math.abs(rs.length - budget) < 60,
+        s"epoch $e drew ${rs.length}, budget $budget")
+      // No doc admitted twice within an epoch.
+      val ids = rs.map(_.getAs[Long]("doc_id"))
+      assert(ids.distinct.length == ids.length)
+    }
+    // Annealing flattens the mixture: the max-lang share must not grow
+    // with the epoch's temperature step (n^1 -> n^1/2 -> n^1/4).
+    def maxShare(e: Long): Double = {
+      val rs = byEpoch(e)
+      rs.groupBy(_.getAs[String]("lang")).values.map(_.length).max.toDouble / rs.length
+    }
+    assert(maxShare(1) >= maxShare(2) - 0.02 && maxShare(2) >= maxShare(3) - 0.02,
+      s"mixture not flattening: ${maxShare(1)} -> ${maxShare(2)} -> ${maxShare(3)}")
+  }
+
+  test("q127: membership is per-doc — dropping one doc never moves another (the anti-rand() law)") {
+    val full = run("q127_train_order")
+    val docs = Tables.load(spark, dir, "documents")
+    val victim = docs.select(min(col("doc_id"))).head().getLong(0)
+    val tmp = TempDirs.fresh("release-spec-drop")
+    // Re-materialize the corpus minus one doc under the same table name
+    // (q127 reads only `documents`, so the other tables are not needed).
+    docs.filter(col("doc_id") =!= victim).write.parquet(s"$tmp/documents.parquet")
+    val dropped = SparkEntry.queries("q127_train_order")(spark, tmp).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("epoch"), r.getAs[Long]("doc_id"))
+    val fullSet = full.map(key).toSet
+    val dropSet = dropped.map(key).toSet
+    // Identical memberships except rows of the removed doc: the per-lang
+    // keep thresholds depend only on per-lang counts, and removing one
+    // doc changes ONLY its own lang's count — which may shift that
+    // epoch's thresholds. To keep the law sharp, assert the stronger
+    // containment on OTHER langs (their counts are untouched except via
+    // wsum/budget — so allow the threshold-shift rows but require every
+    // difference to be explainable by a changed threshold, i.e. no doc
+    // GAINS membership while its lang count is unchanged and thresholds
+    // only shrink). Pragmatic exact check: victim rows vanish...
+    assert(!dropSet.exists(_._2 == victim), "removed doc still in manifest")
+    // ...and the symmetric difference beyond the victim's rows is small
+    // (only threshold-boundary docs may flip: |thr shift| * n / 2^20 ≈
+    // a handful at sf0.001).
+    val extra = (fullSet diff dropSet).filterNot(_._2 == victim) ++
+      (dropSet diff fullSet)
+    assert(extra.size <= 10, s"${extra.size} non-victim rows moved: $extra")
+  }
+
+  test("q128: bins partition the scoreable population and stay inside [0,1]") {
+    val rows = run("q128_quality_ensemble")
+    val scoreable = Tables.load(spark, dir, "documents")
+      .filter(size(TextOps.tokens(col("text"))) >= 3).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scoreable,
+      "bins do not partition the >=3-token population")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val m = r.getAs[Double]("mean_ens")
+      assert(m >= 0.0 && m <= 1.0, s"mean_ens $m outside [0,1]")
+      assert(r.getAs[Long]("n_disagree") <= r.getAs[Long]("n_docs"))
+    }
+    // Bin means are monotone in the bin index (fixed-width bins over ens).
+    val sorted = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("mean_ens"))
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      s"mean_ens not monotone across bins: ${sorted.mkString(", ")}")
+  }
+
+  test("q129: the card reconciles against independent corpus counts") {
+    val rows = run("q129_data_card")
+    val d = Tables.load(spark, dir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    assert(rows.map(_.getAs[Long]("sum_chars")).sum ==
+      d.agg(sum("n_chars")).head().getLong(0))
+    // Dup exposure: docs whose md5(text) collides, computed independently.
+    val dupDocs = d.select(md5(col("text")).as("sig"))
+      .groupBy("sig").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum == dupDocs,
+      "n_dup_docs does not reconcile with the independent md5 count")
+    // Shares sum to ~1.
+    val shares = rows.map(_.getAs[Double]("share_docs")).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"shares sum to $shares")
+  }
+
+  test("q130: shards partition the corpus and balance within one max-doc of target") {
+    val rows = run("q130_shard_plan")
+    val d = Tables.load(spark, dir, "documents")
+    val total = d.agg(sum("n_chars")).head().getLong(0)
+    val maxDoc = d.agg(max("n_chars")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    assert(rows.map(_.getAs[Long]("shard_chars")).sum == total)
+    val tgt = rows.head.getAs[Long]("target_chars")
+    assert(tgt == (total + 31) / 32)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("shard_id")
+      assert(id >= 0 && id < 32)
+      // A shard's mass is bounded by target + the doc straddling its
+      // right cut: the balance guarantee the plan ships with.
+      assert(r.getAs[Long]("shard_chars") <= tgt + maxDoc,
+        s"shard $id overflows: ${r.getAs[Long]("shard_chars")} > $tgt + $maxDoc")
+    }
+  }
+
+  test("q130: two-phase distributed prefix sum equals the global cumsum (the scale-trust law)") {
+    // Recompute shard ids with ONE global window (the oracle's form) and
+    // compare the aggregate — at 100 TB only the two-phase form can run,
+    // so its equality to the global form at test scale is what lets the
+    // plan be trusted there.
+    val d = Tables.load(spark, dir, "documents")
+    val a = d.select(col("doc_id"), col("n_chars"),
+      TextOps.hash60(col("doc_id").cast("string")).as("h"))
+      .withColumn("bk", col("h") % 256)
+    val total = d.agg(sum("n_chars")).head().getLong(0)
+    val tgt = (total + 31) / 32
+    val globalRows = a.withColumn("strt",
+        sum(col("n_chars")).over(
+          Window.orderBy("bk", "h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)) - col("n_chars"))
+      .select(expr(s"strt div $tgt").as("shard_id"), col("n_chars"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("shard_chars"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard_id"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_chars")))).toMap
+    val twoPhase = run("q130_shard_plan")
+      .map(r => (r.getAs[Long]("shard_id"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_chars")))).toMap
+    assert(twoPhase == globalRows,
+      s"two-phase != global: ${twoPhase.toSeq.sorted} vs ${globalRows.toSeq.sorted}")
+  }
+}
