@@ -83,10 +83,10 @@ object ScaleProbe {
     "q102_dsir_select", "q103_lm_perplexity", "q114_crossmodal_manifest",
     "q115_quality_classifier", "q117_learned_manifest",
     // r12 release family: q127/q130 are hash-keyed (rows-ratio laws);
-    // q128 composes three text-carrying signal frames (chars-ratio);
+    // q128/q131 compose three text-carrying signal frames (chars-ratio);
     // q129's dup window keys on md5(text) (rows-ratio).
     "q127_train_order", "q128_quality_ensemble", "q129_data_card",
-    "q130_shard_plan")
+    "q130_shard_plan", "q131_quality_curriculum")
 
   /** Synthesize a `copies`-replica corpus (documents + embeddings — all
     * the heavy tier reads) into `outDir`, memoized on a marker file. */

@@ -63,10 +63,7 @@ object ReleaseQueries {
         s"""WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
            |  tot AS (SELECT CAST(SUM(n) AS BIGINT) // 2 AS b FROM cnt),
            |  ep AS (SELECT unnest([1, 2, 3]) AS e),
-           |  w AS (SELECT e, lang, n,
-           |          CASE e WHEN 1 THEN CAST(n AS DOUBLE)
-           |                 WHEN 2 THEN ROUND(sqrt(CAST(n AS DOUBLE)), 6)
-           |                 ELSE ROUND(sqrt(sqrt(CAST(n AS DOUBLE))), 6) END AS w
+           |  w AS (SELECT e, lang, n, ${tauWSql("e", "n")} AS w
            |        FROM cnt CROSS JOIN ep),
            |  ws AS (SELECT e, ${ExactSql.dsum("w")} AS wsum FROM w GROUP BY 1),
            |  thr AS (SELECT w.e, w.lang,
@@ -87,9 +84,7 @@ object ReleaseQueries {
       val tot = cnt.agg(sum(col("n")).as("nd")).select(expr("nd div 2").as("b"))
       val ep = Seq(1, 2, 3).toDF("e")
       val w = cnt.crossJoin(ep).select(col("e"), col("lang"), col("n"),
-        when(col("e") === 1, col("n").cast("double"))
-          .when(col("e") === 2, round(sqrt(col("n").cast("double")), 6))
-          .otherwise(round(sqrt(sqrt(col("n").cast("double"))), 6)).as("w"))
+        tauW(col("e"), col("n")).as("w"))
       val ws = w.groupBy(col("e")).agg(Exact.dsum(col("w")).as("wsum"))
       val thr = w.join(ws, "e").crossJoin(tot)
         .select(col("e"), col("lang"),
@@ -125,29 +120,7 @@ object ReleaseQueries {
     q("q128_quality_ensemble",
       "X4+/LLM: min-max ensemble of rule/repetition/LM quality signals with per-bin agreement audit",
       {
-        val toks = TextOps.tokensSql("text")
-        s"""WITH ${TextQueries.lmScoredCtes},
-           |  qs AS (${TextQueries.qualityScoredSql}),
-           |  g AS (SELECT doc_id, unnest([list_aggregate(list_slice(ts, i, i + 2), 'string_agg', ' ')
-           |                               for i in range(1, len(ts) - 1)]) AS t3
-           |        FROM (SELECT doc_id, $toks AS ts FROM documents)),
-           |  rep AS (SELECT doc_id,
-           |            ROUND(CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT t3) AS DOUBLE) / COUNT(*), 6) AS rr
-           |          FROM g GROUP BY 1),
-           |  j AS (SELECT doc_id, ROUND(qs.quality, 6) AS rq, rep.rr, scored.h_bits AS hb
-           |        FROM qs JOIN rep USING (doc_id) JOIN scored USING (doc_id)
-           |        WHERE qs.n_tokens >= 3),
-           |  st AS (SELECT MIN(rq) AS mnq, MAX(rq) AS mxq, MIN(rr) AS mnr, MAX(rr) AS mxr,
-           |                MIN(hb) AS mnh, MAX(hb) AS mxh FROM j),
-           |  nz AS (SELECT doc_id, rq, rr, hb,
-           |           COALESCE(ROUND((rq - mnq) / NULLIF(mxq - mnq, 0), 6), CAST(0.5 AS DOUBLE)) AS gq,
-           |           CAST(1 AS DOUBLE) - COALESCE(ROUND((rr - mnr) / NULLIF(mxr - mnr, 0), 6), CAST(0.5 AS DOUBLE)) AS gr,
-           |           CAST(1 AS DOUBLE) - COALESCE(ROUND((hb - mnh) / NULLIF(mxh - mnh, 0), 6), CAST(0.5 AS DOUBLE)) AS gh
-           |         FROM j CROSS JOIN st),
-           |  en AS (SELECT doc_id, rq, rr, hb,
-           |           ROUND((gq + gr + gh) / 3, 6) AS ens,
-           |           ROUND(GREATEST(gq, gr, gh) - LEAST(gq, gr, gh), 6) AS spread
-           |         FROM nz)
+        s"""WITH $ensembleCtesSql
            |SELECT LEAST(GREATEST(CAST(FLOOR(ens * 10) AS BIGINT), 0), 9) AS bin,
            |  COUNT(*) AS n_docs,
            |  ROUND(${ExactSql.davg("ens")}, 6) AS mean_ens,
@@ -157,24 +130,7 @@ object ReleaseQueries {
            |  CAST(SUM(CASE WHEN spread > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
            |FROM en GROUP BY 1 ORDER BY bin""".stripMargin
       }) { (s, dir) =>
-      // Two consumers (stats + normalize): checkpoint, stats broadcasts.
-      val j = ensembleJoined(s, dir).checkpointed()
-      val st = j.agg(
-        min(col("rq")).as("mnq"), max(col("rq")).as("mxq"),
-        min(col("rr")).as("mnr"), max(col("rr")).as("mxr"),
-        min(col("hb")).as("mnh"), max(col("hb")).as("mxh"))
-      def norm(x: String, mn: String, mx: String) =
-        coalesce(round((col(x) - col(mn)) / nullif(col(mx) - col(mn), lit(0)), 6),
-          lit(0.5))
-      val nz = j.crossJoin(broadcast(st)).select(
-        col("doc_id"), col("rq"), col("rr"), col("hb"),
-        norm("rq", "mnq", "mxq").as("gq"),
-        (lit(1.0) - norm("rr", "mnr", "mxr")).as("gr"),
-        (lit(1.0) - norm("hb", "mnh", "mxh")).as("gh"))
-      val en = nz.select(col("doc_id"), col("rq"), col("rr"), col("hb"),
-        round((col("gq") + col("gr") + col("gh")) / 3, 6).as("ens"),
-        round(greatest(col("gq"), col("gr"), col("gh")) -
-          least(col("gq"), col("gr"), col("gh")), 6).as("spread"))
+      val en = ensembleScored(s, dir)
       en.groupBy(least(greatest(floor(col("ens") * 10), lit(0L)), lit(9L)).as("bin"))
         .agg(count(lit(1)).as("n_docs"),
           round(Exact.davg(col("ens")), 6).as("mean_ens"),
@@ -306,7 +262,181 @@ object ReleaseQueries {
           col("shard_chars").cast("long").as("shard_chars"),
           col("tgt").as("target_chars"))
         .presented("shard_id")
+    },
+
+    // ----- Quality-annealed curriculum: q127's order conditioned on
+    // q128's SIGNAL — the phase schedule modern pretraining runs
+    // (broad early epochs, a quality-gated anneal at the end): epoch 1
+    // admits every scoreable doc, epochs 2/3 raise an ensemble floor
+    // (0.30, 0.45 — compared and OUTPUT in the tie-free integer micro
+    // units, see ensembleScored's ens_micro note) BEFORE the
+    // temperature-annealed mixture draw, so late epochs are
+    // simultaneously flatter across languages and higher-quality.
+    // Composition is by the SHARED pieces only — the ensemble CTE
+    // chain and the tau-weight expression are the same single copies
+    // q128/q127 run, so the capstone cannot drift from its parts.
+    // Shape: the per-doc ensemble is the one corpus-heavy
+    // stage (checkpointed inside ensembleScored); everything after is
+    // q127's map-only selection with per-epoch eligible counts —
+    // fifteen threshold rows broadcast, rate-keep in the scan.
+    q("q131_quality_curriculum",
+      "X4+/LLM: quality-annealed curriculum — ensemble floors per epoch feeding the temperature-mixed rate-keep",
+      {
+        val h = TextOps.hash60Sql(
+          "'c' || CAST(el.e AS VARCHAR) || ':' || CAST(el.doc_id AS VARCHAR)")
+        s"""WITH $ensembleCtesSql,
+           |  el0 AS (SELECT en.doc_id, d.lang, en.ens_micro, ep.e,
+           |            CASE ep.e WHEN 1 THEN CAST(0 AS BIGINT)
+           |                      WHEN 2 THEN CAST(300000 AS BIGINT)
+           |                      ELSE CAST(450000 AS BIGINT) END AS qfloor
+           |          FROM en JOIN documents d ON en.doc_id = d.doc_id
+           |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS e) ep),
+           |  el AS (SELECT * FROM el0 WHERE ens_micro >= qfloor),
+           |  cnt2 AS (SELECT e, lang, CAST(COUNT(*) AS BIGINT) AS n FROM el GROUP BY 1, 2),
+           |  tot2 AS (SELECT e, CAST(SUM(n) AS BIGINT) // 2 AS b FROM cnt2 GROUP BY 1),
+           |  w2 AS (SELECT e, lang, n, ${tauWSql("e", "n")} AS w FROM cnt2),
+           |  ws2 AS (SELECT e, ${ExactSql.dsum("w")} AS wsum FROM w2 GROUP BY 1),
+           |  thr2 AS (SELECT w2.e, w2.lang,
+           |             LEAST(CAST(FLOOR(w2.w / ws2.wsum * t.b / w2.n * $USize) AS BIGINT), $USize) AS thr
+           |           FROM w2 JOIN ws2 USING (e) JOIN tot2 t USING (e)),
+           |  sel2 AS (SELECT CAST(el.e AS BIGINT) AS epoch, $h AS pos,
+           |             el.doc_id, el.lang, el.ens_micro
+           |           FROM el JOIN thr2 ON el.e = thr2.e AND el.lang = thr2.lang
+           |           WHERE $h % $USize < thr2.thr)
+           |SELECT epoch, pos, doc_id, lang, ens_micro FROM sel2
+           |ORDER BY epoch, pos, doc_id""".stripMargin
+      }) { (s, dir) =>
+      val en = ensembleScored(s, dir).select(col("doc_id"), col("ens_micro"))
+      val lang = docs(s, dir).select(col("doc_id"), col("lang"))
+      // Eligible (doc, epoch) pairs: TWO consumers (the counts frame
+      // and the selection scan) of the ensemble-heavy subtree —
+      // checkpoint once; after this everything is q127's shape.
+      val el = en.join(lang, "doc_id")
+        .withColumn("e", explode(lit(Array(1, 2, 3))))
+        .withColumn("qfloor",
+          when(col("e") === 1, lit(0L)).when(col("e") === 2, lit(300000L))
+            .otherwise(lit(450000L)))
+        .filter(col("ens_micro") >= col("qfloor"))
+        .checkpointed()
+      val cnt2 = el.groupBy(col("e"), col("lang")).agg(count(lit(1)).as("n"))
+        .checkpointed()
+      val tot2 = cnt2.groupBy(col("e")).agg(sum(col("n")).as("nd"))
+        .select(col("e"), expr("nd div 2").as("b"))
+      val w2 = cnt2.select(col("e"), col("lang"), col("n"),
+        tauW(col("e"), col("n")).as("w"))
+      val ws2 = w2.groupBy(col("e")).agg(Exact.dsum(col("w")).as("wsum"))
+      val thr2 = w2.join(ws2, "e").join(tot2, "e")
+        .select(col("e"), col("lang"),
+          least(floor(col("w") / col("wsum") * col("b") / col("n") * lit(USize)),
+            lit(USize)).as("thr"))
+      val h = TextOps.hash60(concat(lit("c"), col("e").cast("string"),
+        lit(":"), col("doc_id").cast("string")))
+      el.join(broadcast(thr2), Seq("e", "lang"))
+        .withColumn("pos", h)
+        .filter(col("pos") % USize < col("thr"))
+        .select(col("e").cast("long").as("epoch"), col("pos"),
+          col("doc_id"), col("lang"), col("ens_micro"))
+        .orderBy("epoch", "pos", "doc_id")
     })
+
+  /** q127/q131's shared temperature-weight expression: n^tau for
+    * tau = 1, 1/2, 1/4 as sqrt CHAINS (IEEE sqrt is correctly rounded
+    * in both engines; exp/ln-based pow is not), 6dp-rounded so the
+    * per-epoch weight sums can run decimal-exact. */
+  private def tauWSql(e: String, n: String): String =
+    s"""CASE $e WHEN 1 THEN CAST($n AS DOUBLE)
+       |                 WHEN 2 THEN ROUND(sqrt(CAST($n AS DOUBLE)), 6)
+       |                 ELSE ROUND(sqrt(sqrt(CAST($n AS DOUBLE))), 6) END""".stripMargin
+
+  private def tauW(e: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(e === 1, n.cast("double"))
+      .when(e === 2, round(sqrt(n.cast("double")), 6))
+      .otherwise(round(sqrt(sqrt(n.cast("double"))), 6))
+
+  /** The q128 ensemble's full DuckDB CTE chain, through
+    * `en(doc_id, rq, rr, hb, ens, spread)` — factored so q131's
+    * quality-annealed curriculum consumes the IDENTICAL ensemble text. */
+  private def ensembleCtesSql: String = {
+    val toks = TextOps.tokensSql("text")
+    s"""${TextQueries.lmScoredCtes},
+       |  qs AS (${TextQueries.qualityScoredSql}),
+       |  g AS (SELECT doc_id, unnest([list_aggregate(list_slice(ts, i, i + 2), 'string_agg', ' ')
+       |                               for i in range(1, len(ts) - 1)]) AS t3
+       |        FROM (SELECT doc_id, $toks AS ts FROM documents)),
+       |  rep AS (SELECT doc_id,
+       |            ROUND(CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT t3) AS DOUBLE) / COUNT(*), 6) AS rr,
+       |            CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT t3) AS DOUBLE) / COUNT(*) AS rr_raw
+       |          FROM g GROUP BY 1),
+       |  j AS (SELECT doc_id, ROUND(qs.quality, 6) AS rq, rep.rr, scored.h_bits AS hb,
+       |          qs.quality AS rq_raw, rep.rr_raw, scored.hb_raw
+       |        FROM qs JOIN rep USING (doc_id) JOIN scored USING (doc_id)
+       |        WHERE qs.n_tokens >= 3),
+       |  st AS (SELECT MIN(rq) AS mnq, MAX(rq) AS mxq, MIN(rr) AS mnr, MAX(rr) AS mxr,
+       |                MIN(hb) AS mnh, MAX(hb) AS mxh,
+       |                MIN(rq_raw) AS mnq_r, MAX(rq_raw) AS mxq_r,
+       |                MIN(rr_raw) AS mnr_r, MAX(rr_raw) AS mxr_r,
+       |                MIN(hb_raw) AS mnh_r, MAX(hb_raw) AS mxh_r FROM j),
+       |  nz AS (SELECT doc_id, rq, rr, hb,
+       |           COALESCE(ROUND((rq - mnq) / NULLIF(mxq - mnq, 0), 6), CAST(0.5 AS DOUBLE)) AS gq,
+       |           CAST(1 AS DOUBLE) - COALESCE(ROUND((rr - mnr) / NULLIF(mxr - mnr, 0), 6), CAST(0.5 AS DOUBLE)) AS gr,
+       |           CAST(1 AS DOUBLE) - COALESCE(ROUND((hb - mnh) / NULLIF(mxh - mnh, 0), 6), CAST(0.5 AS DOUBLE)) AS gh,
+       |           COALESCE((rq_raw - mnq_r) / NULLIF(mxq_r - mnq_r, 0), CAST(0.5 AS DOUBLE)) AS gq_raw,
+       |           CAST(1 AS DOUBLE) - COALESCE((rr_raw - mnr_r) / NULLIF(mxr_r - mnr_r, 0), CAST(0.5 AS DOUBLE)) AS gr_raw,
+       |           CAST(1 AS DOUBLE) - COALESCE((hb_raw - mnh_r) / NULLIF(mxh_r - mnh_r, 0), CAST(0.5 AS DOUBLE)) AS gh_raw
+       |         FROM j CROSS JOIN st),
+       |  en AS (SELECT doc_id, rq, rr, hb,
+       |           ROUND((gq + gr + gh) / 3, 6) AS ens,
+       |           CAST(FLOOR(((gq_raw + gr_raw) + gh_raw) / 3 * 1000000) AS BIGINT) AS ens_micro,
+       |           ROUND(GREATEST(gq, gr, gh) - LEAST(gq, gr, gh), 6) AS spread
+       |         FROM nz)""".stripMargin
+  }
+
+  /** Spark mirror of [[ensembleCtesSql]]'s `en`: the per-doc scored
+    * ensemble `(doc_id, rq, rr, hb, ens, spread)`. The joined signal
+    * frame is checkpointed inside (two consumers: the 1-row stats
+    * aggregate and the normalize pass). */
+  private[graft] def ensembleScored(s: SparkSession, dir: String): DataFrame = {
+    val j = ensembleJoined(s, dir).checkpointed()
+    val st = j.agg(
+      min(col("rq")).as("mnq"), max(col("rq")).as("mxq"),
+      min(col("rr")).as("mnr"), max(col("rr")).as("mxr"),
+      min(col("hb")).as("mnh"), max(col("hb")).as("mxh"),
+      min(col("rq_raw")).as("mnq_r"), max(col("rq_raw")).as("mxq_r"),
+      min(col("rr_raw")).as("mnr_r"), max(col("rr_raw")).as("mxr_r"),
+      min(col("hb_raw")).as("mnh_r"), max(col("hb_raw")).as("mxh_r"))
+    def norm(x: String, mn: String, mx: String) =
+      coalesce(round((col(x) - col(mn)) / nullif(col(mx) - col(mn), lit(0)), 6),
+        lit(0.5))
+    def normRaw(x: String, mn: String, mx: String) =
+      coalesce((col(x) - col(mn)) / nullif(col(mx) - col(mn), lit(0)), lit(0.5))
+    val nz = j.crossJoin(broadcast(st)).select(
+      col("doc_id"), col("rq"), col("rr"), col("hb"),
+      norm("rq", "mnq", "mxq").as("gq"),
+      (lit(1.0) - norm("rr", "mnr", "mxr")).as("gr"),
+      (lit(1.0) - norm("hb", "mnh", "mxh")).as("gh"),
+      normRaw("rq_raw", "mnq_r", "mxq_r").as("gq_raw"),
+      (lit(1.0) - normRaw("rr_raw", "mnr_r", "mxr_r")).as("gr_raw"),
+      (lit(1.0) - normRaw("hb_raw", "mnh_r", "mxh_r")).as("gh_raw"))
+    // ens is the human-facing 6dp score; ens_micro is the TIE-FREE
+    // integer twin for per-doc outputs and threshold comparisons. The
+    // 6dp ROUND path cannot be used per-doc: ROUND(x, 6) genuinely
+    // half-ties cross-engine — `quality` is an EXACT 7-decimal value
+    // by construction (decimal arithmetic), so docs land precisely on
+    // x.xxxxxx5 and the engines' decimal-round implementations split
+    // (observed: 23 docs at sf0.001 rq 0.518421 vs 0.51842); hb/rr
+    // quotients with tiny denominators hit the same halves. The micro
+    // path therefore never decimal-rounds ANYWHERE: raw signals
+    // (exact-decimal casts and IEEE divisions — bit-identical doubles
+    // in both engines), raw min-max, raw quotients, and one FLOOR of
+    // an identical double, which is deterministic.
+    nz.select(col("doc_id"), col("rq"), col("rr"), col("hb"),
+      round((col("gq") + col("gr") + col("gh")) / 3, 6).as("ens"),
+      floor((col("gq_raw") + col("gr_raw") + col("gh_raw")) / 3 * 1000000)
+        .cast("long").as("ens_micro"),
+      round(greatest(col("gq"), col("gr"), col("gh")) -
+        least(col("gq"), col("gr"), col("gh")), 6).as("spread"))
+  }
 
   /** q128's joined signal frame `(doc_id, rq, rr, hb)`, BEFORE its
     * checkpoint — kept separately callable because the checkpoint
@@ -316,15 +446,17 @@ object ReleaseQueries {
   private[graft] def ensembleJoined(s: SparkSession, dir: String): DataFrame = {
     val qf = TextQueries.qualityFrame(s, dir)
       .filter(col("n_tokens") >= 3)
-      .select(col("doc_id"), round(col("quality"), 6).as("rq"))
+      .select(col("doc_id"), round(col("quality"), 6).as("rq"),
+        col("quality").as("rq_raw"))
     val rep = DedupQueries.shingleRowsOf(
         docs(s, dir).select(col("doc_id"), col("text")), 3)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count_distinct(col("t")).as("n_distinct"))
       .select(col("doc_id"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("rr"))
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("rr"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("rr_raw"))
     val scored = TextQueries.lmScoredFrame(s, dir)
-      .select(col("doc_id"), col("h_bits").as("hb"))
+      .select(col("doc_id"), col("h_bits").as("hb"), col("hb_raw"))
     qf.join(rep, "doc_id").join(scored, "doc_id")
   }
 }

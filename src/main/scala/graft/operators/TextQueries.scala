@@ -1045,7 +1045,8 @@ object TextQueries {
        |                      (cug + CAST(0.5 AS DOUBLE) * v)), 6) AS logp
        |         FROM bgc JOIN ugc USING (w1) CROSS JOIN vf),
        |  scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-       |               ROUND(-(${ExactSql.dsum("logp")}) / COUNT(*), 6) AS h_bits
+       |               ROUND(-(${ExactSql.dsum("logp")}) / COUNT(*), 6) AS h_bits,
+       |               -(${ExactSql.dsum("logp")}) / COUNT(*) AS hb_raw
        |             FROM bgw JOIN lp USING (b) GROUP BY doc_id)""".stripMargin
   }
 
@@ -1091,6 +1092,11 @@ object TextQueries {
       .join(lp.hint("shuffle_hash"), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-dsum(col("logp")) / count(lit(1)), 6).as("h_bits"))
+        round(-dsum(col("logp")) / count(lit(1)), 6).as("h_bits"),
+        // Unrounded twin for the q128/q131 micro tier: the exact
+        // decimal sum cast to double, one IEEE division — bit-identical
+        // cross-engine, where ROUND(·, 6) can half-tie (count=2 docs
+        // put the quotient exactly on a 7th-digit half).
+        (-dsum(col("logp")) / count(lit(1))).as("hb_raw"))
   }
 }

@@ -130,6 +130,42 @@ class ReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("q131: epoch floors hold exactly and the anneal raises quality while flattening the mixture") {
+    val rows = run("q131_quality_curriculum")
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    val floors = Map(1L -> 0L, 2L -> 300000L, 3L -> 450000L)
+    byEpoch.foreach { case (e, rs) =>
+      // The floor is a LAW, not a tendency: every admitted doc clears it.
+      val mn = rs.map(_.getAs[Long]("ens_micro")).min
+      assert(mn >= floors(e), s"epoch $e admitted ens_micro $mn < ${floors(e)}")
+      val ids = rs.map(_.getAs[Long]("doc_id"))
+      assert(ids.distinct.length == ids.length, s"epoch $e admits a doc twice")
+    }
+    // The anneal anneals: mean admitted quality is non-decreasing in the
+    // epoch (floors only rise), and each epoch draws ~half its ELIGIBLE
+    // population (the rate-keep budget is eligible/2, so admitted counts
+    // shrink with the floor rather than chasing a fixed budget).
+    def meanEns(e: Long): Double = {
+      val rs = byEpoch(e); rs.map(_.getAs[Long]("ens_micro")).sum.toDouble / rs.length
+    }
+    assert(meanEns(1) <= meanEns(2) && meanEns(2) <= meanEns(3),
+      s"quality not annealing: ${meanEns(1)} -> ${meanEns(2)} -> ${meanEns(3)}")
+    assert(byEpoch(1L).length > byEpoch(2L).length &&
+      byEpoch(2L).length > byEpoch(3L).length,
+      "admitted counts should shrink as the floor rises on a half-eligible budget")
+  }
+
+  test("q131: epoch 1 rate-keeps exactly q127's scoreable-population semantics (floor 0)") {
+    // With floor 0, eligibility is exactly q128's scoreable population
+    // (the three-signal join at >=3 tokens) — so epoch 1 must draw about
+    // half of it, under the same binomial spread bound q127's law uses.
+    val e1 = run("q131_quality_curriculum").count(_.getAs[Long]("epoch") == 1L)
+    val scoreable = run("q128_quality_ensemble").map(_.getAs[Long]("n_docs")).sum
+    assert(math.abs(e1 - scoreable / 2) < 60,
+      s"epoch 1 drew $e1 of scoreable $scoreable (budget ${scoreable / 2})")
+  }
+
   test("q130: two-phase distributed prefix sum equals the global cumsum (the scale-trust law)") {
     // Recompute shard ids with ONE global window (the oracle's form) and
     // compare the aggregate — at 100 TB only the two-phase form can run,
