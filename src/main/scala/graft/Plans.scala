@@ -59,7 +59,8 @@ object Plans {
     "q128_quality_ensemble" -> "quality ensemble: three SHARED doc-keyed signal frames (q34 rule, q64 trigram ratio, q103 bigram-LM) join on doc_id; ONE 1-row min/max aggregate broadcasts back (min-max beats rank normalization at scale: no global sort exists anywhere); bins are fixed-width floor() — map-side (r12)",
     "q129_data_card" -> "data card: every per-doc feature (token count, md5 sig, the SHARED q33 language ladder) rides ONE corpus scan; the only corpus-sized exchange is the sig-keyed duplicate window (the q27 key); then a source-x-lang group agg + 1-row total broadcast (r12)",
     "q130_shard_plan" -> "shard plan: textbook distributed prefix sum — 256 FIXED hash buckets aggregate to a constant-size offset table (the single-task window is 256 rows at ANY corpus), within-bucket cumsums run partitioned by bucket, shard cut is all-integer floor division; spec pins two-phase == global cumsum (r12)",
-    "q131_quality_curriculum" -> "quality-annealed curriculum: the per-doc ensemble (q128's SHARED chain, checkpointed once) is the one corpus-heavy stage; epoch floors filter in the scan (integer micro-score compare — the round-free tier), then q127's shape verbatim: per-(epoch,lang) counts agg -> 15-row threshold broadcast -> map-only rate-keep (r12)")
+    "q131_quality_curriculum" -> "quality-annealed curriculum: the per-doc ensemble (q128's SHARED chain, checkpointed once) is the one corpus-heavy stage; epoch floors filter in the scan (integer micro-score compare — the round-free tier), then q127's shape verbatim: per-(epoch,lang) counts agg -> 15-row threshold broadcast -> map-only rate-keep (r12)",
+    "q132_curriculum_shards" -> "curriculum shard packing: the manifest (q131's SHARED frame) checkpoints once; the per-epoch prefix sum is the SHARED exclusivePrefix two-phase form with CONTIGUOUS pos-range buckets (<=256 offset rows per epoch at ANY corpus — ordering by (bucket,pos,doc_id) IS the stream order), epoch targets broadcast; the ORACLE computes the same packing with one global window per epoch, so two-phase == global IS the hash gate (r12)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy
     * checkpoint truncates the inspectable plan to an RDD scan, so the

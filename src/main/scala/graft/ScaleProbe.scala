@@ -86,7 +86,7 @@ object ScaleProbe {
     // q128/q131 compose three text-carrying signal frames (chars-ratio);
     // q129's dup window keys on md5(text) (rows-ratio).
     "q127_train_order", "q128_quality_ensemble", "q129_data_card",
-    "q130_shard_plan", "q131_quality_curriculum")
+    "q130_shard_plan", "q131_quality_curriculum", "q132_curriculum_shards")
 
   /** Synthesize a `copies`-replica corpus (documents + embeddings — all
     * the heavy tier reads) into `outDir`, memoized on a marker file. */

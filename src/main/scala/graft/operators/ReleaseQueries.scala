@@ -236,25 +236,17 @@ object ReleaseQueries {
       val a = docs(s, dir).select(col("doc_id"), col("n_chars"),
         TextOps.hash60(col("doc_id").cast("string")).as("h"))
       val b = a.withColumn("bk", col("h") % NBuckets)
-      // The 256-row bucket-total frame feeds BOTH the offset table and
-      // the grand total: checkpoint it so the corpus contributes one
-      // aggregate scan, and derive total from it instead of re-scanning.
-      val bktot = b.groupBy(col("bk")).agg(sum(col("n_chars")).as("bchars"))
-        .checkpointed()
-      val t = bktot.agg(sum(col("bchars")).as("tc"))
+      // The two-phase prefix sum is the SHARED exclusivePrefix helper
+      // (q132 packs the curriculum with the same machinery): the
+      // 256-row bucket-total frame checkpoints inside it and feeds
+      // BOTH the offset table and the grand total, so the corpus
+      // contributes one aggregate scan + one cumsum scan.
+      val (withStrt, bktot) =
+        exclusivePrefix(b, Seq.empty, "bk", Seq("h", "doc_id"), "n_chars")
+      val t = bktot.agg(sum(col("_btot")).as("tc"))
         .select(expr(s"(tc + ${NShards - 1}) div $NShards").as("tgt"))
-      // Exclusive per-bucket offsets: a single-task window over a
-      // CONSTANT 256 rows — the same "tiny by construction" shape as
-      // q62's quota frame, safe at any corpus size.
-      val off = bktot.select(col("bk"),
-        coalesce(sum(col("bchars")).over(
-          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)).as("off"))
-      val cum = b.withColumn("cum",
-        sum(col("n_chars")).over(Window.partitionBy("bk").orderBy("h", "doc_id")))
-      val strt = cum.join(broadcast(off), "bk")
-        .select(col("n_chars"), (col("off") + col("cum") - col("n_chars")).as("strt"))
-      strt.crossJoin(broadcast(t))
+      withStrt.select(col("n_chars"), col("strt"))
+        .crossJoin(broadcast(t))
         .select(expr("strt div tgt").as("shard_id"), col("n_chars"), col("tgt"))
         .groupBy(col("shard_id"), col("tgt"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
@@ -281,62 +273,67 @@ object ReleaseQueries {
     // fifteen threshold rows broadcast, rate-keep in the scan.
     q("q131_quality_curriculum",
       "X4+/LLM: quality-annealed curriculum — ensemble floors per epoch feeding the temperature-mixed rate-keep",
-      {
-        val h = TextOps.hash60Sql(
-          "'c' || CAST(el.e AS VARCHAR) || ':' || CAST(el.doc_id AS VARCHAR)")
-        s"""WITH $ensembleCtesSql,
-           |  el0 AS (SELECT en.doc_id, d.lang, en.ens_micro, ep.e,
-           |            CASE ep.e WHEN 1 THEN CAST(0 AS BIGINT)
-           |                      WHEN 2 THEN CAST(300000 AS BIGINT)
-           |                      ELSE CAST(450000 AS BIGINT) END AS qfloor
-           |          FROM en JOIN documents d ON en.doc_id = d.doc_id
-           |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS e) ep),
-           |  el AS (SELECT * FROM el0 WHERE ens_micro >= qfloor),
-           |  cnt2 AS (SELECT e, lang, CAST(COUNT(*) AS BIGINT) AS n FROM el GROUP BY 1, 2),
-           |  tot2 AS (SELECT e, CAST(SUM(n) AS BIGINT) // 2 AS b FROM cnt2 GROUP BY 1),
-           |  w2 AS (SELECT e, lang, n, ${tauWSql("e", "n")} AS w FROM cnt2),
-           |  ws2 AS (SELECT e, ${ExactSql.dsum("w")} AS wsum FROM w2 GROUP BY 1),
-           |  thr2 AS (SELECT w2.e, w2.lang,
-           |             LEAST(CAST(FLOOR(w2.w / ws2.wsum * t.b / w2.n * $USize) AS BIGINT), $USize) AS thr
-           |           FROM w2 JOIN ws2 USING (e) JOIN tot2 t USING (e)),
-           |  sel2 AS (SELECT CAST(el.e AS BIGINT) AS epoch, $h AS pos,
-           |             el.doc_id, el.lang, el.ens_micro
-           |           FROM el JOIN thr2 ON el.e = thr2.e AND el.lang = thr2.lang
-           |           WHERE $h % $USize < thr2.thr)
-           |SELECT epoch, pos, doc_id, lang, ens_micro FROM sel2
-           |ORDER BY epoch, pos, doc_id""".stripMargin
-      }) { (s, dir) =>
-      val en = ensembleScored(s, dir).select(col("doc_id"), col("ens_micro"))
-      val lang = docs(s, dir).select(col("doc_id"), col("lang"))
-      // Eligible (doc, epoch) pairs: TWO consumers (the counts frame
-      // and the selection scan) of the ensemble-heavy subtree —
-      // checkpoint once; after this everything is q127's shape.
-      val el = en.join(lang, "doc_id")
-        .withColumn("e", explode(lit(Array(1, 2, 3))))
-        .withColumn("qfloor",
-          when(col("e") === 1, lit(0L)).when(col("e") === 2, lit(300000L))
-            .otherwise(lit(450000L)))
-        .filter(col("ens_micro") >= col("qfloor"))
-        .checkpointed()
-      val cnt2 = el.groupBy(col("e"), col("lang")).agg(count(lit(1)).as("n"))
-        .checkpointed()
-      val tot2 = cnt2.groupBy(col("e")).agg(sum(col("n")).as("nd"))
-        .select(col("e"), expr("nd div 2").as("b"))
-      val w2 = cnt2.select(col("e"), col("lang"), col("n"),
-        tauW(col("e"), col("n")).as("w"))
-      val ws2 = w2.groupBy(col("e")).agg(Exact.dsum(col("w")).as("wsum"))
-      val thr2 = w2.join(ws2, "e").join(tot2, "e")
-        .select(col("e"), col("lang"),
-          least(floor(col("w") / col("wsum") * col("b") / col("n") * lit(USize)),
-            lit(USize)).as("thr"))
-      val h = TextOps.hash60(concat(lit("c"), col("e").cast("string"),
-        lit(":"), col("doc_id").cast("string")))
-      el.join(broadcast(thr2), Seq("e", "lang"))
-        .withColumn("pos", h)
-        .filter(col("pos") % USize < col("thr"))
-        .select(col("e").cast("long").as("epoch"), col("pos"),
-          col("doc_id"), col("lang"), col("ens_micro"))
+      s"""WITH $curriculumCtesSql
+         |SELECT epoch, pos, doc_id, lang, ens_micro FROM sel2
+         |ORDER BY epoch, pos, doc_id""".stripMargin) { (s, dir) =>
+      curriculumFrame(s, dir)
+        .select(col("epoch"), col("pos"), col("doc_id"), col("lang"),
+          col("ens_micro"))
         .orderBy("epoch", "pos", "doc_id")
+    },
+
+    // ----- Curriculum shard packing: the trainer-facing PHYSICAL
+    // layout of the quality-annealed run — every epoch's admitted docs,
+    // in the epoch's curriculum order (pos, doc_id), packed into 32
+    // size-balanced shards by byte offset (q130's semantics applied
+    // per epoch). This is the artifact a streaming data loader mounts:
+    // "epoch e, shard k" is a contiguous byte range of the epoch's
+    // stream, so any worker can fetch its slice without scanning the
+    // manifest. Composition is by SHARED pieces only: the curriculum
+    // CTE chain / frame (q131's verbatim) and the two-phase exclusive
+    // prefix sum (q130's machinery, factored this round into
+    // exclusivePrefix and consumed by BOTH queries). The buckets here
+    // are CONTIGUOUS pos RANGES (pos div 2^52 — monotone in pos, so
+    // ordering by (bucket, pos, doc_id) IS the stream order), not hash
+    // buckets; the offset table stays ≤ 256 rows per epoch at any
+    // corpus. The ORACLE computes the same packing with one global
+    // window per epoch — so two-phase ≡ global is not just a spec law
+    // here, it IS the hash gate.
+    q("q132_curriculum_shards",
+      "X4+/LLM: per-epoch size-balanced shard packing of the curriculum order (two-phase prefix sum ≡ oracle's global window)",
+      s"""WITH $curriculumCtesSql,
+         |  t3 AS (SELECT epoch, (CAST(SUM(n_chars) AS BIGINT) + ${NShards - 1}) // $NShards AS tgt
+         |         FROM sel2 GROUP BY 1),
+         |  c3 AS (SELECT epoch, n_chars,
+         |           CAST(SUM(n_chars) OVER (PARTITION BY epoch ORDER BY pos, doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS strt
+         |         FROM sel2),
+         |  sh AS (SELECT c3.epoch, strt // t.tgt AS shard_id, n_chars, t.tgt
+         |         FROM c3 JOIN t3 t USING (epoch))
+         |SELECT epoch, shard_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS shard_chars, tgt AS target_chars
+         |FROM sh GROUP BY epoch, shard_id, tgt
+         |ORDER BY epoch, shard_id""".stripMargin) { (s, dir) =>
+      // The manifest is the expensive subtree (ensemble + selection):
+      // checkpoint once for its THREE consumers inside the prefix sum
+      // (bucket totals, within-bucket cumsum) and the epoch totals.
+      val m = curriculumFrame(s, dir)
+        .select(col("epoch"), col("pos"), col("doc_id"), col("n_chars"))
+        .withColumn("bk", expr(s"pos div $PosBucketWidth"))
+        .checkpointed()
+      val (withStrt, bktot) =
+        exclusivePrefix(m, Seq("epoch"), "bk", Seq("pos", "doc_id"), "n_chars")
+      val t3 = bktot.groupBy(col("epoch")).agg(sum(col("_btot")).as("tc"))
+        .select(col("epoch"), expr(s"(tc + ${NShards - 1}) div $NShards").as("tgt"))
+      withStrt.join(broadcast(t3), "epoch")
+        .select(col("epoch"), expr("strt div tgt").as("shard_id"),
+          col("n_chars"), col("tgt"))
+        .groupBy(col("epoch"), col("shard_id"), col("tgt"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
+        .select(col("epoch"), col("shard_id"), col("n_docs"),
+          col("shard_chars").cast("long").as("shard_chars"),
+          col("tgt").as("target_chars"))
+        .presented("epoch", "shard_id")
     })
 
   /** q127/q131's shared temperature-weight expression: n^tau for
@@ -353,6 +350,107 @@ object ReleaseQueries {
     when(e === 1, n.cast("double"))
       .when(e === 2, round(sqrt(n.cast("double")), 6))
       .otherwise(round(sqrt(sqrt(n.cast("double"))), 6))
+
+  /** q131/q132's shared DuckDB chain through `sel2(epoch, pos, doc_id,
+    * lang, ens_micro, n_chars)` — the quality-annealed curriculum
+    * manifest: the ensemble chain, per-epoch floor eligibility, and
+    * q127's rate-keep selection re-derived over the gated populations.
+    * Factored so the shard-packing capstone consumes the IDENTICAL
+    * manifest text. */
+  private def curriculumCtesSql: String = {
+    val h = TextOps.hash60Sql(
+      "'c' || CAST(el.e AS VARCHAR) || ':' || CAST(el.doc_id AS VARCHAR)")
+    s"""$ensembleCtesSql,
+       |  el0 AS (SELECT en.doc_id, d.lang, d.n_chars, en.ens_micro, ep.e,
+       |            CASE ep.e WHEN 1 THEN CAST(0 AS BIGINT)
+       |                      WHEN 2 THEN CAST(300000 AS BIGINT)
+       |                      ELSE CAST(450000 AS BIGINT) END AS qfloor
+       |          FROM en JOIN documents d ON en.doc_id = d.doc_id
+       |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS e) ep),
+       |  el AS (SELECT * FROM el0 WHERE ens_micro >= qfloor),
+       |  cnt2 AS (SELECT e, lang, CAST(COUNT(*) AS BIGINT) AS n FROM el GROUP BY 1, 2),
+       |  tot2 AS (SELECT e, CAST(SUM(n) AS BIGINT) // 2 AS b FROM cnt2 GROUP BY 1),
+       |  w2 AS (SELECT e, lang, n, ${tauWSql("e", "n")} AS w FROM cnt2),
+       |  ws2 AS (SELECT e, ${ExactSql.dsum("w")} AS wsum FROM w2 GROUP BY 1),
+       |  thr2 AS (SELECT w2.e, w2.lang,
+       |             LEAST(CAST(FLOOR(w2.w / ws2.wsum * t.b / w2.n * $USize) AS BIGINT), $USize) AS thr
+       |           FROM w2 JOIN ws2 USING (e) JOIN tot2 t USING (e)),
+       |  sel2 AS (SELECT CAST(el.e AS BIGINT) AS epoch, $h AS pos,
+       |             el.doc_id, el.lang, el.ens_micro, el.n_chars
+       |           FROM el JOIN thr2 ON el.e = thr2.e AND el.lang = thr2.lang
+       |           WHERE $h % $USize < thr2.thr)""".stripMargin
+  }
+
+  /** Spark mirror of [[curriculumCtesSql]]'s `sel2`: the pre-sort
+    * quality-annealed manifest `(epoch, pos, doc_id, lang, ens_micro,
+    * n_chars)`. Eligible (doc, epoch) pairs checkpoint once (two
+    * consumers: the counts frame and the selection scan of the
+    * ensemble-heavy subtree); after that everything is q127's
+    * map-only shape with a 15-row threshold broadcast. */
+  private[graft] def curriculumFrame(s: SparkSession, dir: String): DataFrame = {
+    val en = ensembleScored(s, dir).select(col("doc_id"), col("ens_micro"))
+    val meta = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val el = en.join(meta, "doc_id")
+      .withColumn("e", explode(lit(Array(1, 2, 3))))
+      .withColumn("qfloor",
+        when(col("e") === 1, lit(0L)).when(col("e") === 2, lit(300000L))
+          .otherwise(lit(450000L)))
+      .filter(col("ens_micro") >= col("qfloor"))
+      .checkpointed()
+    val cnt2 = el.groupBy(col("e"), col("lang")).agg(count(lit(1)).as("n"))
+      .checkpointed()
+    val tot2 = cnt2.groupBy(col("e")).agg(sum(col("n")).as("nd"))
+      .select(col("e"), expr("nd div 2").as("b"))
+    val w2 = cnt2.select(col("e"), col("lang"), col("n"),
+      tauW(col("e"), col("n")).as("w"))
+    val ws2 = w2.groupBy(col("e")).agg(Exact.dsum(col("w")).as("wsum"))
+    val thr2 = w2.join(ws2, "e").join(tot2, "e")
+      .select(col("e"), col("lang"),
+        least(floor(col("w") / col("wsum") * col("b") / col("n") * lit(USize)),
+          lit(USize)).as("thr"))
+    val h = TextOps.hash60(concat(lit("c"), col("e").cast("string"),
+      lit(":"), col("doc_id").cast("string")))
+    el.join(broadcast(thr2), Seq("e", "lang"))
+      .withColumn("pos", h)
+      .filter(col("pos") % USize < col("thr"))
+      .select(col("e").cast("long").as("epoch"), col("pos"),
+        col("doc_id"), col("lang"), col("ens_micro"), col("n_chars"))
+  }
+
+  /** q132's pos-range bucket width: pos = hash60 < 2^60, so div 2^52
+    * yields 256 CONTIGUOUS ranges — monotone in pos, which is what
+    * lets (bucket, pos, doc_id) order equal the stream order. */
+  private val PosBucketWidth = 1L << 52
+
+  /** The q130/q132 shared two-phase distributed EXCLUSIVE prefix sum
+    * of `value` in (part*, bucket, order*) order: per-(part, bucket)
+    * totals aggregate (checkpointed — constant-sized at any corpus),
+    * the offset table windows per part over the bucket index (≤
+    * #buckets rows per part — the only single-task window), and
+    * within-bucket cumsums run fully partitioned. Returns the input
+    * plus `strt`, and the bucket-totals frame (column `_btot`) so
+    * callers derive grand totals without re-scanning the corpus. The
+    * caller guarantees `bucket` is monotone in the intended global
+    * order (hash order for q130, pos ranges for q132) and that `df`
+    * is cheap to scan twice or checkpointed. */
+  private def exclusivePrefix(df: DataFrame, part: Seq[String],
+      bucket: String, order: Seq[String], value: String)
+      : (DataFrame, DataFrame) = {
+    val pb = (part :+ bucket).map(col)
+    val bktot = df.groupBy(pb: _*).agg(sum(col(value)).as("_btot"))
+      .checkpointed()
+    val off = bktot.select(pb :+
+      coalesce(sum(col("_btot")).over(
+        Window.partitionBy(part.map(col): _*).orderBy(bucket)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"): _*)
+    val cum = df.withColumn("_cum",
+      sum(col(value)).over(
+        Window.partitionBy(pb: _*).orderBy(order.map(col): _*)))
+    val res = cum.join(broadcast(off), part :+ bucket)
+      .withColumn("strt", col("_off") + col("_cum") - col(value))
+      .drop("_off", "_cum")
+    (res, bktot)
+  }
 
   /** The q128 ensemble's full DuckDB CTE chain, through
     * `en(doc_id, rq, rr, hb, ens, spread)` — factored so q131's

@@ -166,6 +166,41 @@ class ReleaseSpec extends AnyFunSuite {
       s"epoch 1 drew $e1 of scoreable $scoreable (budget ${scoreable / 2})")
   }
 
+  test("q132: every epoch's shards partition its curriculum and balance within one max-doc of the epoch target") {
+    val rows = run("q132_curriculum_shards")
+    val manifest = run("q131_quality_curriculum")
+    val d = Tables.load(spark, dir, "documents")
+    val chars = d.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val maxDoc = chars.values.max
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    byEpoch.foreach { case (e, rs) =>
+      // The shards partition exactly the epoch's admitted docs and bytes
+      // (reconciled against q131 — the manifest the plan packs).
+      val admitted = manifest.filter(_.getAs[Long]("epoch") == e)
+      val epochChars = admitted.map(r => chars(r.getAs[Long]("doc_id"))).sum
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == admitted.length,
+        s"epoch $e shards do not partition its manifest")
+      assert(rs.map(_.getAs[Long]("shard_chars")).sum == epochChars,
+        s"epoch $e shard bytes do not reconcile")
+      // Per-epoch target and the q130 balance bound.
+      val tgt = rs.head.getAs[Long]("target_chars")
+      assert(tgt == (epochChars + 31) / 32, s"epoch $e target off: $tgt")
+      rs.foreach { r =>
+        val id = r.getAs[Long]("shard_id")
+        assert(id >= 0 && id < 32)
+        assert(r.getAs[Long]("shard_chars") <= tgt + maxDoc,
+          s"epoch $e shard $id overflows")
+      }
+    }
+    // Later epochs pack fewer bytes (the floors shrink the manifest),
+    // so their shard targets shrink with them.
+    def tgtOf(e: Long) = byEpoch(e).head.getAs[Long]("target_chars")
+    assert(tgtOf(1) > tgtOf(2) && tgtOf(2) > tgtOf(3),
+      s"targets not shrinking: ${tgtOf(1)} -> ${tgtOf(2)} -> ${tgtOf(3)}")
+  }
+
   test("q130: two-phase distributed prefix sum equals the global cumsum (the scale-trust law)") {
     // Recompute shard ids with ONE global window (the oracle's form) and
     // compare the aggregate — at 100 TB only the two-phase form can run,
