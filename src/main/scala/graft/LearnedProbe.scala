@@ -34,7 +34,11 @@ object LearnedProbe {
       // the q108+q115 trainer shapes over the survivor corpus plus an
       // anti-join purge, so it too must scale ~linearly).
       "q123_stream_tokenize", "q124_stream_ivfpq_append",
-      "q125_takedown_artifacts")
+      "q125_takedown_artifacts",
+      // r12: the data-card-on-append — sigstats+card persisted, the
+      // append pays batch feature compute + one batch-keyed index probe
+      // (batch ∝ corpus here, like q116).
+      "q133_card_on_append")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -73,6 +77,9 @@ object LearnedProbe {
       // too (one-time bulk cost, never the takedown's).
       pipeline.VectorIndex.prepared(spark, dir,
         operators.SimilarityQueries.IvfCells)
+      // q133's persisted card index (sigstats + base card) — the bulk
+      // build's cost, never the append's.
+      pipeline.CardIndex.prepared(spark, dir)
       println(s"[probe] artifacts warm for $dir")
     }
     // The scaled-cells row below runs in clean mode only — don't pay

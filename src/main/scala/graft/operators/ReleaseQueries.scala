@@ -153,56 +153,11 @@ object ReleaseQueries {
     // with the label — both are "what would a release reviewer ask".
     q("q129_data_card",
       "X4+/LLM: per-(source, lang) release data card — sizes, tokens, dup exposure, lang-ID flags",
-      {
-        val scores = TextQueries.Profiles.map { case (l, _) =>
-          s"${TextQueries.langScoreSql("text", l)} AS s_$l"
-        }.mkString(",\n         ")
-        s"""WITH f AS (SELECT doc_id, source, lang, n_chars,
-           |         CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_toks,
-           |         md5(text) AS sig,
-           |         $scores
-           |       FROM documents),
-           |  p AS (SELECT *, ${TextQueries.langLadderSql(l => s"s_$l")} AS pred FROM f),
-           |  f2 AS (SELECT *, COUNT(*) OVER (PARTITION BY sig) AS nsig FROM p),
-           |  a AS (SELECT source, lang, COUNT(*) AS n_docs,
-           |          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           |          CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
-           |          CAST(SUM(CASE WHEN nsig > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-           |          CAST(SUM(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_langid_flag
-           |        FROM f2 GROUP BY 1, 2),
-           |  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
-           |SELECT source, lang, n_docs,
-           |  ROUND(CAST(n_docs AS DOUBLE) / nd, 6) AS share_docs,
-           |  sum_chars, sum_tokens,
-           |  ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
-           |  n_dup_docs, n_langid_flag
-           |FROM a CROSS JOIN tot
-           |ORDER BY source, lang""".stripMargin
-      }) { (s, dir) =>
-      val d = docs(s, dir)
-      val base = Seq(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
-        md5(col("text")).as("sig"))
-      val scores = TextQueries.Profiles.map { case (l, _) =>
-        TextQueries.langScore(col("text"), l).as(s"s_$l")
-      }
-      val f = d.select(base ++ scores: _*)
-      val p = f.withColumn("pred", TextQueries.langLadder(l => col(s"s_$l")))
-      val f2 = p.withColumn("nsig", count(lit(1)).over(Window.partitionBy("sig")))
-      val a = f2.groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(col("n_toks")).as("sum_tokens"),
-          sum(when(col("nsig") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
-          sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L)).as("n_langid_flag"))
-      val tot = d.agg(count(lit(1)).as("nd"))
-      a.crossJoin(broadcast(tot))
-        .select(col("source"), col("lang"), col("n_docs"),
-          round(col("n_docs").cast("double") / col("nd"), 6).as("share_docs"),
-          col("sum_chars").cast("long").as("sum_chars"),
-          col("sum_tokens").cast("long").as("sum_tokens"),
-          round(col("sum_chars").cast("double") / col("n_docs"), 6).as("mean_chars"),
-          col("n_dup_docs"), col("n_langid_flag"))
+      s"""WITH ${dataCardCtesSql("documents")}
+         |$dataCardSelectSql""".stripMargin) { (s, dir) =>
+      dataCardFrame(docs(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            col("text")))
         .presented("source", "lang")
     },
 
@@ -334,6 +289,105 @@ object ReleaseQueries {
           col("shard_chars").cast("long").as("shard_chars"),
           col("tgt").as("target_chars"))
         .presented("epoch", "shard_id")
+    },
+
+    // ----- Data-card-on-append: the release datasheet (q129) maintained
+    // INCREMENTALLY — the append-family pattern (q68 dedup / q100 ANN /
+    // q112 tokenize / q116 score) applied to governance reporting. The
+    // persisted CardIndex holds the corpus's sig-count table and its
+    // card; an append batch updates every column with BATCH-KEYED work:
+    // counts/chars/tokens/lang-ID flags are sum-decomposable (one batch
+    // aggregate), and duplicate EXPOSURE — the one non-decomposable
+    // column — splits exactly into (a) batch docs whose hash repeats
+    // in-batch or exists in the index, and (b) index docs that FLIP
+    // from unexposed to exposed because their previously-unique hash
+    // was hit (attributed to the holder group sigstats recorded at
+    // build). Shape: batch feature compute + ONE scan of sigstats
+    // probing the broadcast batch-hash frame — no corpus re-featurize,
+    // no corpus shuffle; everything downstream is card-sized. The
+    // oracle recomputes q129's formula from scratch over the union —
+    // incremental ≡ recompute IS the hash gate.
+    q("q133_card_on_append",
+      "X4+/LLM: data-card-on-append — persisted sigstats+card updated by batch-keyed deltas (incremental ≡ recompute)",
+      {
+        val bt = "CASE WHEN doc_id % 15 = 0 THEN text " +
+          "ELSE text || ' v2-' || CAST(doc_id AS VARCHAR) END"
+        val bl = "CASE WHEN doc_id % 25 = 0 THEN 'de' ELSE lang END"
+        s"""WITH batch AS (
+           |    SELECT doc_id + 110000 AS doc_id, source, $bl AS lang, $bt AS text
+           |    FROM documents WHERE doc_id % 5 = 0
+           |    UNION ALL
+           |    SELECT doc_id + 120000, source, $bl, $bt
+           |    FROM documents WHERE doc_id % 20 = 0),
+           |  u AS (SELECT doc_id, source, lang, n_chars, text FROM documents
+           |        UNION ALL
+           |        SELECT doc_id, source, lang, CAST(len(text) AS BIGINT), text
+           |        FROM batch),
+           |  ${dataCardCtesSql("u")}
+           |$dataCardSelectSql""".stripMargin
+      }) { (s, dir) =>
+      val idx = graft.pipeline.CardIndex.prepared(s, dir)
+      val S = s.read.parquet(s"$idx/sigstats")
+      val C = s.read.parquet(s"$idx/card")
+      // Batch features: THREE consumers (hash counts, exposure join,
+      // group aggregate) — checkpoint once; batch-sized.
+      val bf = cardFeatures(cardBatch(s, dir)).checkpointed()
+      val bs = bf.groupBy(col("sig")).agg(count(lit(1)).as("bcnt"))
+        .checkpointed()
+      // The ONE corpus-sized operation: scan sigstats probing the
+      // broadcast batch-hash frame — result is <= batch-sized.
+      val hit = S.join(broadcast(bs), "sig")
+        .select(col("sig"), col("cnt"), col("holder_source"),
+          col("holder_lang"))
+        .checkpointed()
+      val expo = bf
+        .join(broadcast(bs), "sig")
+        .join(broadcast(hit.select(col("sig"), col("cnt"))), Seq("sig"), "left")
+        .select(col("source"), col("lang"), col("n_chars"), col("n_toks"),
+          col("pred"),
+          (col("bcnt") >= 2 || coalesce(col("cnt"), lit(0L)) >= 1)
+            .as("exposed"))
+      val bAgg = expo.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("b_docs"),
+          sum(col("n_chars")).as("b_chars"),
+          sum(col("n_toks")).as("b_toks"),
+          sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L)).as("b_flags"),
+          sum(when(col("exposed"), 1L).otherwise(0L)).as("b_dup"))
+      val flips = hit.filter(col("cnt") === 1)
+        .groupBy(col("holder_source").as("source"),
+          col("holder_lang").as("lang"))
+        .agg(count(lit(1)).as("f_dup"))
+      // Merge the card-sized frames; shares/means recompute from the
+      // exact integer sums, so the doubles are bit-identical to the
+      // from-scratch form's.
+      val merged = C.select(col("source"), col("lang"), col("n_docs"),
+          col("sum_chars"), col("sum_tokens"), col("n_dup_docs"),
+          col("n_langid_flag"))
+        .join(bAgg, Seq("source", "lang"), "full_outer")
+        .join(flips, Seq("source", "lang"), "full_outer")
+        .select(col("source"), col("lang"),
+          (coalesce(col("n_docs"), lit(0L)) +
+            coalesce(col("b_docs"), lit(0L))).as("n_docs"),
+          (coalesce(col("sum_chars"), lit(0L)) +
+            coalesce(col("b_chars"), lit(0L))).as("sum_chars"),
+          (coalesce(col("sum_tokens"), lit(0L)) +
+            coalesce(col("b_toks"), lit(0L))).as("sum_tokens"),
+          (coalesce(col("n_dup_docs"), lit(0L)) +
+            coalesce(col("b_dup"), lit(0L)) +
+            coalesce(col("f_dup"), lit(0L))).as("n_dup_docs"),
+          (coalesce(col("n_langid_flag"), lit(0L)) +
+            coalesce(col("b_flags"), lit(0L))).as("n_langid_flag"))
+        .checkpointed()
+      val tot = merged.agg(sum(col("n_docs")).as("nd"))
+      merged.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("nd"), 6).as("share_docs"),
+          col("sum_chars").cast("long").as("sum_chars"),
+          col("sum_tokens").cast("long").as("sum_tokens"),
+          round(col("sum_chars").cast("double") / col("n_docs"), 6)
+            .as("mean_chars"),
+          col("n_dup_docs"), col("n_langid_flag"))
+        .presented("source", "lang")
     })
 
   /** q127/q131's shared temperature-weight expression: n^tau for
@@ -350,6 +404,106 @@ object ReleaseQueries {
     when(e === 1, n.cast("double"))
       .when(e === 2, round(sqrt(n.cast("double")), 6))
       .otherwise(round(sqrt(sqrt(n.cast("double"))), 6))
+
+  /** q129/q133's shared DuckDB data-card CTE chain over relation `rel`
+    * (must expose doc_id, source, lang, n_chars, text), through
+    * `a(source, lang, n_docs, sum_chars, sum_tokens, n_dup_docs,
+    * n_langid_flag)` + `tot(nd)` — factored so the card-on-append
+    * oracle recomputes the IDENTICAL formula over the union. */
+  private def dataCardCtesSql(rel: String): String = {
+    val scores = TextQueries.Profiles.map { case (l, _) =>
+      s"${TextQueries.langScoreSql("text", l)} AS s_$l"
+    }.mkString(",\n       ")
+    s"""f AS (SELECT doc_id, source, lang, n_chars,
+       |         CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_toks,
+       |         md5(text) AS sig,
+       |         $scores
+       |       FROM $rel),
+       |  p AS (SELECT *, ${TextQueries.langLadderSql(l => s"s_$l")} AS pred FROM f),
+       |  f2 AS (SELECT *, COUNT(*) OVER (PARTITION BY sig) AS nsig FROM p),
+       |  a AS (SELECT source, lang, COUNT(*) AS n_docs,
+       |          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |          CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       |          CAST(SUM(CASE WHEN nsig > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |          CAST(SUM(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_langid_flag
+       |        FROM f2 GROUP BY 1, 2),
+       |  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM $rel)""".stripMargin
+  }
+
+  /** The card's shared final projection (shares/means recomputed from
+    * the exact integer sums — which is what lets the incremental form
+    * land on bit-identical doubles). */
+  private def dataCardSelectSql: String =
+    s"""SELECT source, lang, n_docs,
+       |  ROUND(CAST(n_docs AS DOUBLE) / nd, 6) AS share_docs,
+       |  sum_chars, sum_tokens,
+       |  ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
+       |  n_dup_docs, n_langid_flag
+       |FROM a CROSS JOIN tot
+       |ORDER BY source, lang""".stripMargin
+
+  /** Per-doc card features `(doc_id, source, lang, n_chars, n_toks,
+    * sig, pred)` — the Spark mirror of the `f`/`p` CTEs, shared by
+    * q129, the persisted CardIndex build, and q133's batch side
+    * (train/serve feature parity made structural). Map-only. */
+  private[graft] def cardFeatures(d: DataFrame): DataFrame = {
+    val base = Seq(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+      md5(col("text")).as("sig"))
+    val scores = TextQueries.Profiles.map { case (l, _) =>
+      TextQueries.langScore(col("text"), l).as(s"s_$l")
+    }
+    d.select(base ++ scores: _*)
+      .withColumn("pred", TextQueries.langLadder(l => col(s"s_$l")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("n_toks"), col("sig"), col("pred"))
+  }
+
+  /** The card aggregate from a [[cardFeatures]] frame: sig-keyed dup
+    * window, (source, lang) group aggregate, 1-row total broadcast. */
+  private[graft] def dataCardFromFeatures(f: DataFrame): DataFrame = {
+    val f2 = f.withColumn("nsig", count(lit(1)).over(Window.partitionBy("sig")))
+    val a = f2.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(when(col("nsig") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L)).as("n_langid_flag"))
+    val tot = f.agg(count(lit(1)).as("nd"))
+    a.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("nd"), 6).as("share_docs"),
+        col("sum_chars").cast("long").as("sum_chars"),
+        col("sum_tokens").cast("long").as("sum_tokens"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6).as("mean_chars"),
+        col("n_dup_docs"), col("n_langid_flag"))
+  }
+
+  /** q129's full card over a `(doc_id, source, lang, n_chars, text)`
+    * frame — the from-scratch form the spec compares q133 against. */
+  private[graft] def dataCardFrame(d: DataFrame): DataFrame =
+    dataCardFromFeatures(cardFeatures(d))
+
+  /** q133's append batch: every 5th doc re-enters at id+110000 —
+    * verbatim when 15 | id (an exact dup of its base doc), otherwise
+    * with a doc-unique ' v2-<id>' suffix (new text); every 20th doc
+    * ALSO lands at id+120000 with the SAME transform, so those pairs
+    * are batch-INTERNAL duplicates the index has never seen. Docs with
+    * 25 | id are relabeled 'de' to move the lang-ID flag counts. */
+  private[graft] def cardBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+      col("text"))
+    def bt = when(col("doc_id") % 15 === 0, col("text"))
+      .otherwise(concat(col("text"), lit(" v2-"), col("doc_id").cast("string")))
+    def bl = when(col("doc_id") % 25 === 0, lit("de")).otherwise(col("lang"))
+    val b1 = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 110000L).as("doc_id"), col("source"),
+        bl.as("lang"), bt.as("text"))
+    val b2 = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 120000L).as("doc_id"), col("source"),
+        bl.as("lang"), bt.as("text"))
+    b1.unionByName(b2).withColumn("n_chars", length(col("text")).cast("long"))
+  }
 
   /** q131/q132's shared DuckDB chain through `sel2(epoch, pos, doc_id,
     * lang, ens_micro, n_chars)` — the quality-annealed curriculum

@@ -201,6 +201,46 @@ class ReleaseSpec extends AnyFunSuite {
       s"targets not shrinking: ${tgtOf(1)} -> ${tgtOf(2)} -> ${tgtOf(3)}")
   }
 
+  test("q133: the incremental card equals the from-scratch recompute, on a batch that exercises every delta path") {
+    import graft.operators.ReleaseQueries
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("text"))
+    val batch = ReleaseQueries.cardBatch(spark, dir)
+    // Non-vacuous fixture: the batch must hit all three duplicate-delta
+    // paths — exact dups of base docs, batch-internal pairs the index
+    // has never seen, and at least one FLIP (a previously-unique base
+    // doc whose hash a batch doc collides with).
+    val baseSigs = d.select(md5(col("text")).as("sig"))
+      .groupBy("sig").count().collect()
+      .map(r => r.getAs[String]("sig") -> r.getAs[Long]("count")).toMap
+    val batchSigs = batch.select(md5(col("text")).as("sig")).collect()
+      .map(_.getString(0))
+    val bCnt = batchSigs.groupBy(identity).view.mapValues(_.size)
+    assert(batchSigs.exists(s => baseSigs.contains(s)), "no exact-dup path")
+    assert(bCnt.exists { case (s, n) => n >= 2 && !baseSigs.contains(s) },
+      "no batch-internal-dup path")
+    assert(batchSigs.distinct.exists(s => baseSigs.get(s).contains(1L)),
+      "no flip path: no previously-unique base doc is hit")
+    assert(batchSigs.exists(s => !baseSigs.contains(s) && bCnt(s) == 1),
+      "no unexposed-new path")
+    // The law: the batch-keyed incremental update lands on the SAME
+    // card, column for column, as re-running q129's formula over the
+    // union — the only reason an append pipeline may skip the rescan.
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("share_docs"),
+          r.getAs[Long]("sum_chars"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Double]("mean_chars"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("n_langid_flag"))
+    }.toMap
+    val inc = keyed(run("q133_card_on_append"))
+    val full = keyed(ReleaseQueries.dataCardFrame(
+      d.unionByName(batch.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text")))).collect())
+    assert(inc == full, s"incremental != recompute:\n$inc\nvs\n$full")
+  }
+
   test("q130: two-phase distributed prefix sum equals the global cumsum (the scale-trust law)") {
     // Recompute shard ids with ONE global window (the oracle's form) and
     // compare the aggregate — at 100 TB only the two-phase form can run,
