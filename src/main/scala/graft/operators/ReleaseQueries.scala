@@ -309,86 +309,179 @@ object ReleaseQueries {
     // incremental ≡ recompute IS the hash gate.
     q("q133_card_on_append",
       "X4+/LLM: data-card-on-append — persisted sigstats+card updated by batch-keyed deltas (incremental ≡ recompute)",
-      {
-        val bt = "CASE WHEN doc_id % 15 = 0 THEN text " +
-          "ELSE text || ' v2-' || CAST(doc_id AS VARCHAR) END"
-        val bl = "CASE WHEN doc_id % 25 = 0 THEN 'de' ELSE lang END"
-        s"""WITH batch AS (
-           |    SELECT doc_id + 110000 AS doc_id, source, $bl AS lang, $bt AS text
-           |    FROM documents WHERE doc_id % 5 = 0
-           |    UNION ALL
-           |    SELECT doc_id + 120000, source, $bl, $bt
-           |    FROM documents WHERE doc_id % 20 = 0),
-           |  u AS (SELECT doc_id, source, lang, n_chars, text FROM documents
-           |        UNION ALL
-           |        SELECT doc_id, source, lang, CAST(len(text) AS BIGINT), text
-           |        FROM batch),
-           |  ${dataCardCtesSql("u")}
-           |$dataCardSelectSql""".stripMargin
-      }) { (s, dir) =>
+      cardAppendOracleSql) { (s, dir) =>
       val idx = graft.pipeline.CardIndex.prepared(s, dir)
-      val S = s.read.parquet(s"$idx/sigstats")
-      val C = s.read.parquet(s"$idx/card")
-      // Batch features: THREE consumers (hash counts, exposure join,
-      // group aggregate) — checkpoint once; batch-sized.
-      val bf = cardFeatures(cardBatch(s, dir)).checkpointed()
-      val bs = bf.groupBy(col("sig")).agg(count(lit(1)).as("bcnt"))
-        .checkpointed()
-      // The ONE corpus-sized operation: scan sigstats probing the
-      // broadcast batch-hash frame — result is <= batch-sized.
-      val hit = S.join(broadcast(bs), "sig")
-        .select(col("sig"), col("cnt"), col("holder_source"),
-          col("holder_lang"))
-        .checkpointed()
-      val expo = bf
-        .join(broadcast(bs), "sig")
-        .join(broadcast(hit.select(col("sig"), col("cnt"))), Seq("sig"), "left")
-        .select(col("source"), col("lang"), col("n_chars"), col("n_toks"),
-          col("pred"),
-          (col("bcnt") >= 2 || coalesce(col("cnt"), lit(0L)) >= 1)
-            .as("exposed"))
-      val bAgg = expo.groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("b_docs"),
-          sum(col("n_chars")).as("b_chars"),
-          sum(col("n_toks")).as("b_toks"),
-          sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L)).as("b_flags"),
-          sum(when(col("exposed"), 1L).otherwise(0L)).as("b_dup"))
-      val flips = hit.filter(col("cnt") === 1)
-        .groupBy(col("holder_source").as("source"),
-          col("holder_lang").as("lang"))
-        .agg(count(lit(1)).as("f_dup"))
-      // Merge the card-sized frames; shares/means recompute from the
-      // exact integer sums, so the doubles are bit-identical to the
-      // from-scratch form's.
-      val merged = C.select(col("source"), col("lang"), col("n_docs"),
-          col("sum_chars"), col("sum_tokens"), col("n_dup_docs"),
-          col("n_langid_flag"))
-        .join(bAgg, Seq("source", "lang"), "full_outer")
-        .join(flips, Seq("source", "lang"), "full_outer")
-        .select(col("source"), col("lang"),
-          (coalesce(col("n_docs"), lit(0L)) +
-            coalesce(col("b_docs"), lit(0L))).as("n_docs"),
-          (coalesce(col("sum_chars"), lit(0L)) +
-            coalesce(col("b_chars"), lit(0L))).as("sum_chars"),
-          (coalesce(col("sum_tokens"), lit(0L)) +
-            coalesce(col("b_toks"), lit(0L))).as("sum_tokens"),
-          (coalesce(col("n_dup_docs"), lit(0L)) +
-            coalesce(col("b_dup"), lit(0L)) +
-            coalesce(col("f_dup"), lit(0L))).as("n_dup_docs"),
-          (coalesce(col("n_langid_flag"), lit(0L)) +
-            coalesce(col("b_flags"), lit(0L))).as("n_langid_flag"))
-        .checkpointed()
-      val tot = merged.agg(sum(col("n_docs")).as("nd"))
-      merged.crossJoin(broadcast(tot))
-        .select(col("source"), col("lang"), col("n_docs"),
-          round(col("n_docs").cast("double") / col("nd"), 6).as("share_docs"),
-          col("sum_chars").cast("long").as("sum_chars"),
-          col("sum_tokens").cast("long").as("sum_tokens"),
-          round(col("sum_chars").cast("double") / col("n_docs"), 6)
-            .as("mean_chars"),
-          col("n_dup_docs"), col("n_langid_flag"))
-        .presented("source", "lang")
+      val (card, _) = cardUpdate(
+        s.read.parquet(s"$idx/sigstats"), s.read.parquet(s"$idx/card"),
+        cardFeatures(cardBatch(s, dir)).checkpointed())
+      card.presented("source", "lang")
+    },
+
+    // ----- T6 + X4+ (streaming): STREAMING card maintenance — the
+    // q133 update drained as an AvailableNow stream where EVERY
+    // micro-batch reads the current artifacts, applies the exact
+    // delta, and WRITES THEM BACK (versioned working copies — the
+    // published index is never mutated, q122's discipline). Unlike
+    // q118/q120/q123/q124, whose per-micro-batch work is stateless,
+    // this is the genuinely STATEFUL append: micro-batch 2's duplicate
+    // exposure depends on micro-batch 1's docs (an internal pair split
+    // across micro-batches surfaces as an index hit + a FLIP whose
+    // holder group micro-batch 1's write-back recorded) — so the drain
+    // proves the artifact-EXTENSION path that q133 (read-only) cannot.
+    // stream ≡ batch is the hash gate: the oracle is q133's verbatim,
+    // i.e. the two-micro-batch composition must land on the SAME card
+    // as the one-shot update, which holds because the delta math is
+    // exact for ANY base/batch split (the ReleaseSpec q133 law applied
+    // inductively). SCALE: each micro-batch pays batch-keyed compute
+    // plus one broadcast-probed sigstats scan and a corpus-sized
+    // sigstats REWRITE (no shuffle — map-side merge of a broadcast
+    // delta); a production store would make that rewrite a
+    // merge-on-read delta file (LSM-style) — the update math is
+    // layout-independent.
+    q("q134_stream_card_maintain",
+      "T6+X4+: streaming card maintenance — foreachBatch applies the exact delta AND writes the artifacts back (stream ≡ batch)",
+      cardAppendOracleSql) { (s, dir) =>
+      val idx = graft.pipeline.CardIndex.prepared(s, dir)
+      val root = graft.TempDirs.fresh("q134")
+      s.read.parquet(s"$idx/sigstats").write.parquet(s"$root/v0/sigstats")
+      s.read.parquet(s"$idx/card").write.parquet(s"$root/v0/card")
+      val batch = cardBatch(s, dir)
+      val src = s"$root/src"; val ckpt = s"$root/ckpt"
+      batch.repartition(2).write.parquet(src) // two files → two micro-batches
+      var v = 0
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val (card, sig) = cardUpdate(
+            s.read.parquet(s"$root/v$v/sigstats"),
+            s.read.parquet(s"$root/v$v/card"),
+            cardFeatures(b).checkpointed())
+          sig.write.parquet(s"$root/v${v + 1}/sigstats")
+          card.write.parquet(s"$root/v${v + 1}/card")
+          v += 1
+        }
+        .start()
+      query.awaitTermination()
+      s.read.parquet(s"$root/v$v/card").presented("source", "lang")
     })
+
+  /** q133/q134's shared oracle: q129's formula recomputed FROM SCRATCH
+    * over documents ∪ the append batch — incremental ≡ recompute (and,
+    * for q134, stream ≡ batch) is the hash gate. */
+  private def cardAppendOracleSql: String = {
+    val bt = "CASE WHEN doc_id % 15 = 0 THEN text " +
+      "ELSE text || ' v2-' || CAST(doc_id AS VARCHAR) END"
+    val bl = "CASE WHEN doc_id % 25 = 0 THEN 'de' ELSE lang END"
+    s"""WITH batch AS (
+       |    SELECT doc_id + 110000 AS doc_id, source, $bl AS lang, $bt AS text
+       |    FROM documents WHERE doc_id % 5 = 0
+       |    UNION ALL
+       |    SELECT doc_id + 120000, source, $bl, $bt
+       |    FROM documents WHERE doc_id % 20 = 0),
+       |  u AS (SELECT doc_id, source, lang, n_chars, text FROM documents
+       |        UNION ALL
+       |        SELECT doc_id, source, lang, CAST(len(text) AS BIGINT), text
+       |        FROM batch),
+       |  ${dataCardCtesSql("u")}
+       |$dataCardSelectSql""".stripMargin
+  }
+
+  /** One exact card-maintenance step, shared by q133 (one-shot), q134
+    * (per micro-batch, with write-back), and the CardIndex append path:
+    * given the current artifacts and a batch FEATURE frame, returns
+    * (updated card, updated sigstats) — both unevaluated. The batch
+    * feature frame must be checkpointed by the caller (three consumers
+    * here). Exactness note: duplicate exposure splits into batch docs
+    * exposed (in-batch repeat OR index hit) plus index docs that FLIP
+    * from unexposed to exposed (cnt = 1 hash hit, attributed to the
+    * holder group recorded at build/previous append); shares and means
+    * recompute from the exact integer sums, so the output doubles are
+    * bit-identical to a from-scratch recompute over the union — for
+    * ANY split of the appends, which is what makes the q134 drain
+    * composable. SCALE: the one corpus-sized operation per step is the
+    * sigstats scan probing the BROADCAST batch-hash frame; the updated
+    * sigstats is the same scan map-side-merged with the broadcast
+    * delta (new hashes arrive by a tiny union) — no corpus shuffle
+    * anywhere. */
+  private[graft] def cardUpdate(S: DataFrame, C: DataFrame, bf: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // Batch hash profile: count + the (deterministic) holder-candidate
+    // group for hashes the index has never seen. Tiny; checkpointed
+    // (four consumers).
+    val bsH = bf.groupBy(col("sig"))
+      .agg(count(lit(1)).as("bcnt"),
+        min(col("source")).as("b_src"), min(col("lang")).as("b_lang"))
+      .checkpointed()
+    // The ONE corpus-sized read: scan sigstats probing the broadcast
+    // batch-hash frame — result is <= batch-sized.
+    val hit = S.join(broadcast(bsH.select(col("sig"))), "sig")
+      .select(col("sig"), col("cnt"), col("holder_source"),
+        col("holder_lang"))
+      .checkpointed()
+    val expo = bf
+      .join(broadcast(bsH.select(col("sig"), col("bcnt"))), "sig")
+      .join(broadcast(hit.select(col("sig"), col("cnt"))), Seq("sig"), "left")
+      .select(col("source"), col("lang"), col("n_chars"), col("n_toks"),
+        col("pred"),
+        (col("bcnt") >= 2 || coalesce(col("cnt"), lit(0L)) >= 1)
+          .as("exposed"))
+    val bAgg = expo.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("b_docs"),
+        sum(col("n_chars")).as("b_chars"),
+        sum(col("n_toks")).as("b_toks"),
+        sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L)).as("b_flags"),
+        sum(when(col("exposed"), 1L).otherwise(0L)).as("b_dup"))
+    val flips = hit.filter(col("cnt") === 1)
+      .groupBy(col("holder_source").as("source"),
+        col("holder_lang").as("lang"))
+      .agg(count(lit(1)).as("f_dup"))
+    // Merge the card-sized frames; shares/means recompute from the
+    // exact integer sums.
+    val merged = C.select(col("source"), col("lang"), col("n_docs"),
+        col("sum_chars"), col("sum_tokens"), col("n_dup_docs"),
+        col("n_langid_flag"))
+      .join(bAgg, Seq("source", "lang"), "full_outer")
+      .join(flips, Seq("source", "lang"), "full_outer")
+      .select(col("source"), col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("b_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) +
+          coalesce(col("b_chars"), lit(0L))).as("sum_chars"),
+        (coalesce(col("sum_tokens"), lit(0L)) +
+          coalesce(col("b_toks"), lit(0L))).as("sum_tokens"),
+        (coalesce(col("n_dup_docs"), lit(0L)) +
+          coalesce(col("b_dup"), lit(0L)) +
+          coalesce(col("f_dup"), lit(0L))).as("n_dup_docs"),
+        (coalesce(col("n_langid_flag"), lit(0L)) +
+          coalesce(col("b_flags"), lit(0L))).as("n_langid_flag"))
+      .checkpointed()
+    val tot = merged.agg(sum(col("n_docs")).as("nd"))
+    val card = merged.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("nd"), 6).as("share_docs"),
+        col("sum_chars").cast("long").as("sum_chars"),
+        col("sum_tokens").cast("long").as("sum_tokens"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6)
+          .as("mean_chars"),
+        col("n_dup_docs"), col("n_langid_flag"))
+    // Updated sigstats: existing rows merged with the broadcast delta
+    // (one map-side scan of S), new hashes appended by a tiny union;
+    // holder columns keep the original owner, or adopt the batch's
+    // deterministic candidate for never-seen hashes.
+    val updatedExisting = S
+      .join(broadcast(bsH.select(col("sig"), col("bcnt"))), Seq("sig"), "left")
+      .select(col("sig"),
+        (col("cnt") + coalesce(col("bcnt"), lit(0L))).as("cnt"),
+        col("holder_source"), col("holder_lang"))
+    val newRows = bsH.join(broadcast(hit.select(col("sig"))), Seq("sig"),
+        "left_anti")
+      .select(col("sig"), col("bcnt").as("cnt"),
+        col("b_src").as("holder_source"), col("b_lang").as("holder_lang"))
+    (card, updatedExisting.unionByName(newRows))
+  }
 
   /** q127/q131's shared temperature-weight expression: n^tau for
     * tau = 1, 1/2, 1/4 as sqrt CHAINS (IEEE sqrt is correctly rounded

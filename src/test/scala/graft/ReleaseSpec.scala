@@ -241,6 +241,22 @@ class ReleaseSpec extends AnyFunSuite {
     assert(inc == full, s"incremental != recompute:\n$inc\nvs\n$full")
   }
 
+  test("q134: the two-micro-batch drain lands on exactly q133's card (stream ≡ batch, stateful)") {
+    // q134 forces >=2 micro-batches (repartition(2) + maxFilesPerTrigger=1
+    // — the recipe whose micro-batch mechanics DedupIndexSpec pins by
+    // part-file count), so equality with the one-shot update proves the
+    // write-back path: micro-batch 2's exposure verdicts depend on
+    // sigstats rows micro-batch 1 wrote (an internal pair split across
+    // micro-batches surfaces as index-hit + flip instead of in-batch
+    // repeat, and must land on the same per-group totals).
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[String]("source"), r.getAs[String]("lang")) -> r.toSeq
+    }.toMap
+    val streamed = keyed(run("q134_stream_card_maintain"))
+    val oneShot = keyed(run("q133_card_on_append"))
+    assert(streamed == oneShot, s"stream != batch:\n$streamed\nvs\n$oneShot")
+  }
+
   test("q130: two-phase distributed prefix sum equals the global cumsum (the scale-trust law)") {
     // Recompute shard ids with ONE global window (the oracle's form) and
     // compare the aggregate — at 100 TB only the two-phase form can run,
