@@ -2,15 +2,30 @@
 """Local stand-in for the driver's t2 gate: run graft.Verify, then compare
 each query's parquet output against its DuckDB oracle on the same tables.
 
+Round-13 shape (VERDICT r12 #1 — the gate must survive a contended window):
+  - graft.Verify now writes oracle_sql.json/versions.json BEFORE its query
+    loop and APPENDS manifest.txt per query, so this checker OVERLAPS the
+    DuckDB compare with the Spark pass: each query is compared the moment
+    its parquet lands, by a pool of worker processes.
+  - Every verdict is printed unbuffered as it is decided AND persisted to
+    {OUT}/results.json incrementally — a killed run leaves per-query rows
+    on disk instead of nothing.
+  - Per-query compare seconds ride in results.json so expensive oracle
+    chains name themselves.
+
 Usage: python3 tools/check_oracle.py [sfdir] [--only name1,name2]
+                                     [--skip-run] [--jobs N]
 """
-import json, os, shutil, subprocess, sys, glob
+import json, os, shutil, subprocess, sys, glob, time, queue
+import multiprocessing as mp
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
 ONLY = None
 if "--only" in sys.argv:
     ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+JOBS = int(sys.argv[sys.argv.index("--jobs") + 1]) if "--jobs" in sys.argv \
+    else min(8, (os.cpu_count() or 8))
 # SF-specific scratch dir: sweeps at different scales must not race each
 # other (a concurrent default-gate run would rmtree this dump mid-compare).
 OUT = f"/tmp/graft_verify_{os.path.basename(SF.rstrip(os.sep))}"
@@ -23,7 +38,7 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
     "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
     "java.base/sun.nio.cs", "java.base/sun.security.action", "java.base/sun.util.calendar"]]
 
-def run_verify():
+def start_verify():
     # Clean slate: a stale parquet dir from a previous run must never be
     # compared as if this run produced it.
     shutil.rmtree(OUT, ignore_errors=True)
@@ -35,12 +50,8 @@ def run_verify():
         env["GRAFT_VERIFY_ONLY"] = ",".join(sorted(ONLY))
     cmd = ["java", *ADD_OPENS, "-Xmx8g", "-Dspark.ui.enabled=false",
            "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Verify", SF, OUT]
-    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
-    for line in r.stderr.splitlines():
-        if "[verify]" in line or "Exception" in line:
-            print("  !", line)
-    if r.returncode != 0:
-        print(r.stderr[-3000:]); sys.exit(1)
+    return subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.PIPE, text=True)
 
 # Oracle-engine pin, the DuckDB analog of AAEnvCanarySpec's Spark pin:
 # every hash comparison in the gate is only as stable as the engine that
@@ -49,40 +60,37 @@ def run_verify():
 # value diffs (or, worse, not surfacing at all while semantics shift).
 EXPECTED_DUCKDB = "1.0.0"
 
-def compare():
+_CON = None
+
+def _worker_init(sf, threads):
+    global _CON
     import duckdb
-    con = duckdb.connect()
+    _CON = duckdb.connect()
+    _CON.execute(f"SET threads={threads}")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-    results = {}
-    names = sorted(os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p))
-    mpath = f"{OUT}/manifest.txt"
-    if os.path.exists(mpath):
-        written = set(open(mpath).read().split())
-        for name in sorted(set(names) - written):
-            results[name] = "NOT IN MANIFEST (query failed at runtime?)"
-        names = [n for n in names if n in written]
-    for name in names:
-        if ONLY and name not in ONLY:
-            continue
-        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
-        if name not in oracle:
-            results[name] = f"rows-only: {len(got)} rows" + (" EMPTY!" if len(got) == 0 else "")
-            continue
+        _CON.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+def _compare_one(args):
+    """Runs in a pool worker: one query's parquet vs its oracle SQL."""
+    name, sql = args
+    t0 = time.time()
+    try:
+        got = _CON.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+        if sql is None:
+            status = f"rows-only: {len(got)} rows" + (" EMPTY!" if len(got) == 0 else "")
+            return name, status, time.time() - t0
         try:
-            exp = con.sql(oracle[name]).df()
+            exp = _CON.sql(sql).df()
         except Exception as e:
-            results[name] = f"ORACLE SQL ERROR: {e}"
-            continue
+            return name, f"ORACLE SQL ERROR: {e}", time.time() - t0
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
-            results[name] = f"COLUMN MISMATCH spark={list(got.columns)} duck={list(exp.columns)}"
-            continue
+            return (name, f"COLUMN MISMATCH spark={list(got.columns)} duck={list(exp.columns)}",
+                    time.time() - t0)
         if len(got) != len(exp):
-            results[name] = f"ROWCOUNT MISMATCH spark={len(got)} duck={len(exp)}"
-            continue
+            return (name, f"ROWCOUNT MISMATCH spark={len(got)} duck={len(exp)}",
+                    time.time() - t0)
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
         bad = []
@@ -97,16 +105,115 @@ def compare():
             if not eq.all():
                 i = int((~eq).idxmax())
                 bad.append(f"{c}: {int((~eq).sum())} diffs, first@{i}: {a[i]!r} vs {b[i]!r}")
-        results[name] = "OK" if not bad else "VALUE MISMATCH: " + "; ".join(bad[:4])
+        status = "OK" if not bad else "VALUE MISMATCH: " + "; ".join(bad[:4])
+        return name, status, time.time() - t0
+    except Exception as e:  # a worker crash must surface as that query's FAIL
+        return name, f"COMPARE ERROR: {e}", time.time() - t0
+
+def _emit(results, timings):
+    """Atomic rewrite of the incremental artifact after every verdict."""
+    tmp = f"{OUT}/results.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({n: {"status": results[n],
+                       "sec": round(timings.get(n, 0.0), 2)}
+                   for n in sorted(results)}, f, indent=1)
+    os.replace(tmp, f"{OUT}/results.json")
+
+def _read_manifest():
+    try:
+        return [l for l in open(f"{OUT}/manifest.txt").read().split() if l]
+    except OSError:
+        return []
+
+def main():
+    import duckdb
+    t_start = time.time()
+    proc = start_verify() if "--skip-run" not in sys.argv else None
+    results, timings, submitted, decided = {}, {}, set(), set()
+    done_q = queue.Queue()
+    oracle = None
+    # DuckDB thread budget: JOBS workers share the host fairly.
+    threads = max(1, (os.cpu_count() or 8) // JOBS)
+    pool = mp.Pool(JOBS, initializer=_worker_init, initargs=(SF, threads))
+
+    def submit(name):
+        submitted.add(name)
+        # Visible immediately: a run killed before this query's compare
+        # finishes still shows WHAT was in flight, not an empty file.
+        results[name] = "SUBMITTED (compare in flight)"
+        _emit(results, timings)
+        pool.apply_async(_compare_one, ((name, oracle.get(name)),),
+                         callback=done_q.put,
+                         error_callback=lambda e, n=name: done_q.put((n, f"POOL ERROR: {e}", 0.0)))
+
+    def drain(block=False):
+        while True:
+            try:
+                name, status, sec = done_q.get(timeout=0.2 if block else 0.0)
+            except queue.Empty:
+                return
+            results[name], timings[name] = status, sec
+            decided.add(name)
+            mark = "PASS" if status == "OK" else (
+                "INFO" if status.startswith("rows-only") and "EMPTY" not in status else "FAIL")
+            print(f"{mark}  {name}: {status}  [{sec:.1f}s]", flush=True)
+            _emit(results, timings)
+
+    verify_done = proc is None
+    while True:
+        if proc is not None:
+            # Stream Verify's own progress lines live (unbuffered).
+            line = proc.stderr.readline()
+            if line:
+                if "[verify]" in line or "Exception" in line:
+                    print("  !", line.rstrip(), flush=True)
+            elif proc.poll() is not None:
+                verify_done = True
+        if oracle is None and os.path.exists(f"{OUT}/oracle_sql.json"):
+            try:
+                oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+            except ValueError:
+                oracle = None  # mid-write; retry next tick
+        if oracle is not None:
+            for name in _read_manifest():
+                if name not in submitted and (not ONLY or name in ONLY):
+                    submit(name)
+        drain()
+        if verify_done and oracle is not None and \
+                not (submitted - decided) and \
+                set(_read_manifest()) - submitted == (set() if not ONLY else set(_read_manifest()) - ONLY):
+            break
+        if verify_done and oracle is None:
+            print("FAIL  aa_gate: Verify produced no oracle_sql.json", flush=True)
+            results["aa_gate"] = "NO ORACLE_SQL"
+            break
+        if not verify_done:
+            continue
+        drain(block=True)
+    pool.close()
+    pool.join()
+    drain()
+
+    # Any parquet dir NOT in the manifest = a query that failed at runtime
+    # (or a stale dump) — it must fail the gate, never silently pass.
+    written = set(_read_manifest())
+    for p in sorted(glob.glob(f"{OUT}/*")):
+        name = os.path.basename(p)
+        if os.path.isdir(p) and name not in written and (not ONLY or name in ONLY):
+            results[name] = "NOT IN MANIFEST (query failed at runtime?)"
+            print(f"FAIL  {name}: {results[name]}", flush=True)
+
     results["aa_env_duckdb_pin"] = ("OK" if duckdb.__version__ == EXPECTED_DUCKDB
         else f"DUCKDB VERSION DRIFT: running {duckdb.__version__}, pinned {EXPECTED_DUCKDB} "
              "— re-validate the oracle SQL surface, then bump EXPECTED_DUCKDB")
-    npass = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only") and "EMPTY" not in v)
-    nfail = 0
-    for name, v in sorted(results.items()):
-        mark = "PASS" if v == "OK" else ("INFO" if v.startswith("rows-only") and "EMPTY" not in v else "FAIL")
-        nfail += mark == "FAIL"
-        print(f"{mark}  {name}: {v}")
+    if results["aa_env_duckdb_pin"] != "OK":
+        print(f"FAIL  aa_env_duckdb_pin: {results['aa_env_duckdb_pin']}", flush=True)
+    _emit(results, timings)
+
+    npass = sum(1 for v in results.values()
+                if v == "OK" or (v.startswith("rows-only") and "EMPTY" not in v))
+    nfail = sum(1 for v in results.values()
+                if not (v == "OK" or (v.startswith("rows-only") and "EMPTY" not in v)))
     # Version stamp: which engines produced/judged this run, so an
     # environment bump names itself in the gate output.
     versions = {"duckdb": duckdb.__version__}
@@ -119,13 +226,11 @@ def compare():
             # the gate after the per-query lines but before the summary.
             versions["stamp_error"] = str(e)[:80]
     print(f"== versions: {json.dumps(versions, sort_keys=True)} ==")
-    print(f"== {npass}/{len(results)} ok ==")
+    print(f"== {npass}/{len(results)} ok == ({time.time() - t_start:.0f}s wall, {JOBS} compare jobs)")
     # Exit non-zero on ANY FAIL line — including the duckdb version pin —
     # so automation keyed on exit status sees what stdout says (ADVICE
     # r9 #4): a gate whose failures are stdout-only is not a gate.
     return nfail
 
 if __name__ == "__main__":
-    if "--skip-run" not in sys.argv:
-        run_verify()
-    sys.exit(min(compare(), 125))
+    sys.exit(min(main(), 125))
