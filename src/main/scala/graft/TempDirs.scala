@@ -40,6 +40,13 @@ object TempDirs {
       }
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 
+  /** Synchronous best-effort recursive delete of a path INSIDE a live
+    * scratch root — for callers that retire their own sub-artifacts
+    * mid-run (q134's version retention deletes superseded working
+    * copies between micro-batches). */
+  def purge(path: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(path))
+
   /** The currently-live root for `label`, if one exists — lets a spec
     * inspect the checkpoint/source layout a query just drained (e.g.
     * count committed micro-batches) without re-deriving the path. */

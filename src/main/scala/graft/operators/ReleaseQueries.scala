@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   * The family's shared discipline is the one CurationQueries establishes:
   * nothing is random — ordering, sampling, and shard cuts all key off the
   * md5-derived [[TextOps.hash60]] so any executor (and the DuckDB oracle)
-  * can re-derive any row's assignment independently. That determinism is
-  * what makes each operator a LAW rather than a draw: re-runs, retries,
-  * and corpus increments never move a doc another doc's assignment
-  * depends on (see ReleaseSpec's drop-one-doc invariance).
+  * can re-derive any row's assignment independently. That determinism
+  * makes each operator a LAW rather than a draw: a doc's membership is a
+  * pure function of its own key and the per-(epoch, lang) rate
+  * thresholds. The thresholds DO depend on per-lang counts, so a corpus
+  * increment or removal can flip docs sitting within the threshold shift
+  * of the 2^20 keep boundary — O(thr_shift · n / 2^20) docs, a handful
+  * per removed doc — while every doc away from the boundary is exactly
+  * invariant (ReleaseSpec's drop-one-doc law asserts precisely this
+  * bounded symmetric difference, not total invariance).
   */
 object ReleaseQueries {
 
@@ -30,12 +35,31 @@ object ReleaseQueries {
   /** Keep-rate denominator: thresholds live in [0, 2^20]. */
   private val USize = 1048576L
 
-  /** q130 knobs: contiguous hash-ordered shards and the fixed bucket
-    * fan-out of the distributed prefix sum. Buckets are a CONSTANT,
-    * not a corpus function — the offset table stays 256 rows at any
-    * scale, which is what makes the single-task offset window safe. */
+  /** q130/q132's shard count. */
   private val NShards = 32L
-  private val NBuckets = 256L
+
+  /** The prefix-sum bucket fan-out — a DEPLOYMENT KNOB like the IVF
+    * `cells ∝ corpus` rule, read from `spark.graft.prefixBuckets`
+    * (power of two; default 256). Buckets are CONTIGUOUS ranges of
+    * the global order (hash60 div width — monotone), so the computed
+    * prefix sums — and therefore the query hashes — are IDENTICAL at
+    * any setting (ReleaseSpec pins it); only the task granularity
+    * moves. Sizing rule: at gate scales 256 buckets keep the offset
+    * table one tiny task; at 100 TB set buckets ∝ corpus/target-task
+    * -bytes (e.g. ~400k buckets caps a within-bucket cumsum task near
+    * 256 MB) — the offset table is still offset-window-cheap at ~10^5
+    * rows, while a FIXED 256 would put ~400 GB in one cumsum task
+    * (VERDICT r12 #4). */
+  private[graft] def nBuckets(s: SparkSession): Long = {
+    val n = s.conf.get("spark.graft.prefixBuckets", "256").toLong
+    require(n > 0 && (n & (n - 1)) == 0 && n <= (1L << 52),
+      s"spark.graft.prefixBuckets must be a power of two in [1, 2^52]: $n")
+    n
+  }
+
+  /** Bucket width over the hash60/pos key space [0, 2^60): contiguous,
+    * monotone ranges — (bucket, key) order IS key order. */
+  private def bucketWidth(s: SparkSession): Long = (1L << 60) / nBuckets(s)
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -117,27 +141,42 @@ object ReleaseQueries {
     // frames join on doc_id, one 1-row stats aggregate broadcasts back
     // (min-max needs no global sort — the reason it beats rank
     // normalization at 100 TB), bins are fixed-width (map-side).
+    // PARITY (ADVICE r12): the whole output is the ROUND-FREE integer
+    // micro tier — bin = ens_micro div 100000, per-bin means as
+    // integer division of exact micro sums, disagreement compared on
+    // raw IEEE doubles. The earlier 6dp-ROUND path binned per-doc
+    // rounded signals, and ROUND(x, 6) genuinely half-ties
+    // cross-engine on exact 7-decimal values (q34's quality — see
+    // ensembleScored's note): one tied extremum shifts every
+    // normalized signal and can flip a doc's bin as the corpus grows.
     q("q128_quality_ensemble",
       "X4+/LLM: min-max ensemble of rule/repetition/LM quality signals with per-bin agreement audit",
       {
         s"""WITH $ensembleCtesSql
-           |SELECT LEAST(GREATEST(CAST(FLOOR(ens * 10) AS BIGINT), 0), 9) AS bin,
+           |SELECT LEAST(GREATEST(ens_micro // 100000, 0), 9) AS bin,
            |  COUNT(*) AS n_docs,
-           |  ROUND(${ExactSql.davg("ens")}, 6) AS mean_ens,
-           |  ROUND(${ExactSql.davg("rq")}, 6) AS mean_quality,
-           |  ROUND(${ExactSql.davg("rr")}, 6) AS mean_rep,
-           |  ROUND(${ExactSql.davg("hb")}, 6) AS mean_hbits,
-           |  CAST(SUM(CASE WHEN spread > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+           |  CAST(SUM(ens_micro) AS BIGINT) // COUNT(*) AS mean_ens_micro,
+           |  CAST(SUM(rq_micro) AS BIGINT) // COUNT(*) AS mean_quality_micro,
+           |  CAST(SUM(rr_micro) AS BIGINT) // COUNT(*) AS mean_rep_micro,
+           |  CAST(SUM(hb_micro) AS BIGINT) // COUNT(*) AS mean_hbits_micro,
+           |  CAST(SUM(CASE WHEN disagree THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
            |FROM en GROUP BY 1 ORDER BY bin""".stripMargin
       }) { (s, dir) =>
       val en = ensembleScored(s, dir)
-      en.groupBy(least(greatest(floor(col("ens") * 10), lit(0L)), lit(9L)).as("bin"))
+      en.groupBy(least(greatest(expr("ens_micro div 100000"), lit(0L)),
+          lit(9L)).as("bin"))
         .agg(count(lit(1)).as("n_docs"),
-          round(Exact.davg(col("ens")), 6).as("mean_ens"),
-          round(Exact.davg(col("rq")), 6).as("mean_quality"),
-          round(Exact.davg(col("rr")), 6).as("mean_rep"),
-          round(Exact.davg(col("hb")), 6).as("mean_hbits"),
-          sum(when(col("spread") > 0.5, 1L).otherwise(0L)).as("n_disagree"))
+          sum(col("ens_micro")).as("s_ens"),
+          sum(col("rq_micro")).as("s_q"),
+          sum(col("rr_micro")).as("s_r"),
+          sum(col("hb_micro")).as("s_h"),
+          sum(when(col("disagree"), 1L).otherwise(0L)).as("n_disagree"))
+        .select(col("bin"), col("n_docs"),
+          expr("s_ens div n_docs").as("mean_ens_micro"),
+          expr("s_q div n_docs").as("mean_quality_micro"),
+          expr("s_r div n_docs").as("mean_rep_micro"),
+          expr("s_h div n_docs").as("mean_hbits_micro"),
+          col("n_disagree"))
         .presented("bin")
     },
 
@@ -167,34 +206,37 @@ object ReleaseQueries {
     // ceil(total/32). All-integer arithmetic: no float boundary can
     // disagree between engines, and shard sizes are provably within
     // one max-doc of target. The prefix sum is the textbook
-    // distributed form: 256 FIXED hash buckets aggregate to a 256-row
-    // offset table (the only single-task window — constant-sized at
-    // any corpus), within-bucket cumsums run partitioned by bucket,
-    // and start = bucket_offset + within_cum. The oracle computes the
-    // same quantity as ONE global window — the spec pins two-phase ≡
-    // global, which is the law that makes the plan trustworthy at
-    // scales where the global window cannot run.
+    // distributed form: contiguous hash-range buckets (h div width —
+    // the count is the spark.graft.prefixBuckets knob, see nBuckets;
+    // default 256) aggregate to a bucket-count-row offset table (the
+    // only single-task window), within-bucket cumsums run partitioned
+    // by bucket, and start = bucket_offset + within_cum. Because the
+    // buckets are CONTIGUOUS in h, the global order is (h, doc_id)
+    // regardless of the knob — the oracle computes the same quantity
+    // as ONE global window with no bucket anywhere, so the hash gate
+    // itself certifies knob-independence, and the spec pins two-phase
+    // ≡ global — the law that makes the plan trustworthy at scales
+    // where the global window cannot run.
     q("q130_shard_plan",
       "X4+/LLM: size-balanced shard assignment via distributed prefix-sum over hash write order",
       s"""WITH a AS (SELECT doc_id, n_chars,
          |         ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
-         |  b AS (SELECT doc_id, n_chars, h, h % $NBuckets AS bk FROM a),
-         |  t AS (SELECT (CAST(SUM(n_chars) AS BIGINT) + ${NShards - 1}) // $NShards AS tgt FROM b),
+         |  t AS (SELECT (CAST(SUM(n_chars) AS BIGINT) + ${NShards - 1}) // $NShards AS tgt FROM a),
          |  c AS (SELECT n_chars,
-         |          CAST(SUM(n_chars) OVER (ORDER BY bk, h, doc_id
+         |          CAST(SUM(n_chars) OVER (ORDER BY h, doc_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS strt
-         |        FROM b),
+         |        FROM a),
          |  sh AS (SELECT strt // t.tgt AS shard_id, n_chars, t.tgt FROM c CROSS JOIN t)
          |SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
          |       tgt AS target_chars
          |FROM sh GROUP BY shard_id, tgt ORDER BY shard_id""".stripMargin) { (s, dir) =>
       val a = docs(s, dir).select(col("doc_id"), col("n_chars"),
         TextOps.hash60(col("doc_id").cast("string")).as("h"))
-      val b = a.withColumn("bk", col("h") % NBuckets)
+      val b = a.withColumn("bk", expr(s"h div ${bucketWidth(s)}"))
       // The two-phase prefix sum is the SHARED exclusivePrefix helper
       // (q132 packs the curriculum with the same machinery): the
-      // 256-row bucket-total frame checkpoints inside it and feeds
-      // BOTH the offset table and the grand total, so the corpus
+      // bucket-count-row bucket-total frame checkpoints inside it and
+      // feeds BOTH the offset table and the grand total, so the corpus
       // contributes one aggregate scan + one cumsum scan.
       val (withStrt, bktot) =
         exclusivePrefix(b, Seq.empty, "bk", Seq("h", "doc_id"), "n_chars")
@@ -248,9 +290,10 @@ object ReleaseQueries {
     // CTE chain / frame (q131's verbatim) and the two-phase exclusive
     // prefix sum (q130's machinery, factored this round into
     // exclusivePrefix and consumed by BOTH queries). The buckets here
-    // are CONTIGUOUS pos RANGES (pos div 2^52 — monotone in pos, so
-    // ordering by (bucket, pos, doc_id) IS the stream order), not hash
-    // buckets; the offset table stays ≤ 256 rows per epoch at any
+    // are CONTIGUOUS pos RANGES (pos div width — monotone in pos, so
+    // ordering by (bucket, pos, doc_id) IS the stream order; the
+    // count is the spark.graft.prefixBuckets knob, default 256), so
+    // the offset table stays bucket-count rows per epoch at any
     // corpus. The ORACLE computes the same packing with one global
     // window per epoch — so two-phase ≡ global is not just a spec law
     // here, it IS the hash gate.
@@ -274,7 +317,7 @@ object ReleaseQueries {
       // (bucket totals, within-bucket cumsum) and the epoch totals.
       val m = curriculumFrame(s, dir)
         .select(col("epoch"), col("pos"), col("doc_id"), col("n_chars"))
-        .withColumn("bk", expr(s"pos div $PosBucketWidth"))
+        .withColumn("bk", expr(s"pos div ${bucketWidth(s)}"))
         .checkpointed()
       val (withStrt, bktot) =
         exclusivePrefix(m, Seq("epoch"), "bk", Seq("pos", "doc_id"), "n_chars")
@@ -341,53 +384,241 @@ object ReleaseQueries {
     q("q134_stream_card_maintain",
       "T6+X4+: streaming card maintenance — foreachBatch applies the exact delta AND writes the artifacts back (stream ≡ batch)",
       cardAppendOracleSql) { (s, dir) =>
-      val idx = graft.pipeline.CardIndex.prepared(s, dir)
-      val root = graft.TempDirs.fresh("q134")
-      s.read.parquet(s"$idx/sigstats").write.parquet(s"$root/v0/sigstats")
-      s.read.parquet(s"$idx/card").write.parquet(s"$root/v0/card")
-      val batch = cardBatch(s, dir)
-      val src = s"$root/src"; val ckpt = s"$root/ckpt"
-      batch.repartition(2).write.parquet(src) // two files → two micro-batches
-      var v = 0
-      val stream = s.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-      val query = stream.writeStream
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          val (card, sig) = cardUpdate(
-            s.read.parquet(s"$root/v$v/sigstats"),
-            s.read.parquet(s"$root/v$v/card"),
-            cardFeatures(b).checkpointed())
-          sig.write.parquet(s"$root/v${v + 1}/sigstats")
-          card.write.parquet(s"$root/v${v + 1}/card")
-          v += 1
-        }
-        .start()
-      query.awaitTermination()
+      val (root, v) = cardMaintainDrain(s, dir, nFiles = 2)
       s.read.parquet(s"$root/v$v/card").presented("source", "lang")
+    },
+
+    // ----- X4+ GOVERNANCE (VERDICT r12 #3): CardIndex takedown — the
+    // fourth persisted artifact class joins the q122/q125 purge
+    // discipline, so every artifact under pipeline/ is now named in
+    // exactly one takedown path (DedupIndex + VectorIndex codes →
+    // q122; VectorIndex assignments + BPE merges + qc model → q125;
+    // CardIndex sigstats + card → here). The scenario is the
+    // composition a production store actually faces: the corpus was
+    // APPENDED (q133's update — base ∪ batch, where the dup structure
+    // lives), then a removal list (the q122 convention, doc_id % 37 =
+    // 0 over the union) demands erasure. sigstats rows are per-hash
+    // derivatives with holder groups — exactly what a right-to-be-
+    // forgotten request targets — so they are decremented row-wise
+    // (rows at cnt 0 deleted), and the card is decremented by the
+    // exact BACKWARD delta of q133's math: per-group counts/chars/
+    // tokens/flags are sum-decomposable (one removed-docs aggregate),
+    // removed docs subtract their own exposure (sig cnt >= 2), and
+    // sigs dropping from >= 2 carriers to exactly 1 FLIP their one
+    // surviving carrier back to unexposed — attributed to the
+    // SURVIVOR's group read from a survivors scan, because the
+    // recorded holder may itself be among the removed. SCALE: one
+    // map-only removed-docs feature pass, one sigstats scan probing
+    // the broadcast removal-hash frame, one map-only survivors md5
+    // scan probing the broadcast affected-sig set (paid only on
+    // takedown; affected-sized exchanges after) — no corpus shuffle.
+    // Oracle = q129's formula recomputed over the survivors of the
+    // union, so "purge ≡ rebuild-from-survivors" IS the hash gate;
+    // ReleaseSpec additionally reconciles the purged sigstats against
+    // a from-scratch rebuild.
+    q("q135_takedown_card",
+      "X4+ governance: CardIndex takedown — purge sigstats row-wise, decrement the card by the exact backward delta",
+      s"""WITH $appendUnionCtesSql,
+         |  surv AS (SELECT doc_id, source, lang, n_chars, text FROM u
+         |           WHERE doc_id % 37 <> 0),
+         |  ${dataCardCtesSql("surv")}
+         |$dataCardSelectSql""".stripMargin) { (s, dir) =>
+      val idx = graft.pipeline.CardIndex.prepared(s, dir)
+      val root = graft.TempDirs.fresh("q135")
+      // The post-append artifacts (q133's update, shared cardUpdate) —
+      // the index state a production store would have published before
+      // the removal list arrived. Materialized: the takedown reads the
+      // artifacts as tables, not as lineage into the append math.
+      val bf = cardFeatures(cardBatch(s, dir)).checkpointed()
+      val (card1, sig1) = cardUpdate(
+        s.read.parquet(s"$idx/sigstats"), s.read.parquet(s"$idx/card"), bf)
+      sig1.write.parquet(s"$root/appended/sigstats")
+      card1.write.parquet(s"$root/appended/card")
+      val union = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          col("text"))
+        .unionByName(cardBatch(s, dir).select(col("doc_id"), col("source"),
+          col("lang"), col("n_chars"), col("text")))
+      val (card2, sig2) = cardTakedown(s,
+        s.read.parquet(s"$root/appended/sigstats"),
+        s.read.parquet(s"$root/appended/card"),
+        union.filter(col("doc_id") % 37 === 0),
+        union.filter(col("doc_id") % 37 =!= 0))
+      sig2.write.parquet(s"$root/sigstats") // published post-takedown index
+      card2.write.parquet(s"$root/card")
+      s.read.parquet(s"$root/card").presented("source", "lang")
     })
 
-  /** q133/q134's shared oracle: q129's formula recomputed FROM SCRATCH
-    * over documents ∪ the append batch — incremental ≡ recompute (and,
-    * for q134, stream ≡ batch) is the hash gate. */
-  private def cardAppendOracleSql: String = {
+  /** One exact card-takedown step — [[cardUpdate]]'s backward twin,
+    * shared by q135 and ReleaseSpec's reconciliation law: given the
+    * current artifacts, the removed docs, and the surviving docs
+    * (both as `(doc_id, source, lang, n_chars, text)` frames), returns
+    * (updated card, updated sigstats), both unevaluated.
+    *
+    * Exactness: counts/chars/tokens/flags subtract the removed-docs
+    * aggregate; duplicate exposure subtracts removed docs whose sig
+    * had cnt >= 2 PLUS the backward flips (cnt >= 2 → exactly 1 —
+    * the survivor's group, read from the survivors scan since the
+    * recorded holder may be removed); shares/means recompute from the
+    * exact integer sums — so the card is bit-identical to a
+    * from-scratch q129 over the survivors. Updated sigstats:
+    * decrement by the removal-hash counts, drop zeroed rows, and
+    * REPAIR the holder columns of affected surviving sigs to the
+    * survivors' min group (untouched sigs keep theirs, which already
+    * equals the survivors' min — no carrier of theirs was removed),
+    * so the purged table equals the rebuild on every column the
+    * holder contract reads (exact at cnt = 1, tie-break above).
+    *
+    * SCALE: the removed-docs feature pass is map-only and removal-
+    * sized; the ONE corpus-sized reads are the sigstats scan probing
+    * the broadcast removal-hash frame and the survivors md5 scan
+    * probing the broadcast affected-sig set (md5 + two columns — no
+    * tokenize, no lang ladder); every exchange after is removal- or
+    * affected-sized. */
+  private[graft] def cardTakedown(s: SparkSession, S: DataFrame,
+      C: DataFrame, removedDocs: DataFrame, survivorDocs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val rf = cardFeatures(removedDocs).checkpointed()
+    val rsH = rf.groupBy(col("sig")).agg(count(lit(1)).as("rcnt"))
+      .checkpointed()
+    // Corpus-sized read #1: sigstats probed by the broadcast
+    // removal-hash frame — result is removal-sized.
+    val hit = S.join(broadcast(rsH), "sig")
+      .select(col("sig"), col("cnt"), col("rcnt"))
+      .checkpointed()
+    // Corpus-sized read #2: the surviving carriers of AFFECTED sigs
+    // (cnt outlives the removal) — md5 + group columns only, probed by
+    // the broadcast affected-sig set; feeds flip attribution AND
+    // holder repair. Affected-sized after the aggregate.
+    val affected = hit.filter(col("cnt") > col("rcnt")).select(col("sig"))
+    val survCarriers = survivorDocs
+      .select(md5(col("text")).as("sig"), col("source"), col("lang"))
+      .join(broadcast(affected), "sig")
+      .groupBy(col("sig"))
+      .agg(min(col("source")).as("n_src"), min(col("lang")).as("n_lang"))
+      .checkpointed()
+    // Removed docs' per-group deltas; a removed doc was EXPOSED iff its
+    // sig carried >= 2 docs before the takedown.
+    val rAgg = rf.join(broadcast(hit.select(col("sig"), col("cnt"))), "sig")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("r_docs"),
+        sum(col("n_chars")).as("r_chars"),
+        sum(col("n_toks")).as("r_toks"),
+        sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L)).as("r_flags"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("r_dup"))
+    // Backward flips: >= 2 carriers before, exactly 1 after — the
+    // survivor loses its exposure, in ITS group.
+    val flips = hit.filter(col("cnt") >= 2 && col("cnt") - col("rcnt") === 1)
+      .join(broadcast(survCarriers), "sig")
+      .select(col("n_src").as("source"), col("n_lang").as("lang"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("f_dup"))
+    val merged = C.select(col("source"), col("lang"), col("n_docs"),
+        col("sum_chars"), col("sum_tokens"), col("n_dup_docs"),
+        col("n_langid_flag"))
+      .join(rAgg, Seq("source", "lang"), "left")
+      .join(flips, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        (col("n_docs") - coalesce(col("r_docs"), lit(0L))).as("n_docs"),
+        (col("sum_chars") - coalesce(col("r_chars"), lit(0L))).as("sum_chars"),
+        (col("sum_tokens") - coalesce(col("r_toks"), lit(0L))).as("sum_tokens"),
+        (col("n_dup_docs") - coalesce(col("r_dup"), lit(0L)) -
+          coalesce(col("f_dup"), lit(0L))).as("n_dup_docs"),
+        (col("n_langid_flag") - coalesce(col("r_flags"), lit(0L)))
+          .as("n_langid_flag"))
+      .filter(col("n_docs") > 0) // a fully-erased group leaves the card
+      .checkpointed()
+    val tot = merged.agg(sum(col("n_docs")).as("nd"))
+    val card = merged.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("nd"), 6).as("share_docs"),
+        col("sum_chars").cast("long").as("sum_chars"),
+        col("sum_tokens").cast("long").as("sum_tokens"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6)
+          .as("mean_chars"),
+        col("n_dup_docs"), col("n_langid_flag"))
+    // Updated sigstats: decrement by the broadcast removal counts, drop
+    // zeroed rows, repair affected survivors' holder group.
+    val sig = S.join(broadcast(rsH), Seq("sig"), "left")
+      .select(col("sig"),
+        (col("cnt") - coalesce(col("rcnt"), lit(0L))).as("cnt"),
+        col("holder_source"), col("holder_lang"))
+      .filter(col("cnt") > 0)
+      .join(broadcast(survCarriers), Seq("sig"), "left")
+      .select(col("sig"), col("cnt"),
+        coalesce(col("n_src"), col("holder_source")).as("holder_source"),
+        coalesce(col("n_lang"), col("holder_lang")).as("holder_lang"))
+    (card, sig)
+  }
+
+  /** q134's drain, parameterized by source-file count (each file is
+    * one micro-batch under maxFilesPerTrigger=1; the registered query
+    * uses 2, ReleaseSpec re-drains at 3 to pin composition across a
+    * different split). Returns (scratch root, final version) — the
+    * spec asserts the final version EQUALS the file count, i.e. every
+    * forced micro-batch actually committed (ADVICE r12: the earlier
+    * test was vacuously green if AvailableNow coalesced to one batch).
+    * Version RETENTION (VERDICT r12 #5): each micro-batch writes a
+    * full versioned working copy of sigstats+card; only vN and vN−1
+    * stay live — vN−2 is deleted the moment vN commits, so a real
+    * backlog holds ≤2 corpus-sized copies instead of corpus × N.
+    * (vN−1 is retained as the recovery point: if the process dies
+    * mid-write of vN, the checkpoint replays the batch against vN−1.) */
+  private[graft] def cardMaintainDrain(s: SparkSession, dir: String,
+      nFiles: Int): (String, Int) = {
+    val idx = graft.pipeline.CardIndex.prepared(s, dir)
+    val root = graft.TempDirs.fresh("q134")
+    s.read.parquet(s"$idx/sigstats").write.parquet(s"$root/v0/sigstats")
+    s.read.parquet(s"$idx/card").write.parquet(s"$root/v0/card")
+    val batch = cardBatch(s, dir)
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    batch.repartition(nFiles).write.parquet(src)
+    var v = 0
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val (card, sig) = cardUpdate(
+          s.read.parquet(s"$root/v$v/sigstats"),
+          s.read.parquet(s"$root/v$v/card"),
+          cardFeatures(b).checkpointed())
+        sig.write.parquet(s"$root/v${v + 1}/sigstats")
+        card.write.parquet(s"$root/v${v + 1}/card")
+        v += 1
+        if (v >= 2) graft.TempDirs.purge(s"$root/v${v - 2}")
+      }
+      .start()
+    query.awaitTermination()
+    (root, v)
+  }
+
+  /** The `batch` + `u` (documents ∪ append batch) CTE prefix shared by
+    * the q133/q134 oracle and q135's survivor filter. */
+  private def appendUnionCtesSql: String = {
     val bt = "CASE WHEN doc_id % 15 = 0 THEN text " +
       "ELSE text || ' v2-' || CAST(doc_id AS VARCHAR) END"
     val bl = "CASE WHEN doc_id % 25 = 0 THEN 'de' ELSE lang END"
-    s"""WITH batch AS (
-       |    SELECT doc_id + 110000 AS doc_id, source, $bl AS lang, $bt AS text
+    s"""batch AS (
+       |    SELECT doc_id + 200000 AS doc_id, source, $bl AS lang, $bt AS text
        |    FROM documents WHERE doc_id % 5 = 0
        |    UNION ALL
-       |    SELECT doc_id + 120000, source, $bl, $bt
+       |    SELECT doc_id + 400000, source, $bl, $bt
        |    FROM documents WHERE doc_id % 20 = 0),
        |  u AS (SELECT doc_id, source, lang, n_chars, text FROM documents
        |        UNION ALL
        |        SELECT doc_id, source, lang, CAST(len(text) AS BIGINT), text
-       |        FROM batch),
+       |        FROM batch)""".stripMargin
+  }
+
+  /** q133/q134's shared oracle: q129's formula recomputed FROM SCRATCH
+    * over documents ∪ the append batch — incremental ≡ recompute (and,
+    * for q134, stream ≡ batch) is the hash gate. */
+  private def cardAppendOracleSql: String =
+    s"""WITH $appendUnionCtesSql,
        |  ${dataCardCtesSql("u")}
        |$dataCardSelectSql""".stripMargin
-  }
 
   /** One exact card-maintenance step, shared by q133 (one-shot), q134
     * (per micro-batch, with write-back), and the CardIndex append path:
@@ -577,12 +808,16 @@ object ReleaseQueries {
   private[graft] def dataCardFrame(d: DataFrame): DataFrame =
     dataCardFromFeatures(cardFeatures(d))
 
-  /** q133's append batch: every 5th doc re-enters at id+110000 —
+  /** q133's append batch: every 5th doc re-enters at id+200000 —
     * verbatim when 15 | id (an exact dup of its base doc), otherwise
     * with a doc-unique ' v2-<id>' suffix (new text); every 20th doc
-    * ALSO lands at id+120000 with the SAME transform, so those pairs
+    * ALSO lands at id+400000 with the SAME transform, so those pairs
     * are batch-INTERNAL duplicates the index has never seen. Docs with
-    * 25 | id are relabeled 'de' to move the lang-ID flag counts. */
+    * 25 | id are relabeled 'de' to move the lang-ID flag counts. The
+    * shift ranges are DISJOINT by the id-headroom guard (doc_id <
+    * 200000 ≪ the 400000−200000 gap — ADVICE r12: the earlier
+    * +110000/+120000 pair collided whenever d1 = d2 + 10000), so batch
+    * doc_ids stay unique, matching the append family's id convention. */
   private[graft] def cardBatch(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
       col("text"))
@@ -590,10 +825,10 @@ object ReleaseQueries {
       .otherwise(concat(col("text"), lit(" v2-"), col("doc_id").cast("string")))
     def bl = when(col("doc_id") % 25 === 0, lit("de")).otherwise(col("lang"))
     val b1 = d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 110000L).as("doc_id"), col("source"),
+      .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
         bl.as("lang"), bt.as("text"))
     val b2 = d.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 120000L).as("doc_id"), col("source"),
+      .select((col("doc_id") + 400000L).as("doc_id"), col("source"),
         bl.as("lang"), bt.as("text"))
     b1.unionByName(b2).withColumn("n_chars", length(col("text")).cast("long"))
   }
@@ -664,10 +899,6 @@ object ReleaseQueries {
         col("doc_id"), col("lang"), col("ens_micro"), col("n_chars"))
   }
 
-  /** q132's pos-range bucket width: pos = hash60 < 2^60, so div 2^52
-    * yields 256 CONTIGUOUS ranges — monotone in pos, which is what
-    * lets (bucket, pos, doc_id) order equal the stream order. */
-  private val PosBucketWidth = 1L << 52
 
   /** The q130/q132 shared two-phase distributed EXCLUSIVE prefix sum
     * of `value` in (part*, bucket, order*) order: per-(part, bucket)
@@ -700,8 +931,12 @@ object ReleaseQueries {
   }
 
   /** The q128 ensemble's full DuckDB CTE chain, through
-    * `en(doc_id, rq, rr, hb, ens, spread)` — factored so q131's
-    * quality-annealed curriculum consumes the IDENTICAL ensemble text. */
+    * `en(doc_id, ens_micro, rq_micro, rr_micro, hb_micro, disagree)` —
+    * factored so q131's quality-annealed curriculum consumes the
+    * IDENTICAL ensemble text. Every column is the round-free tier:
+    * raw signals (exact decimals / IEEE quotients — bit-identical
+    * doubles in both engines), raw min-max normalization, FLOOR micro
+    * integers, and a raw-double spread comparison. */
   private def ensembleCtesSql: String = {
     val toks = TextOps.tokensSql("text")
     s"""${TextQueries.lmScoredCtes},
@@ -710,98 +945,88 @@ object ReleaseQueries {
        |                               for i in range(1, len(ts) - 1)]) AS t3
        |        FROM (SELECT doc_id, $toks AS ts FROM documents)),
        |  rep AS (SELECT doc_id,
-       |            ROUND(CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT t3) AS DOUBLE) / COUNT(*), 6) AS rr,
        |            CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT t3) AS DOUBLE) / COUNT(*) AS rr_raw
        |          FROM g GROUP BY 1),
-       |  j AS (SELECT doc_id, ROUND(qs.quality, 6) AS rq, rep.rr, scored.h_bits AS hb,
-       |          qs.quality AS rq_raw, rep.rr_raw, scored.hb_raw
+       |  j AS (SELECT doc_id, qs.quality AS rq_raw, rep.rr_raw, scored.hb_raw
        |        FROM qs JOIN rep USING (doc_id) JOIN scored USING (doc_id)
        |        WHERE qs.n_tokens >= 3),
-       |  st AS (SELECT MIN(rq) AS mnq, MAX(rq) AS mxq, MIN(rr) AS mnr, MAX(rr) AS mxr,
-       |                MIN(hb) AS mnh, MAX(hb) AS mxh,
-       |                MIN(rq_raw) AS mnq_r, MAX(rq_raw) AS mxq_r,
+       |  st AS (SELECT MIN(rq_raw) AS mnq_r, MAX(rq_raw) AS mxq_r,
        |                MIN(rr_raw) AS mnr_r, MAX(rr_raw) AS mxr_r,
        |                MIN(hb_raw) AS mnh_r, MAX(hb_raw) AS mxh_r FROM j),
-       |  nz AS (SELECT doc_id, rq, rr, hb,
-       |           COALESCE(ROUND((rq - mnq) / NULLIF(mxq - mnq, 0), 6), CAST(0.5 AS DOUBLE)) AS gq,
-       |           CAST(1 AS DOUBLE) - COALESCE(ROUND((rr - mnr) / NULLIF(mxr - mnr, 0), 6), CAST(0.5 AS DOUBLE)) AS gr,
-       |           CAST(1 AS DOUBLE) - COALESCE(ROUND((hb - mnh) / NULLIF(mxh - mnh, 0), 6), CAST(0.5 AS DOUBLE)) AS gh,
+       |  nz AS (SELECT doc_id, rq_raw, rr_raw, hb_raw,
        |           COALESCE((rq_raw - mnq_r) / NULLIF(mxq_r - mnq_r, 0), CAST(0.5 AS DOUBLE)) AS gq_raw,
        |           CAST(1 AS DOUBLE) - COALESCE((rr_raw - mnr_r) / NULLIF(mxr_r - mnr_r, 0), CAST(0.5 AS DOUBLE)) AS gr_raw,
        |           CAST(1 AS DOUBLE) - COALESCE((hb_raw - mnh_r) / NULLIF(mxh_r - mnh_r, 0), CAST(0.5 AS DOUBLE)) AS gh_raw
        |         FROM j CROSS JOIN st),
-       |  en AS (SELECT doc_id, rq, rr, hb,
-       |           ROUND((gq + gr + gh) / 3, 6) AS ens,
+       |  en AS (SELECT doc_id,
        |           CAST(FLOOR(((gq_raw + gr_raw) + gh_raw) / 3 * 1000000) AS BIGINT) AS ens_micro,
-       |           ROUND(GREATEST(gq, gr, gh) - LEAST(gq, gr, gh), 6) AS spread
+       |           CAST(FLOOR(rq_raw * 1000000) AS BIGINT) AS rq_micro,
+       |           CAST(FLOOR(rr_raw * 1000000) AS BIGINT) AS rr_micro,
+       |           CAST(FLOOR(hb_raw * 1000000) AS BIGINT) AS hb_micro,
+       |           (GREATEST(gq_raw, gr_raw, gh_raw) - LEAST(gq_raw, gr_raw, gh_raw))
+       |             > CAST(0.5 AS DOUBLE) AS disagree
        |         FROM nz)""".stripMargin
   }
 
   /** Spark mirror of [[ensembleCtesSql]]'s `en`: the per-doc scored
-    * ensemble `(doc_id, rq, rr, hb, ens, spread)`. The joined signal
-    * frame is checkpointed inside (two consumers: the 1-row stats
-    * aggregate and the normalize pass). */
+    * ensemble `(doc_id, ens_micro, rq_micro, rr_micro, hb_micro,
+    * disagree)`. The joined signal frame is checkpointed inside (two
+    * consumers: the 1-row stats aggregate and the normalize pass).
+    *
+    * Everything here is the TIE-FREE integer micro tier. A 6dp ROUND
+    * path cannot be used per-doc: ROUND(x, 6) genuinely half-ties
+    * cross-engine — `quality` is an EXACT 7-decimal value by
+    * construction (decimal arithmetic), so docs land precisely on
+    * x.xxxxxx5 and the engines' decimal-round implementations split
+    * (observed: 23 docs at sf0.001 quality 0.518421 vs 0.51842);
+    * hb/rr quotients with tiny denominators hit the same halves. The
+    * micro path therefore never decimal-rounds ANYWHERE: raw signals
+    * (exact-decimal casts and IEEE divisions — bit-identical doubles
+    * in both engines), raw min-max, raw quotients, FLOOR of identical
+    * doubles, and raw-double comparisons — all deterministic. Round
+    * 12 applied this only to ens_micro (q131's per-doc output);
+    * ADVICE r12 extended it to q128's bins, means, and spread, whose
+    * rounded tier this replaces. */
   private[graft] def ensembleScored(s: SparkSession, dir: String): DataFrame = {
     val j = ensembleJoined(s, dir).checkpointed()
     val st = j.agg(
-      min(col("rq")).as("mnq"), max(col("rq")).as("mxq"),
-      min(col("rr")).as("mnr"), max(col("rr")).as("mxr"),
-      min(col("hb")).as("mnh"), max(col("hb")).as("mxh"),
       min(col("rq_raw")).as("mnq_r"), max(col("rq_raw")).as("mxq_r"),
       min(col("rr_raw")).as("mnr_r"), max(col("rr_raw")).as("mxr_r"),
       min(col("hb_raw")).as("mnh_r"), max(col("hb_raw")).as("mxh_r"))
-    def norm(x: String, mn: String, mx: String) =
-      coalesce(round((col(x) - col(mn)) / nullif(col(mx) - col(mn), lit(0)), 6),
-        lit(0.5))
     def normRaw(x: String, mn: String, mx: String) =
       coalesce((col(x) - col(mn)) / nullif(col(mx) - col(mn), lit(0)), lit(0.5))
     val nz = j.crossJoin(broadcast(st)).select(
-      col("doc_id"), col("rq"), col("rr"), col("hb"),
-      norm("rq", "mnq", "mxq").as("gq"),
-      (lit(1.0) - norm("rr", "mnr", "mxr")).as("gr"),
-      (lit(1.0) - norm("hb", "mnh", "mxh")).as("gh"),
+      col("doc_id"), col("rq_raw"), col("rr_raw"), col("hb_raw"),
       normRaw("rq_raw", "mnq_r", "mxq_r").as("gq_raw"),
       (lit(1.0) - normRaw("rr_raw", "mnr_r", "mxr_r")).as("gr_raw"),
       (lit(1.0) - normRaw("hb_raw", "mnh_r", "mxh_r")).as("gh_raw"))
-    // ens is the human-facing 6dp score; ens_micro is the TIE-FREE
-    // integer twin for per-doc outputs and threshold comparisons. The
-    // 6dp ROUND path cannot be used per-doc: ROUND(x, 6) genuinely
-    // half-ties cross-engine — `quality` is an EXACT 7-decimal value
-    // by construction (decimal arithmetic), so docs land precisely on
-    // x.xxxxxx5 and the engines' decimal-round implementations split
-    // (observed: 23 docs at sf0.001 rq 0.518421 vs 0.51842); hb/rr
-    // quotients with tiny denominators hit the same halves. The micro
-    // path therefore never decimal-rounds ANYWHERE: raw signals
-    // (exact-decimal casts and IEEE divisions — bit-identical doubles
-    // in both engines), raw min-max, raw quotients, and one FLOOR of
-    // an identical double, which is deterministic.
-    nz.select(col("doc_id"), col("rq"), col("rr"), col("hb"),
-      round((col("gq") + col("gr") + col("gh")) / 3, 6).as("ens"),
+    nz.select(col("doc_id"),
       floor((col("gq_raw") + col("gr_raw") + col("gh_raw")) / 3 * 1000000)
         .cast("long").as("ens_micro"),
-      round(greatest(col("gq"), col("gr"), col("gh")) -
-        least(col("gq"), col("gr"), col("gh")), 6).as("spread"))
+      floor(col("rq_raw") * 1000000).cast("long").as("rq_micro"),
+      floor(col("rr_raw") * 1000000).cast("long").as("rr_micro"),
+      floor(col("hb_raw") * 1000000).cast("long").as("hb_micro"),
+      (greatest(col("gq_raw"), col("gr_raw"), col("gh_raw")) -
+        least(col("gq_raw"), col("gr_raw"), col("gh_raw")) > 0.5).as("disagree"))
   }
 
-  /** q128's joined signal frame `(doc_id, rq, rr, hb)`, BEFORE its
-    * checkpoint — kept separately callable because the checkpoint
-    * truncates the registered plan to an RDD scan and this is where
-    * the load-bearing shape lives (three SHARED doc-keyed signal
-    * frames equi-joined on doc_id; `graft.Plans` dumps it). */
+  /** q128's joined signal frame `(doc_id, rq_raw, rr_raw, hb_raw)`,
+    * BEFORE its checkpoint — kept separately callable because the
+    * checkpoint truncates the registered plan to an RDD scan and this
+    * is where the load-bearing shape lives (three SHARED doc-keyed
+    * signal frames equi-joined on doc_id; `graft.Plans` dumps it). */
   private[graft] def ensembleJoined(s: SparkSession, dir: String): DataFrame = {
     val qf = TextQueries.qualityFrame(s, dir)
       .filter(col("n_tokens") >= 3)
-      .select(col("doc_id"), round(col("quality"), 6).as("rq"),
-        col("quality").as("rq_raw"))
+      .select(col("doc_id"), col("quality").as("rq_raw"))
     val rep = DedupQueries.shingleRowsOf(
         docs(s, dir).select(col("doc_id"), col("text")), 3)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count_distinct(col("t")).as("n_distinct"))
       .select(col("doc_id"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("rr"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("rr_raw"))
     val scored = TextQueries.lmScoredFrame(s, dir)
-      .select(col("doc_id"), col("h_bits").as("hb"), col("hb_raw"))
+      .select(col("doc_id"), col("hb_raw"))
     qf.join(rep, "doc_id").join(scored, "doc_id")
   }
 }

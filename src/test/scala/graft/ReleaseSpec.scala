@@ -84,14 +84,15 @@ class ReleaseSpec extends AnyFunSuite {
     rows.foreach { r =>
       val bin = r.getAs[Long]("bin")
       assert(bin >= 0 && bin <= 9)
-      val m = r.getAs[Double]("mean_ens")
-      assert(m >= 0.0 && m <= 1.0, s"mean_ens $m outside [0,1]")
+      val m = r.getAs[Long]("mean_ens_micro")
+      assert(m >= 0L && m <= 1000000L, s"mean_ens_micro $m outside [0,1e6]")
       assert(r.getAs[Long]("n_disagree") <= r.getAs[Long]("n_docs"))
     }
-    // Bin means are monotone in the bin index (fixed-width bins over ens).
-    val sorted = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("mean_ens"))
+    // Bin means are monotone in the bin index (fixed-width bins over
+    // the micro score the bin itself is derived from).
+    val sorted = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("mean_ens_micro"))
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
-      s"mean_ens not monotone across bins: ${sorted.mkString(", ")}")
+      s"mean_ens_micro not monotone across bins: ${sorted.mkString(", ")}")
   }
 
   test("q129: the card reconciles against independent corpus counts") {
@@ -253,8 +254,35 @@ class ReleaseSpec extends AnyFunSuite {
       (r.getAs[String]("source"), r.getAs[String]("lang")) -> r.toSeq
     }.toMap
     val streamed = keyed(run("q134_stream_card_maintain"))
+    // The stateful path is only tested if BOTH forced micro-batches
+    // actually committed (ADVICE r12: had AvailableNow coalesced the
+    // two files into one batch, stream ≡ batch would hold vacuously).
+    // The final version counter IS the committed-batch count.
+    val root = TempDirs.current("q134").get
+    assert(new java.io.File(s"$root/v2/card").exists(),
+      "drain did not commit 2 micro-batches (v2 missing)")
     val oneShot = keyed(run("q133_card_on_append"))
     assert(streamed == oneShot, s"stream != batch:\n$streamed\nvs\n$oneShot")
+  }
+
+  test("q134: a THREE-micro-batch drain composes to the same card and retains <= 2 live versions") {
+    import graft.operators.ReleaseQueries
+    // Different split, same answer: the delta math composes across ANY
+    // batch boundary (the q133 law applied inductively), so a 3-file
+    // drain must land on the one-shot card too.
+    val (root, v) = ReleaseQueries.cardMaintainDrain(spark, dir, nFiles = 3)
+    assert(v == 3, s"expected 3 committed micro-batches, got $v")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[String]("source"), r.getAs[String]("lang")) -> r.toSeq
+    }.toMap
+    val streamed = keyed(
+      spark.read.parquet(s"$root/v$v/card").collect())
+    val oneShot = keyed(run("q133_card_on_append"))
+    assert(streamed == oneShot, "3-batch drain != one-shot card")
+    // Version retention (VERDICT r12 #5): only vN and vN-1 live after
+    // the drain — a real backlog must not accumulate corpus × N copies.
+    val live = (0 to v).filter(i => new java.io.File(s"$root/v$i").exists())
+    assert(live == Seq(v - 1, v), s"live versions $live, want ${Seq(v - 1, v)}")
   }
 
   test("q130: two-phase distributed prefix sum equals the global cumsum (the scale-trust law)") {
@@ -265,12 +293,11 @@ class ReleaseSpec extends AnyFunSuite {
     val d = Tables.load(spark, dir, "documents")
     val a = d.select(col("doc_id"), col("n_chars"),
       TextOps.hash60(col("doc_id").cast("string")).as("h"))
-      .withColumn("bk", col("h") % 256)
     val total = d.agg(sum("n_chars")).head().getLong(0)
     val tgt = (total + 31) / 32
     val globalRows = a.withColumn("strt",
         sum(col("n_chars")).over(
-          Window.orderBy("bk", "h", "doc_id")
+          Window.orderBy("h", "doc_id")
             .rowsBetween(Window.unboundedPreceding, 0)) - col("n_chars"))
       .select(expr(s"strt div $tgt").as("shard_id"), col("n_chars"))
       .groupBy("shard_id")
@@ -283,5 +310,66 @@ class ReleaseSpec extends AnyFunSuite {
         (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_chars")))).toMap
     assert(twoPhase == globalRows,
       s"two-phase != global: ${twoPhase.toSeq.sorted} vs ${globalRows.toSeq.sorted}")
+  }
+
+  test("q135: the purged sigstats reconciles with a from-scratch rebuild over the survivors") {
+    import graft.operators.ReleaseQueries
+    // Run the registered query first: it publishes the post-takedown
+    // artifacts under its scratch root.
+    val card = run("q135_takedown_card")
+    val root = TempDirs.current("q135").get
+    val purged = spark.read.parquet(s"$root/sigstats").collect()
+    // From-scratch rebuild: the CardIndex build formula over the
+    // survivors of the append union — the table the purge must equal.
+    val union = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+      .unionByName(ReleaseQueries.cardBatch(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")))
+    val rebuilt = ReleaseQueries.cardFeatures(
+        union.filter(col("doc_id") % 37 =!= 0))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("source")).as("holder_source"), min(col("lang")).as("holder_lang"))
+      .collect()
+    // (sig, cnt) must match row for row; the holder columns are exact
+    // where the contract reads them (cnt = 1 — a flip consults them),
+    // and only a determinism tie-break above.
+    def cnts(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[String]("sig") -> r.getAs[Long]("cnt")).toMap
+    assert(cnts(purged) == cnts(rebuilt), "purged (sig, cnt) != rebuild")
+    def holders(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getAs[Long]("cnt") == 1L).map(r =>
+        r.getAs[String]("sig") ->
+          (r.getAs[String]("holder_source"), r.getAs[String]("holder_lang"))).toMap
+    assert(holders(purged) == holders(rebuilt),
+      "cnt=1 holder groups diverge from the rebuild")
+    // Leak + path non-vacuity: no zeroed row survives, the removal
+    // actually shrank the table, and at least one backward FLIP ran
+    // (a sig at cnt >= 2 dropped to exactly 1 — the fixture check).
+    assert(purged.forall(_.getAs[Long]("cnt") > 0), "zeroed sigstats row leaked")
+    val appended = spark.read.parquet(s"$root/appended/sigstats").collect()
+    assert(purged.length < appended.length, "takedown removed no sigstats row")
+    val beforeCnt = appended.map(r => r.getAs[String]("sig") -> r.getAs[Long]("cnt")).toMap
+    val flips = cnts(purged).count { case (s, c) => c == 1L && beforeCnt(s) >= 2L }
+    assert(flips >= 1, "no backward flip exercised — fixture is vacuous")
+    // And the card head-count reconciles with the survivor population.
+    assert(card.map(_.getAs[Long]("n_docs")).sum ==
+      union.filter(col("doc_id") % 37 =!= 0).count())
+  }
+
+  test("q130/q132: the prefix-sum bucket knob never moves a row (buckets are contiguous ranges of the order)") {
+    // spark.graft.prefixBuckets is a task-granularity knob (buckets ∝
+    // corpus at deployment — VERDICT r12 #4); because buckets are
+    // CONTIGUOUS ranges of the global order, the computed offsets are
+    // identical at ANY setting. Pin it at the extremes.
+    def at(n: String)(q: String) = {
+      spark.conf.set("spark.graft.prefixBuckets", n)
+      try run(q).map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.prefixBuckets")
+    }
+    assert(at("8")("q130_shard_plan") == at("4096")("q130_shard_plan"),
+      "q130 output moved with the bucket knob")
+    assert(at("8")("q132_curriculum_shards") == at("4096")("q132_curriculum_shards"),
+      "q132 output moved with the bucket knob")
   }
 }
