@@ -89,6 +89,9 @@ object SimilarityQueries {
   // private[graft]: PlanShapeSpec rebuilds q113's residual codebook to
   // pin the encode path's no-vector-shuffle law on the untruncated plan.
   private[graft] val PqK = 4 // PQ codes per subspace (seed centroids)
+  // q136's codebook-size knob point: the FAISS 8-bit default (256
+  // codes/subspace — 4 bytes/vector at M=4). Same chain, one param.
+  private[graft] val Pq8K = 256
   private val IvfProbes = 2  // cells probed per query
   private val IvfK = 5
   /** q126's exact-re-rank shortlist size (3·K — the FAISS `refine`
@@ -345,6 +348,51 @@ object SimilarityQueries {
 
   /** q119's planted append batch: every 5th vector negated under a
     * +100000 id shift (q100's convention). */
+  /** q100's append, cell-count parameterized (same probe rationale as
+    * [[ivfpqAppendStream]]): batch-only assignment against the
+    * persisted index at `cells`. */
+  private[graft] def ivfAppendAssign(s: SparkSession, dir: String,
+      cells: Int): DataFrame = {
+    import graft.pipeline.VectorIndex
+    val indexPath = VectorIndex.prepared(s, dir, cells)
+    val occ = s.read.parquet(indexPath)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n_index"))
+    val base = emb(s, dir)
+    val cents = VectorIndex.seedCentroids(base, cells)
+    // The append batch: every 5th vector re-arrives negated under a
+    // shifted id — deterministic, mirrored exactly in the oracle.
+    val batch = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("ev"), x => -x).as("ev"))
+    VectorIndex.assign(batch, cents)
+      .join(occ, Seq("cell_id"), "left")
+      .na.fill(0, Seq("cell_n_index"))
+      .select("vec_id", "cell_id", "d", "cell_n_index")
+      .orderBy("vec_id") // row-per-batch-vector: parallel range sort
+  }
+
+  /** q124's drain, cell-count parameterized (the registered query runs
+    * the fixed IvfCells; LearnedProbe's primary append-family rows run
+    * cells ∝ corpus — the deployment knob). */
+  private[graft] def ivfpqAppendStream(s: SparkSession, dir: String,
+      cells: Int): DataFrame = {
+    val st0 = ivfpqAppendStatics(s, dir, cells)
+    // Statics checkpoint EAGERLY once: idx/occ/cb otherwise re-derive
+    // inside every micro-batch's plan (cb's subtree also lands in a
+    // broadcast build thread — the q99/q113 lesson).
+    val st = IvfPqStatics(st0.idx.checkpointed(), st0.occ.checkpointed(),
+      st0.cents.checkpointed(), st0.cb.checkpointed())
+    val batch = ivfpqAppendBatch(s, dir)
+    val root = graft.TempDirs.fresh("q124")
+    val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+    batch.repartition(2).write.parquet(src) // two files → two micro-batches
+    graft.streaming.StreamScore.runAvailableNow(
+      s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
+      ivfpqTriage(st, b)
+    }
+    s.read.parquet(target).orderBy("vec_id")
+  }
+
   private[graft] def ivfpqAppendBatch(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
@@ -447,13 +495,16 @@ object SimilarityQueries {
        |    FROM ${p}sub s JOIN $cbCte c USING (m)) WHERE rn = 1)""".stripMargin
 
   /** The chain below `es`, parameterized by the centroid source (q121
-    * points it at the trained `kcents` CTE) and by a CTE-name prefix
+    * points it at the trained `kcents` CTE), by a CTE-name prefix
     * (q126 runs the seed AND trained chains side by side in one
-    * query). */
-  private def ivfpqChainSqlFrom(centsBody: String, pfx: String = ""): String =
+    * query), and by the codebook size (q136 sweeps the PqK knob —
+    * K = 256 is the FAISS 8-bit default; everything else is the SAME
+    * text, which is the point of the knob). */
+  private def ivfpqChainSqlFrom(centsBody: String, pfx: String = "",
+      pqK: Int = PqK): String =
     s"""${pfx}cents AS ($centsBody),
        |  ${ivfpqSubSqlFrom("es", pfx, s"${pfx}cents")},
-       |  ${pfx}cb AS (SELECT m, vec_id AS code, sv AS cvr FROM ${pfx}sub WHERE vec_id < $PqK),
+       |  ${pfx}cb AS (SELECT m, vec_id AS code, sv AS cvr FROM ${pfx}sub WHERE vec_id < $pqK),
        |  ${ivfpqCodesSqlFrom(pfx, s"${pfx}cb")}""".stripMargin
 
   /** The search half (qs → probes → qres → ADC → top-k → recall audit),
@@ -711,13 +762,13 @@ object SimilarityQueries {
     * broadcast tables) plus one window over candidates×nprobe rows —
     * query-sized, never corpus-shuffling. */
   private def ivfpqNprobeCurve(base: DataFrame, cents: DataFrame,
-      topx: DataFrame, variant: String): DataFrame = {
+      topx: DataFrame, variant: String, pqK: Int = PqK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = Embedder.Dim / PqM
     // EAGER checkpoint on sub: codebook filter feeds a broadcast build
     // thread AND the encode reads it (the q113 lesson).
     val sub = ivfpqSub(base, cents).checkpointed()
-    val cb = sub.filter(col("vec_id") < PqK)
+    val cb = sub.filter(col("vec_id") < pqK)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cvr"))
     val codes = ivfpqCodes(sub, cb)
     val qs = base.filter(col("vec_id") < NQueries)
@@ -1562,22 +1613,7 @@ object SimilarityQueries {
          |SELECT ab.vec_id, ab.cell_id, ab.d, COALESCE(occ.cell_n_index, 0) AS cell_n_index
          |FROM ab LEFT JOIN occ USING (cell_id)
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      import graft.pipeline.VectorIndex
-      val indexPath = VectorIndex.prepared(s, dir, IvfCells)
-      val occ = s.read.parquet(indexPath)
-        .groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n_index"))
-      val base = emb(s, dir)
-      val cents = VectorIndex.seedCentroids(base, IvfCells)
-      // The append batch: every 5th vector re-arrives negated under a
-      // shifted id — deterministic, mirrored exactly in the oracle.
-      val batch = base.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          transform(col("ev"), x => -x).as("ev"))
-      VectorIndex.assign(batch, cents)
-        .join(occ, Seq("cell_id"), "left")
-        .na.fill(0, Seq("cell_n_index"))
-        .select("vec_id", "cell_id", "d", "cell_n_index")
-        .orderBy("vec_id") // row-per-batch-vector: parallel range sort
+      ivfAppendAssign(s, dir, IvfCells)
     },
 
     // ----- X2 (context assembly): MMR diversity-aware selection (r10 —
@@ -1811,21 +1847,7 @@ object SimilarityQueries {
     q("q124_stream_ivfpq_append", {
       "T6+X2/LLM: streaming IVF-PQ encode-on-append vs the persisted codes (foreachBatch, stateless)"
     }, ivfpqAppendOracleSql) { (s, dir) =>
-      val st0 = ivfpqAppendStatics(s, dir, IvfCells)
-      // Statics checkpoint EAGERLY once: idx/occ/cb otherwise re-derive
-      // inside every micro-batch's plan (cb's subtree also lands in a
-      // broadcast build thread — the q99/q113 lesson).
-      val st = IvfPqStatics(st0.idx.checkpointed(), st0.occ.checkpointed(),
-        st0.cents.checkpointed(), st0.cb.checkpointed())
-      val batch = ivfpqAppendBatch(s, dir)
-      val root = graft.TempDirs.fresh("q124")
-      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
-      batch.repartition(2).write.parquet(src) // two files → two micro-batches
-      graft.streaming.StreamScore.runAvailableNow(
-        s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
-        ivfpqTriage(st, b)
-      }
-      s.read.parquet(target).orderBy("vec_id")
+      ivfpqAppendStream(s, dir, IvfCells)
     },
 
     // ----- X2 composite (round-11 closure of the "a trained codebook
@@ -1936,6 +1958,60 @@ object SimilarityQueries {
         .checkpointed(false)
       ivfpqNprobeCurve(base, seedCents, topx, "seed")
         .unionAll(ivfpqNprobeCurve(base, trainedCents, topx, "trained"))
+        .presented("variant", "nprobe")
+    },
+
+    // ----- X2 composite (VERDICT r12 #7): the PqK CODEBOOK knob —
+    // q126 proved the 4-entry (2-bit) product quantizer, not nprobe,
+    // binds recall; this is the same curve at the FAISS-default
+    // PqK = 256 (8-bit codebook, 4 bytes/vector at M=4). Everything
+    // is the SHARED chain/curve machinery with ONE parameter moved
+    // (ivfpqChainSqlFrom/ivfpqNprobeCurve's pqK) — the knob is a
+    // codebook size, not a different index. The curve pairs with
+    // q126's rows to show the quantization tradeoff a deployment
+    // actually tunes: code bits × recall at fixed nprobe
+    // (IvfPqTrainedSpec pins pq256 ≥ pq4 row-wise at the operating
+    // point, and the ≥0.9 re-rank point the composite index ships
+    // with). SCALE: identical exchange classes as q126 — the codebook
+    // broadcast grows 4 → 256 rows, the encode's min_by aggregate
+    // combines 256 candidates per (vec, m) map-side, codes stay
+    // (vec_id, cell, m, code) longs.
+    q("q136_ivfpq_pq8_curve", {
+      "X2 composite: the PqK codebook knob — 8-bit (K=256) recall-vs-nprobe curve, seed vs Lloyd-trained"
+    }, {
+      s"""WITH $esCteSql,
+         |  dims AS (SELECT unnest(range(1, ${Embedder.Dim + 1})) AS dim),
+         |  ${kmCentsSql(KmTrainedUpdates)},
+         |  ${ivfpqChainSqlFrom(seedCentsBodySql, "", Pq8K)},
+         |  ${ivfpqChainSqlFrom(s"SELECT cell_id, cv FROM kcents$KmTrainedUpdates", "t", Pq8K)},
+         |  qs AS (SELECT vec_id AS query_id, ev AS qv FROM es WHERE vec_id < $NQueries),
+         |  topx AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        ROUND(list_distance(e.ev, q.qv), 6) ASC, e.vec_id) AS rn
+         |    FROM es e CROSS JOIN qs q) WHERE rn <= $IvfK),
+         |  ${ivfpqCurveSql("")},
+         |  ${ivfpqCurveSql("t")}
+         |SELECT variant, nprobe, mean_recall, mean_recall_rr FROM (
+         |  SELECT 'seed' AS variant, nprobe, mean_recall, mean_recall_rr FROM ccurve
+         |  UNION ALL
+         |  SELECT 'trained' AS variant, nprobe, mean_recall, mean_recall_rr FROM tccurve)
+         |ORDER BY variant, nprobe""".stripMargin
+    }) { (s, dir) =>
+      val base = emb(s, dir).checkpointed()
+      val seedCents = base.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
+      val trainedCents = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
+      val qs = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+      val topx = base.crossJoin(broadcast(qs))
+        .withColumn("xd", round(VectorOps.l2(col("ev"), col("qv")), 6))
+        .groupBy(col("query_id"))
+        .agg(graft.plans.CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
+        .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
+        .checkpointed(false)
+      ivfpqNprobeCurve(base, seedCents, topx, "seed", Pq8K)
+        .unionAll(ivfpqNprobeCurve(base, trainedCents, topx, "trained", Pq8K))
         .presented("variant", "nprobe")
     }
   )

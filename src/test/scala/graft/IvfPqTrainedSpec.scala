@@ -58,4 +58,35 @@ class IvfPqTrainedSpec extends AnyFunSuite {
     assert(rows(("trained", 2L))._1 >= rows(("seed", 2L))._1)
     assert(rows(("trained", 2L))._2 >= rows(("seed", 2L))._2)
   }
+
+  test("q136 PqK knob: the 8-bit codebook's re-ranked recall beats the 2-bit one at the operating point, and reaches >=0.9 here") {
+    def curve(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("variant"), r.getAs[Long]("nprobe")) ->
+        (r.getAs[Double]("mean_recall"), r.getAs[Double]("mean_recall_rr")))
+      .toMap
+    val pq4 = curve("q126_ivfpq_nprobe_curve")
+    val pq256 = curve("q136_ivfpq_pq8_curve")
+    val cells = operators.SimilarityQueries.IvfCells
+    assert(pq256.size == 2 * cells)
+    // The re-rank >= plain theorem holds at any codebook size.
+    pq256.foreach { case ((v, n), (plain, rr)) =>
+      assert(rr >= plain, s"re-rank lost recall at ($v, $n)")
+    }
+    // The knob's value claim: at the operating point (nprobe <= 2) the
+    // 256-entry codebook's re-ranked recall is at least the 4-entry
+    // one's for both centroid variants — a finer quantizer can only
+    // improve the shortlist the refine step re-ranks.
+    for (v <- Seq("seed", "trained"); n <- 1L to 2L)
+      assert(pq256((v, n))._2 >= pq4((v, n))._2,
+        s"pq256 re-rank fell below pq4 at ($v, $n)")
+    // And the >=0.9 operating point exists at this SF (measured 0.96
+    // at nprobe=1 seed when pinned). At sf0.1 the same curve tops out
+    // near 0.56: the synthetic 64-dim embeddings' weak cosine
+    // structure makes the fixed 15-candidate refine shortlist the
+    // binding factor there — the knob that lifts it is RrShort ∝ k,
+    // not PqK (documented in SURVEY §8).
+    assert((1L to cells).exists(n => pq256(("seed", n))._2 >= 0.9),
+      "no >=0.9 re-rank operating point at sf0.001")
+  }
 }
