@@ -38,7 +38,25 @@ object LearnedProbe {
       // r12: the data-card-on-append — sigstats+card persisted, the
       // append pays batch feature compute + one batch-keyed index probe
       // (batch ∝ corpus here, like q116).
-      "q133_card_on_append")
+      "q133_card_on_append",
+      // r13: the CardIndex takedown (one removed-docs feature pass +
+      // two broadcast-probed corpus scans — cost ∝ corpus, like q125).
+      "q135_takedown_card")
+
+  /** The ANN append family, cell-count parameterized. VERDICT r12 #6:
+    * at 10× these are PRIMARILY measured at cells ∝ corpus — the
+    * documented deployment knob that bounds per-cell occupancy, so the
+    * triage's in-task ADC pair work scales with the batch instead of
+    * batch × corpus — with the FIXED registered cell count demoted to
+    * the `fixed_cells_control` field (it shows what the knob saves). */
+  val AnnAppend: Map[String, (org.apache.spark.sql.SparkSession, String, Int) => DataFrame] =
+    Map(
+      "q100_ivf_append" -> ((s, d, c) =>
+        operators.SimilarityQueries.ivfAppendAssign(s, d, c)),
+      "q119_ivfpq_append" -> ((s, d, c) =>
+        operators.SimilarityQueries.ivfpqAppend(s, d, c)),
+      "q124_stream_ivfpq_append" -> ((s, d, c) =>
+        operators.SimilarityQueries.ivfpqAppendStream(s, d, c)))
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -82,11 +100,17 @@ object LearnedProbe {
       pipeline.CardIndex.prepared(spark, dir)
       println(s"[probe] artifacts warm for $dir")
     }
-    // The scaled-cells row below runs in clean mode only — don't pay
-    // the 160-cell 10x encode on adversarial runs that never read it.
-    if (!adversarial)
+    // The cells ∝ corpus PRIMARY rows below run in clean mode only —
+    // don't pay the 160-cell 10x encodes on adversarial runs that
+    // never read them (the adversarial corpus stresses text joins,
+    // not the vector grid).
+    val scaledCellCount =
+      operators.SimilarityQueries.IvfCells * ScaleProbe.Copies
+    if (!adversarial) {
       operators.SimilarityQueries.ivfPqIndexPrepared(spark, bigDir,
-        operators.SimilarityQueries.IvfCells * ScaleProbe.Copies)
+        scaledCellCount)
+      pipeline.VectorIndex.prepared(spark, bigDir, scaledCellCount)
+    }
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -95,10 +119,15 @@ object LearnedProbe {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
+    // q100 joins the probe in clean mode (the third ANN append member;
+    // adversarial keeps the r12 list — its corpus stresses text joins).
+    val probedNow =
+      if (adversarial) Probed else "q100_ivf_append" +: Probed
+
     // Codegen warm (Bench's rationale): each probed query once at the
     // smallest SF so the measured numbers are data cost, not JIT.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) Probed.foreach { name =>
+    if (new java.io.File(warmDir).isDirectory) probedNow.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () }
@@ -121,30 +150,34 @@ object LearnedProbe {
     def measure(frame: => DataFrame): ProbeHarness.Measured[Double] =
       ProbeHarness.minOfTwo(() => measureOnce(frame))
 
-    val rows = Probed.map { name =>
+    // For the ANN append family in clean mode, the 10× PRIMARY
+    // measurement runs at cells ∝ corpus (VERDICT r12 #6 — the
+    // deployment configuration: occupancy-bounded cells keep the
+    // in-task ADC pair work ∝ batch) and the FIXED registered cell
+    // count becomes the `fixed_cells_control` field, showing what the
+    // knob saves. Base-scale rows keep the registered cell count —
+    // 16 cells IS the ∝-corpus setting at sf0.1.
+    val rows = probedNow.map { name =>
       val mS = measure(SparkEntry.queries(name)(spark, smallDir))
       System.gc()
-      val mL = measure(SparkEntry.queries(name)(spark, bigDir))
+      val scaledAnn = !adversarial && AnnAppend.contains(name)
+      val mL =
+        if (scaledAnn) measure(AnnAppend(name)(spark, bigDir, scaledCellCount))
+        else measure(SparkEntry.queries(name)(spark, bigDir))
       System.gc()
+      val ctrl = if (scaledAnn) Some {
+        val c = measure(SparkEntry.queries(name)(spark, bigDir))
+        System.gc()
+        c
+      } else None
       val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
         .reduceOption(_ + "; " + _)
       println(s"[probe] $name base ${f3(mS.sec)}s/${f3(mS.payload)}MB " +
-        s"10x ${f3(mL.sec)}s/${f3(mL.payload)}MB" + err.fold("")(e => s" ERR $e"))
-      (name, mS, mL)
-    }
-
-    // q119 with cells ∝ corpus at 10× (the q99_scaled_cells convention):
-    // the deployment knob that bounds per-cell occupancy, so the insert
-    // check's in-task ADC pair work scales with the batch instead of
-    // batch × corpus. The 160-cell index was pre-built above; the
-    // measured thunk pays only the append. Clean mode only — the
-    // adversarial corpus stresses text joins, not the vector grid.
-    val scaledCells = if (adversarial) None else Some {
-      val m = measure(operators.SimilarityQueries.ivfpqAppend(
-        spark, bigDir, operators.SimilarityQueries.IvfCells * ScaleProbe.Copies))
-      println(s"[probe] q119_scaled_cells 10x ${f3(m.sec)}s/${f3(m.payload)}MB" +
-        m.error.fold("")(e => s" ERR $e"))
-      m
+        s"10x ${f3(mL.sec)}s/${f3(mL.payload)}MB" +
+        (if (scaledAnn) s" (cells=$scaledCellCount; fixed-cells control " +
+          ctrl.map(c => s"${f3(c.sec)}s/${f3(c.payload)}MB").get + ")" else "") +
+        err.fold("")(e => s" ERR $e"))
+      (name, mS, mL, ctrl)
     }
 
     val charsRatio = {
@@ -152,7 +185,7 @@ object LearnedProbe {
         .agg(sum(col("n_chars"))).head().getLong(0)
       chars(bigDir).toDouble / chars(smallDir)
     }
-    val qjson = rows.map { case (name, mS, mL) =>
+    val qjson = rows.map { case (name, mS, mL, ctrl) =>
       val ratioT = if (mS.sec > 0) mL.sec / mS.sec else -1.0
       val ratioMb = if (mS.payload > 0.005) mL.payload / mS.payload else -1.0
       val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
@@ -162,28 +195,30 @@ object LearnedProbe {
       s""""$name":{"base_sec":${f3(mS.sec)},"base_shuffle_mb":${f3(mS.payload)},""" +
         s""""big_sec":${f3(mL.sec)},"big_shuffle_mb":${f3(mL.payload)},""" +
         s""""wall_ratio":${f3(ratioT)},"shuffle_ratio":${f3(ratioMb)}""" +
+        ctrl.fold("") { c =>
+          s""","cells_10x":$scaledCellCount""" +
+            s""","fixed_cells_control":{"cells":${operators.SimilarityQueries.IvfCells},""" +
+            s""""sec":${f3(c.sec)},"shuffle_mb":${f3(c.payload)},""" +
+            s""""wall_ratio":${f3(if (mS.sec > 0) c.sec / mS.sec else -1.0)}""" +
+            c.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+        } +
         err.fold("")(e => s""","error":"${jstr(e)}"""") +
         rerr.fold("")(e => s""","remeasure_error":"${jstr(e)}"""") + "}"
     }.mkString("{", ",", "}")
     val mode = if (adversarial) "adversarial" else "clean"
     val json = s"""{"probe":"persisted-model scoring 10x scale ($mode)",""" +
       s""""copies":${ScaleProbe.Copies},"base":"$smallDir",""" +
-      // Mode-dependent: the cells-x-copies index is only built (and its
-      // scaled_cells row only measured) in clean mode — saying otherwise
-      // overstated what an adversarial run prepared (ADVICE r11).
-      s""""artifacts":"classifier weights + BPE merges + IVF-PQ codes persisted at both scales before measurement${
-        if (adversarial) "" else " (codes additionally at cells-x-copies for the scaled row)"}",""" +
+      // Mode-dependent: the cells-x-copies indexes are only built (and
+      // the scaled-primary rows only measured) in clean mode — saying
+      // otherwise overstated what an adversarial run prepared (r11).
+      s""""artifacts":"classifier weights + BPE merges + IVF-PQ codes + assignment index + card index persisted at both scales before measurement${
+        if (adversarial) "" else " (vector indexes additionally at cells-x-copies for the scaled-primary ANN append rows)"}",""" +
       s""""spark_version":"${spark.version}",""" +
       s""""scala_version":"${scala.util.Properties.versionNumberString}",""" +
       s""""java_version":"${System.getProperty("java.version")}",""" +
       s""""chars_ratio":${f3(charsRatio)},""" +
-      s""""law":"shuffle_ratio ~<= chars_ratio (batch/corpus both scale with the corpus here); q118 adds fixed per-micro-batch streaming overhead; q119's in-task ADC pair work is occupancy-bounded — cells ∝ corpus (the scaled_cells row) is the deployment knob",""" +
-      s""""queries":$qjson""" +
-      scaledCells.fold("") { m =>
-        s""","q119_scaled_cells_sf1":{"cells":${operators.SimilarityQueries.IvfCells * ScaleProbe.Copies},""" +
-          s""""sec":${f3(m.sec)},"shuffle_mb":${f3(m.payload)}""" +
-          m.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
-      } + "}"
+      s""""law":"shuffle_ratio ~<= chars_ratio (batch/corpus both scale with the corpus here); q118/q124 add fixed per-micro-batch streaming overhead; ANN append rows (q100/q119/q124) are PRIMARILY measured at cells ∝ corpus — the deployment knob bounding per-cell occupancy so triage pair work scales with the batch — with the fixed-cell configuration in fixed_cells_control (clean mode only)",""" +
+      s""""queries":$qjson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(json)
     spark.stop()

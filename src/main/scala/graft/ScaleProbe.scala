@@ -252,6 +252,28 @@ object ScaleProbe {
       m
     }
 
+    // q130/q132 with the prefix-sum bucket fan-out scaled ∝ corpus
+    // (256 → 2048; VERDICT r12 #4): the spark.graft.prefixBuckets knob
+    // bounds the within-bucket cumsum task at corpus/buckets bytes the
+    // way IVF cells bound cell occupancy. Buckets are CONTIGUOUS
+    // ranges of the write order, so the OUTPUT is identical at any
+    // setting (ReleaseSpec pins it; q130's oracle has no bucket at
+    // all) — this row shows the knob's runtime is flat, i.e. turning
+    // it at 100 TB costs nothing while capping task size. Clean mode
+    // only — the knob is layout, not text structure.
+    val scaledBuckets = if (adversarial) None else Some {
+      spark.conf.set("spark.graft.prefixBuckets", "2048")
+      try {
+        val m130 = measure(SparkEntry.queries("q130_shard_plan")(spark, bigDir))
+        val m132 = measure(SparkEntry.queries("q132_curriculum_shards")(spark, bigDir))
+        println(s"[probe] q130_scaled_buckets 10x ${f3(m130.sec)}s/${f3(m130.payload)}MB" +
+          m130.error.fold("")(e => s" ERR $e"))
+        println(s"[probe] q132_scaled_buckets 10x ${f3(m132.sec)}s/${f3(m132.payload)}MB" +
+          m132.error.fold("")(e => s" ERR $e"))
+        (m130, m132)
+      } finally spark.conf.unset("spark.graft.prefixBuckets")
+    }
+
     // q103 under a DEGENERATE-VOCABULARY corpus (VERDICT r9 #5):
     // every token remapped onto a 50-word vocabulary, so the bigram
     // MODEL table collapses to ~2.5k rows while the bigram stream
@@ -458,6 +480,13 @@ object ScaleProbe {
       s""","q99_scaled_cells_sf1":{"cells":${64 * Copies},"sec":${f3(m.sec)},""" +
         s""""shuffle_mb":${f3(m.payload)}""" +
         m.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+    } + scaledBuckets.fold("") { case (m130, m132) =>
+      def row(tag: String, m: ProbeHarness.Measured[Double]): String =
+        s""","$tag":{"buckets":2048,"sec":${f3(m.sec)},""" +
+          s""""shuffle_mb":${f3(m.payload)},""" +
+          s""""law":"output identical at any bucket count (contiguous ranges of the write order — ReleaseSpec pin); cost ~flat vs the fixed-256 10x row, so buckets ∝ corpus caps within-bucket task size for free"""" +
+          m.error.fold("")(e => s""","error":"${jstr(e)}"""") + "}"
+      row("q130_scaled_buckets_sf1", m130) + row("q132_scaled_buckets_sf1", m132)
     } + tinyVocab.fold("") { case (mS, mL, b8S, b8L) =>
       val err = (mS.error.map("base: " + _) ++ mL.error.map("10x: " + _))
         .reduceOption(_ + "; " + _)
