@@ -57,13 +57,14 @@ object Verify {
     // Heavy-ORACLE queries run first: an overlapped comparator (the
     // checker starts each query's DuckDB compare the moment its parquet
     // lands) hides a 4-minute oracle chain under the remaining Spark
-    // pass — but only if the chain is submitted early. Measured sf0.01
-    // compare seconds, descending (r13 profile run).
+    // pass — but only if the chain is submitted early. Order = measured
+    // sf0.01 compare seconds, descending (CORRECTNESS_SELF_r13.json:
+    // 231, 150, 60, 37, 36, 32, 30, 19, 18, 16, 10, 6 s).
     val oracleHeavy = Seq("q125_takedown_artifacts", "q117_learned_manifest",
-      "q32_simhash_bands", "q120_stream_triage", "q68_incremental_dedup",
+      "q32_simhash_bands", "q68_incremental_dedup", "q120_stream_triage",
       "q115_quality_classifier", "q122_takedown", "q123_stream_tokenize",
-      "q116_score_persisted", "q112_bpe_apply_persisted", "q135_takedown_card",
-      "q126_ivfpq_nprobe_curve").zipWithIndex.toMap
+      "q109_bpe_segment", "q112_bpe_apply_persisted", "q108_bpe_train",
+      "q136_ivfpq_pq8_curve", "q135_takedown_card").zipWithIndex.toMap
     SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => oracleHeavy.getOrElse(name, Int.MaxValue) }

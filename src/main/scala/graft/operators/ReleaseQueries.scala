@@ -600,12 +600,13 @@ object ReleaseQueries {
     val bt = "CASE WHEN doc_id % 15 = 0 THEN text " +
       "ELSE text || ' v2-' || CAST(doc_id AS VARCHAR) END"
     val bl = "CASE WHEN doc_id % 25 = 0 THEN 'de' ELSE lang END"
-    s"""batch AS (
-       |    SELECT doc_id + 200000 AS doc_id, source, $bl AS lang, $bt AS text
-       |    FROM documents WHERE doc_id % 5 = 0
+    s"""mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+       |  batch AS (
+       |    SELECT doc_id + 2 * mx.m AS doc_id, source, $bl AS lang, $bt AS text
+       |    FROM documents CROSS JOIN mx WHERE doc_id % 5 = 0
        |    UNION ALL
-       |    SELECT doc_id + 400000, source, $bl, $bt
-       |    FROM documents WHERE doc_id % 20 = 0),
+       |    SELECT doc_id + 4 * mx.m, source, $bl, $bt
+       |    FROM documents CROSS JOIN mx WHERE doc_id % 20 = 0),
        |  u AS (SELECT doc_id, source, lang, n_chars, text FROM documents
        |        UNION ALL
        |        SELECT doc_id, source, lang, CAST(len(text) AS BIGINT), text
@@ -808,27 +809,33 @@ object ReleaseQueries {
   private[graft] def dataCardFrame(d: DataFrame): DataFrame =
     dataCardFromFeatures(cardFeatures(d))
 
-  /** q133's append batch: every 5th doc re-enters at id+200000 —
-    * verbatim when 15 | id (an exact dup of its base doc), otherwise
-    * with a doc-unique ' v2-<id>' suffix (new text); every 20th doc
-    * ALSO lands at id+400000 with the SAME transform, so those pairs
-    * are batch-INTERNAL duplicates the index has never seen. Docs with
-    * 25 | id are relabeled 'de' to move the lang-ID flag counts. The
-    * shift ranges are DISJOINT by the id-headroom guard (doc_id <
-    * 200000 ≪ the 400000−200000 gap — ADVICE r12: the earlier
-    * +110000/+120000 pair collided whenever d1 = d2 + 10000), so batch
-    * doc_ids stay unique, matching the append family's id convention. */
+  /** q133's append batch: every 5th doc re-enters shifted by 2·mx
+    * (mx = max base doc_id + 1) — verbatim when 15 | id (an exact dup
+    * of its base doc), otherwise with a doc-unique ' v2-<id>' suffix
+    * (new text); every 20th doc ALSO lands at 4·mx + id with the SAME
+    * transform, so those pairs are batch-INTERNAL duplicates the index
+    * has never seen. Docs with 25 | id are relabeled 'de' to move the
+    * lang-ID flag counts. The shifts are CORPUS-DERIVED so the three id
+    * ranges — base [0, mx), b1 [2mx, 3mx), b2 [4mx, 5mx) — are disjoint
+    * at ANY corpus, including the 10× probe replicas whose ids reach
+    * ~9·Stride (ADVICE r12 flagged the fixed +110000/+120000 pair;
+    * the fixed +200000/+400000 replacement still collided on probe
+    * corpora). The transform keys (%5/%15/%20/%25) use the BASE id, so
+    * batch TEXTS — and therefore the q133/q134 cards — are unchanged
+    * by the shift rule; only q135's %37 removal membership reads the
+    * shifted ids, mirrored exactly in the oracle. */
   private[graft] def cardBatch(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
       col("text"))
+    val mx = d.agg((max(col("doc_id")) + lit(1L)).as("m"))
     def bt = when(col("doc_id") % 15 === 0, col("text"))
       .otherwise(concat(col("text"), lit(" v2-"), col("doc_id").cast("string")))
     def bl = when(col("doc_id") % 25 === 0, lit("de")).otherwise(col("lang"))
-    val b1 = d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
+    val b1 = d.filter(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+      .select((col("doc_id") + col("m") * 2).as("doc_id"), col("source"),
         bl.as("lang"), bt.as("text"))
-    val b2 = d.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 400000L).as("doc_id"), col("source"),
+    val b2 = d.filter(col("doc_id") % 20 === 0).crossJoin(broadcast(mx))
+      .select((col("doc_id") + col("m") * 4).as("doc_id"), col("source"),
         bl.as("lang"), bt.as("text"))
     b1.unionByName(b2).withColumn("n_chars", length(col("text")).cast("long"))
   }

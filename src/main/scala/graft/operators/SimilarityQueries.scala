@@ -346,8 +346,6 @@ object SimilarityQueries {
     IvfPqStatics(idx, occ, cents, ivfpqCodebook(base, cents))
   }
 
-  /** q119's planted append batch: every 5th vector negated under a
-    * +100000 id shift (q100's convention). */
   /** q100's append, cell-count parameterized (same probe rationale as
     * [[ivfpqAppendStream]]): batch-only assignment against the
     * persisted index at `cells`. */
@@ -393,6 +391,8 @@ object SimilarityQueries {
     s.read.parquet(target).orderBy("vec_id")
   }
 
+  /** q119's planted append batch: every 5th vector negated under a
+    * +100000 id shift (q100's convention). */
   private[graft] def ivfpqAppendBatch(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),

@@ -24,8 +24,11 @@ SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else 
 ONLY = None
 if "--only" in sys.argv:
     ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-JOBS = int(sys.argv[sys.argv.index("--jobs") + 1]) if "--jobs" in sys.argv \
-    else min(8, (os.cpu_count() or 8))
+try:
+    JOBS = int(sys.argv[sys.argv.index("--jobs") + 1]) if "--jobs" in sys.argv \
+        else min(8, (os.cpu_count() or 8))
+except (IndexError, ValueError):
+    sys.exit("usage: check_oracle.py [sfdir] [--only a,b] [--skip-run] [--jobs N]")
 # SF-specific scratch dir: sweeps at different scales must not race each
 # other (a concurrent default-gate run would rmtree this dump mid-compare).
 OUT = f"/tmp/graft_verify_{os.path.basename(SF.rstrip(os.sep))}"
@@ -125,8 +128,14 @@ def _read_manifest():
     except OSError:
         return []
 
+# A compare that produces no verdict for this long after the last sign
+# of progress is treated as LOST (an OOM-killed pool worker never fires
+# its callback — mp.Pool silently respawns the worker and drops the
+# task). Sized ~5x the slowest known oracle chain (q125 ~250s).
+WATCHDOG_SEC = 1500
+
 def main():
-    import duckdb
+    import duckdb, threading
     t_start = time.time()
     proc = start_verify() if "--skip-run" not in sys.argv else None
     results, timings, submitted, decided = {}, {}, set(), set()
@@ -135,6 +144,16 @@ def main():
     # DuckDB thread budget: JOBS workers share the host fairly.
     threads = max(1, (os.cpu_count() or 8) // JOBS)
     pool = mp.Pool(JOBS, initializer=_worker_init, initargs=(SF, threads))
+
+    # Verify's stderr on its own thread: a blocking readline on a
+    # stderr-quiet Spark query must not delay draining decided verdicts
+    # (they would be lost if the checker were killed in that window).
+    err_q = queue.Queue()
+    if proc is not None:
+        def _pump():
+            for line in proc.stderr:
+                err_q.put(line)
+        threading.Thread(target=_pump, daemon=True).start()
 
     def submit(name):
         submitted.add(name)
@@ -146,6 +165,8 @@ def main():
                          callback=done_q.put,
                          error_callback=lambda e, n=name: done_q.put((n, f"POOL ERROR: {e}", 0.0)))
 
+    progress_t = [time.time()]
+
     def drain(block=False):
         while True:
             try:
@@ -154,6 +175,7 @@ def main():
                 return
             results[name], timings[name] = status, sec
             decided.add(name)
+            progress_t[0] = time.time()
             mark = "PASS" if status == "OK" else (
                 "INFO" if status.startswith("rows-only") and "EMPTY" not in status else "FAIL")
             print(f"{mark}  {name}: {status}  [{sec:.1f}s]", flush=True)
@@ -161,14 +183,16 @@ def main():
 
     verify_done = proc is None
     while True:
-        if proc is not None:
-            # Stream Verify's own progress lines live (unbuffered).
-            line = proc.stderr.readline()
-            if line:
-                if "[verify]" in line or "Exception" in line:
-                    print("  !", line.rstrip(), flush=True)
-            elif proc.poll() is not None:
-                verify_done = True
+        while True:
+            try:
+                line = err_q.get_nowait()
+            except queue.Empty:
+                break
+            if "[verify]" in line or "Exception" in line:
+                print("  !", line.rstrip(), flush=True)
+            progress_t[0] = time.time()
+        if proc is not None and not verify_done and proc.poll() is not None:
+            verify_done = True
         if oracle is None and os.path.exists(f"{OUT}/oracle_sql.json"):
             try:
                 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
@@ -179,20 +203,34 @@ def main():
                 if name not in submitted and (not ONLY or name in ONLY):
                     submit(name)
         drain()
-        if verify_done and oracle is not None and \
-                not (submitted - decided) and \
-                set(_read_manifest()) - submitted == (set() if not ONLY else set(_read_manifest()) - ONLY):
+        if verify_done and oracle is not None and not (submitted - decided):
             break
         if verify_done and oracle is None:
             print("FAIL  aa_gate: Verify produced no oracle_sql.json", flush=True)
             results["aa_gate"] = "NO ORACLE_SQL"
             break
-        if not verify_done:
-            continue
+        # Lost-task watchdog: mp.Pool drops a task when its worker is
+        # OOM-killed (callback never fires) and respawns crashing
+        # initializers forever — without this the gate would hang
+        # instead of failing.
+        if time.time() - progress_t[0] > WATCHDOG_SEC:
+            for name in sorted(submitted - decided):
+                results[name] = f"COMPARE LOST (no verdict in {WATCHDOG_SEC}s — worker died?)"
+                decided.add(name)
+                print(f"FAIL  {name}: {results[name]}", flush=True)
+            _emit(results, timings)
+            break
         drain(block=True)
-    pool.close()
+    pool.terminate()
     pool.join()
     drain()
+
+    # Verify itself must have exited cleanly: a crashed (OOM-killed) JVM
+    # that completed only a prefix of queries must fail the gate even if
+    # every completed query passed.
+    if proc is not None and proc.returncode not in (0, None):
+        results["aa_verify_exit"] = f"VERIFY EXITED {proc.returncode} (crashed mid-run?)"
+        print(f"FAIL  aa_verify_exit: {results['aa_verify_exit']}", flush=True)
 
     # Any parquet dir NOT in the manifest = a query that failed at runtime
     # (or a stale dump) — it must fail the gate, never silently pass.
@@ -201,6 +239,13 @@ def main():
         name = os.path.basename(p)
         if os.path.isdir(p) and name not in written and (not ONLY or name in ONLY):
             results[name] = "NOT IN MANIFEST (query failed at runtime?)"
+            print(f"FAIL  {name}: {results[name]}", flush=True)
+    # And every REGISTERED query (= every oracle_sql key) must have run:
+    # a query that failed before writing any parquet leaves no dir at
+    # all, which the sweep above cannot see.
+    for name in sorted(set(oracle or {}) - written):
+        if (not ONLY or name in ONLY) and name not in results:
+            results[name] = "MISSING (registered but never completed in Verify)"
             print(f"FAIL  {name}: {results[name]}", flush=True)
 
     results["aa_env_duckdb_pin"] = ("OK" if duckdb.__version__ == EXPECTED_DUCKDB
