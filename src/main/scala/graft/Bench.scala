@@ -443,7 +443,12 @@ object Bench {
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibrated_total":$calibratedJson,"contended":$contended,"n_queries":${results.size},"avg_sec_per_query":${f3(avg)},"entry_pipeline_sec":${f3(entrySec)},$meta,"queries":$qs,"shuffle_mb":$shuffles,"errors":$errs,"remeasured_passes":$passes,"sf":"$sfDir"}"""
     // Stdout AND a file: the driver's tail-capture truncated the r3
     // artifact mid-JSON; the file is the complete record either way.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // The file defaults to SCRATCH, not the repo root (VERDICT r13 #5):
+    // the committed BENCH_FULL.json is the protocol's best-of-N record,
+    // and the driver's own end-of-round run clobbered it two rounds
+    // running. Opt into the committed path with SPARK_GRAFT_BENCH_OUT.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/tmp/graft_bench_full_${java.lang.ProcessHandle.current().pid()}.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     // Compact summary line LAST (VERDICT r10 #3): the driver captures a

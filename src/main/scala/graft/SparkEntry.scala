@@ -34,7 +34,12 @@ object SparkEntry {
     registry.map(nq => nq.name -> nq.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Every named CTE carries DuckDB's MATERIALIZED hint ([[OracleSql
+    * .materializeCtes]]) — plain CTEs are inlined per reference, which
+    * is exponential in the unrolled training chains (q115/q117/q125)
+    * and made the gate's DuckDB side its critical path. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(nq => nq.oracle.map(nq.name -> _)).toMap
+    registry.flatMap(nq =>
+      nq.oracle.map(nq.name -> OracleSql.materializeCtes(_))).toMap
 }

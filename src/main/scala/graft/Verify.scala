@@ -54,17 +54,24 @@ object Verify {
     // silently passing the gate) and a killed run keeps its prefix.
     val manifest = Paths.get(s"$outDir/manifest.txt")
     Files.writeString(manifest, "")
+    // Full registry BEFORE the loop (ADVICE r13): the checker's
+    // never-completed sweep diffs completions against THIS list, not
+    // oracle_sql keys — a rows-only query (no oracle SQL) crashing
+    // before its parquet lands must still fail the gate, and a torn
+    // mid-append manifest read is detectable as "not a registered name".
+    Files.writeString(Paths.get(s"$outDir/registered.txt"),
+      SparkEntry.queries.keysIterator.filter(n => only.forall(_.contains(n)))
+        .toSeq.sorted.mkString("", "\n", "\n"))
     // Heavy-ORACLE queries run first: an overlapped comparator (the
     // checker starts each query's DuckDB compare the moment its parquet
-    // lands) hides a 4-minute oracle chain under the remaining Spark
+    // lands) hides a heavy oracle chain under the remaining Spark
     // pass — but only if the chain is submitted early. Order = measured
-    // sf0.01 compare seconds, descending (CORRECTNESS_SELF_r13.json:
-    // 231, 150, 60, 37, 36, 32, 30, 19, 18, 16, 10, 6 s).
-    val oracleHeavy = Seq("q125_takedown_artifacts", "q117_learned_manifest",
-      "q32_simhash_bands", "q68_incremental_dedup", "q120_stream_triage",
-      "q115_quality_classifier", "q122_takedown", "q123_stream_tokenize",
-      "q109_bpe_segment", "q112_bpe_apply_persisted", "q108_bpe_train",
-      "q136_ivfpq_pq8_curve", "q135_takedown_card").zipWithIndex.toMap
+    // sf0.01 compare seconds, descending, AFTER the r14 MATERIALIZED-CTE
+    // rewrite ([[OracleSql]]) collapsed the training chains (35, 34, 33,
+    // 27, 3 s — the old 286 s q125 head is now 1.3 s).
+    val oracleHeavy = Seq("q120_stream_triage", "q68_incremental_dedup",
+      "q32_simhash_bands", "q122_takedown", "q136_ivfpq_pq8_curve",
+      "q125_takedown_artifacts", "q117_learned_manifest").zipWithIndex.toMap
     SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => oracleHeavy.getOrElse(name, Int.MaxValue) }

@@ -244,6 +244,35 @@ object CurationQueries {
         .repartition(1).write.mode("overwrite").parquet(tmp.toString)
     }
 
+  /** q118's drain, file-count parameterized (each file is one
+    * micro-batch under maxFilesPerTrigger=1; the registered query runs
+    * 2, [[graft.BacklogProbe]] drains a 10-file backlog to measure the
+    * per-micro-batch marginal cost — VERDICT r13 #3). */
+  private[graft] def qcStreamDrain(s: SparkSession, dir: String,
+      nFiles: Int): DataFrame = {
+    import java.math.{BigDecimal => JDec}
+    val w: Map[Int, JDec] = s.read.parquet(qcModelPrepared(s, dir))
+      .collect()
+      .map(r => r.getAs[Int]("b") -> new JDec(r.getAs[String]("w")))
+      .toMap
+    val batch = docs(s, dir).filter(col("doc_id") % 5 === 4)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(col("text"), lit(" zq"),
+          pmod(col("doc_id"), lit(11)).cast("string")).as("text"))
+    val root = graft.TempDirs.fresh("q118")
+    val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+    batch.repartition(nFiles).write.parquet(src)
+    graft.streaming.StreamScore.runAvailableNow(
+      s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
+      qcScored(qcFeaturesOf(b), w)
+        .filter(col("b") === QcBuckets + 1) // bias row: one per doc
+        .select(col("doc_id"), col("y"),
+          col("p").cast("double").as("p"),
+          (col("p") >= lit(0.5).cast(QcDec)).as("admitted"))
+    }
+    s.read.parquet(target).orderBy("doc_id")
+  }
+
   /** q115/q116 shared oracle SQL: the labeled-feature CTEs over source
     * relation `src`, CTE names prefixed `pfx` (q116 featurizes the
     * append batch beside the training chain with pfx = "b" — identical
@@ -1303,27 +1332,7 @@ object CurationQueries {
            |FROM bp JOIN blab USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      import java.math.{BigDecimal => JDec}
-      val w: Map[Int, JDec] = s.read.parquet(qcModelPrepared(s, dir))
-        .collect()
-        .map(r => r.getAs[Int]("b") -> new JDec(r.getAs[String]("w")))
-        .toMap
-      val batch = docs(s, dir).filter(col("doc_id") % 5 === 4)
-        .select((col("doc_id") + 70000).as("doc_id"),
-          concat(col("text"), lit(" zq"),
-            pmod(col("doc_id"), lit(11)).cast("string")).as("text"))
-      val root = graft.TempDirs.fresh("q118")
-      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
-      batch.repartition(2).write.parquet(src) // two files → two micro-batches
-      graft.streaming.StreamScore.runAvailableNow(
-        s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
-        qcScored(qcFeaturesOf(b), w)
-          .filter(col("b") === QcBuckets + 1) // bias row: one per doc
-          .select(col("doc_id"), col("y"),
-            col("p").cast("double").as("p"),
-            (col("p") >= lit(0.5).cast(QcDec)).as("admitted"))
-      }
-      s.read.parquet(target).orderBy("doc_id")
+      qcStreamDrain(s, dir, nFiles = 2)
     },
 
     // ----- X3/X4+ GOVERNANCE (round-12 completion of q122's takedown):

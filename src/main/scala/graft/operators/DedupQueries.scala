@@ -174,6 +174,21 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " +\n ", ")")
 
+  /** Two-CTE simhash signature over `(doc_id, text)` rows of `src`:
+    * the shingle-hash LIST is computed once in `{out}_hs`, then the 60
+    * per-bit reductions read that column. Passing the list expression
+    * straight into [[simhashSql]] instead re-derives the whole
+    * tokenize→shingle→md5 chain PER BIT — 60× the hashing work, which
+    * made the four simhash oracles (q32/q68/q120/q122) the gate's cost
+    * tail once the training chains were materialized. `carry` prefixes
+    * extra projected columns (e.g. `"side, "`). */
+  private def simhashCtesSql(src: String, carry: String, out: String): String = {
+    val hs =
+      s"list_transform(${shinglesSql(tokensSql("text"))}, t -> ${hash60Sql("t")})"
+    s"""${out}_hs AS (SELECT $carry doc_id, $hs AS hs FROM $src),
+       |  $out AS (SELECT $carry doc_id, ${simhashSql("hs")} AS sig FROM ${out}_hs)""".stripMargin
+  }
+
   private val JaccardThresh = 0.6
   private val DupSpanW = 8 // q95 rolling-window length, in tokens
   private val HammingThresh = 10
@@ -799,8 +814,6 @@ object DedupQueries {
     * an AvailableNow stream): stream ≡ batch is q120's hash gate. */
   private def appendTriageOracleSql: String = {
     val toks = tokensSql("text")
-    val sigExpr = simhashSql(
-      s"list_transform(${shinglesSql(toks)}, t -> ${hash60Sql("t")})")
     s"""WITH batch AS (SELECT doc_id + 90000 AS doc_id,
        |         CASE WHEN doc_id % 12 = 0 THEN text
        |              WHEN doc_id % 8 = 0 THEN $dropFirstTokSql
@@ -812,7 +825,7 @@ object DedupQueries {
        |         GROUP BY 1),
        |  u AS (SELECT 'idx' AS side, doc_id, text FROM documents
        |        UNION ALL SELECT 'new', doc_id, text FROM batch),
-       |  sg AS (SELECT side, doc_id, $sigExpr AS sig FROM u),
+       |  ${simhashCtesSql("u", "side, ", "sg")},
        |  bands AS (SELECT side, doc_id, sig, b.band_id,
        |              (sig >> (b.band_id * 15)) & 32767 AS band_val
        |            FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),
@@ -908,8 +921,7 @@ object DedupQueries {
     q("q32_simhash_bands",
       "X3: SimHash band-bucket candidates + Hamming-distance verify",
       s"""WITH u AS (${plantedSql(9, 30000, dropFirstTokSql)}),
-         |     sg AS (SELECT doc_id, ${simhashSql(s"list_transform(${shinglesSql(tokensSql("text"))}, t -> ${hash60Sql("t")})")} AS sig
-         |            FROM u),
+         |     ${simhashCtesSql("u", "", "sg")},
          |     bands AS (SELECT doc_id, sig, b.band_id,
          |                 (sig >> (b.band_id * 15)) & 32767 AS band_val
          |               FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),
@@ -1095,9 +1107,6 @@ object DedupQueries {
     q("q122_takedown",
       "X3/X4+ governance: takedown — purge a removal list from the persisted artifacts, audit the rewrite, prove re-admission",
       {
-        val toks = tokensSql("text")
-        val sigExpr = simhashSql(
-          s"list_transform(${shinglesSql(toks)}, t -> ${hash60Sql("t")})")
         s"""WITH u AS (SELECT 'idx' AS side, doc_id, text FROM documents
            |             WHERE doc_id % 37 <> 0
            |           UNION ALL
@@ -1107,7 +1116,7 @@ object DedupQueries {
            |         FROM (SELECT doc_id, md5(text) AS h FROM u WHERE side = 'new') bh
            |         JOIN (SELECT md5(text) AS h FROM u WHERE side = 'idx') ih USING (h)
            |         GROUP BY 1),
-           |  sg AS (SELECT side, doc_id, $sigExpr AS sig FROM u),
+           |  ${simhashCtesSql("u", "side, ", "sg")},
            |  bands AS (SELECT side, doc_id, sig, b.band_id,
            |              (sig >> (b.band_id * 15)) & 32767 AS band_val
            |            FROM sg, (SELECT unnest(range(0, 4)) AS band_id) b),

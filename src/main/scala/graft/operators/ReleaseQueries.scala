@@ -562,8 +562,14 @@ object ReleaseQueries {
     * full versioned working copy of sigstats+card; only vN and vN−1
     * stay live — vN−2 is deleted the moment vN commits, so a real
     * backlog holds ≤2 corpus-sized copies instead of corpus × N.
-    * (vN−1 is retained as the recovery point: if the process dies
-    * mid-write of vN, the checkpoint replays the batch against vN−1.) */
+    * RECOVERY (ADVICE r13): the version is derived from the
+    * micro-batch id, NOT an in-memory counter — batch B reads v{B} and
+    * overwrite-writes v{B+1}, so when the process dies mid-write of
+    * v{B+1} the checkpoint's replay of batch B finds its true base
+    * v{B} still on disk (the purge after batch B removed only v{B−1})
+    * and the overwrite mode makes the half-written v{B+1} safe to
+    * redo. An in-memory counter would restart at 0 and read a purged
+    * version; the batch-id keying is what makes the replay claim real. */
   private[graft] def cardMaintainDrain(s: SparkSession, dir: String,
       nFiles: Int): (String, Int) = {
     val idx = graft.pipeline.CardIndex.prepared(s, dir)
@@ -573,25 +579,26 @@ object ReleaseQueries {
     val batch = cardBatch(s, dir)
     val src = s"$root/src"; val ckpt = s"$root/ckpt"
     batch.repartition(nFiles).write.parquet(src)
-    var v = 0
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
     val stream = s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     val query = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val v = batchId.toInt // replay-stable: the id IS the base version
         val (card, sig) = cardUpdate(
           s.read.parquet(s"$root/v$v/sigstats"),
           s.read.parquet(s"$root/v$v/card"),
           cardFeatures(b).checkpointed())
-        sig.write.parquet(s"$root/v${v + 1}/sigstats")
-        card.write.parquet(s"$root/v${v + 1}/card")
-        v += 1
-        if (v >= 2) graft.TempDirs.purge(s"$root/v${v - 2}")
+        sig.write.mode("overwrite").parquet(s"$root/v${v + 1}/sigstats")
+        card.write.mode("overwrite").parquet(s"$root/v${v + 1}/card")
+        committed.updateAndGet(m => math.max(m, v + 1))
+        if (v >= 1) graft.TempDirs.purge(s"$root/v${v - 1}")
       }
       .start()
     query.awaitTermination()
-    (root, v)
+    (root, committed.get())
   }
 
   /** The `batch` + `u` (documents ∪ append batch) CTE prefix shared by

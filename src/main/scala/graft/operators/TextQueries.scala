@@ -878,19 +878,28 @@ object TextQueries {
     q("q123_stream_tokenize",
       "T6+X4+/LLM: streaming tokenize-on-append via persisted BPE merges (foreachBatch, stateless)",
       bpeApplyPersistedOracleSql) { (s, dir) =>
-      val merges = bpeMergesOf(s, dir)
-      val batch = bpeAppendBatch(s, dir)
-      val root = graft.TempDirs.fresh("q123")
-      val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
-      batch.repartition(2).write.parquet(src) // two files → two micro-batches
-      graft.streaming.StreamScore.runAvailableNow(
-        s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
-        bpeSegmentWith(merges, b)
-      }
-      s.read.parquet(target).orderBy("doc_id")
+      bpeStreamDrain(s, dir, nFiles = 2)
     },
 
   )
+
+  /** q123's drain, file-count parameterized (each file is one
+    * micro-batch under maxFilesPerTrigger=1; the registered query runs
+    * 2, [[graft.BacklogProbe]] drains a 10-file backlog to measure the
+    * per-micro-batch marginal cost — VERDICT r13 #3). */
+  private[graft] def bpeStreamDrain(s: SparkSession, dir: String,
+      nFiles: Int): DataFrame = {
+    val merges = bpeMergesOf(s, dir)
+    val batch = bpeAppendBatch(s, dir)
+    val root = graft.TempDirs.fresh("q123")
+    val src = s"$root/src"; val target = s"$root/target"; val ckpt = s"$root/ckpt"
+    batch.repartition(nFiles).write.parquet(src)
+    graft.streaming.StreamScore.runAvailableNow(
+      s, src, batch.schema, target, ckpt, maxFilesPerTrigger = Some(1)) { b =>
+      bpeSegmentWith(merges, b)
+    }
+    s.read.parquet(target).orderBy("doc_id")
+  }
 
   /** q112's (and q123's) oracle: re-derive the 8 rules from the
     * training corpus in an unrolled CTE chain (the q68 convention:

@@ -74,33 +74,48 @@ def _worker_init(sf, threads):
         _CON.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 def _compare_one(args):
-    """Runs in a pool worker: one query's parquet vs its oracle SQL."""
+    """Runs in a pool worker: one query's parquet vs its oracle SQL.
+
+    Returns (name, status, sec, shape) where shape is the driver's own
+    per-query schema — {rows_match, schema_match, hash_match, err} — so
+    the committed CORRECTNESS_SELF artifact is field-for-field diffable
+    against any driver-produced CORRECTNESS_r{N}.json (VERDICT r13 #6).
+    """
     name, sql = args
     t0 = time.time()
+    shape = {"rows_match": False, "schema_match": False,
+             "hash_match": False, "err": None}
     try:
         got = _CON.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
         if sql is None:
             status = f"rows-only: {len(got)} rows" + (" EMPTY!" if len(got) == 0 else "")
-            return name, status, time.time() - t0
+            shape = {"rows_match": len(got) > 0, "schema_match": None,
+                     "hash_match": None, "err": None}
+            return name, status, time.time() - t0, shape
         try:
             exp = _CON.sql(sql).df()
         except Exception as e:
-            return name, f"ORACLE SQL ERROR: {e}", time.time() - t0
+            shape["err"] = f"oracle sql: {e}"[:300]
+            return name, f"ORACLE SQL ERROR: {e}", time.time() - t0, shape
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
+        shape["rows_match"] = len(got) == len(exp)
         if list(got.columns) != list(exp.columns):
             return (name, f"COLUMN MISMATCH spark={list(got.columns)} duck={list(exp.columns)}",
-                    time.time() - t0)
-        if len(got) != len(exp):
+                    time.time() - t0, shape)
+        if not shape["rows_match"]:
+            shape["schema_match"] = all(
+                str(got[c].dtype) == str(exp[c].dtype) for c in got.columns)
             return (name, f"ROWCOUNT MISMATCH spark={len(got)} duck={len(exp)}",
-                    time.time() - t0)
+                    time.time() - t0, shape)
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-        bad = []
+        bad, dtype_bad = [], False
         for c in got.columns:
             a, b = gs[c], es[c]
             if str(a.dtype) != str(b.dtype):
                 bad.append(f"{c}: dtype {a.dtype} vs {b.dtype}")
+                dtype_bad = True
             try:
                 eq = (a == b) | (a.isna() & b.isna())
             except Exception:
@@ -108,17 +123,21 @@ def _compare_one(args):
             if not eq.all():
                 i = int((~eq).idxmax())
                 bad.append(f"{c}: {int((~eq).sum())} diffs, first@{i}: {a[i]!r} vs {b[i]!r}")
+        shape["schema_match"] = not dtype_bad
+        shape["hash_match"] = not bad
         status = "OK" if not bad else "VALUE MISMATCH: " + "; ".join(bad[:4])
-        return name, status, time.time() - t0
+        return name, status, time.time() - t0, shape
     except Exception as e:  # a worker crash must surface as that query's FAIL
-        return name, f"COMPARE ERROR: {e}", time.time() - t0
+        shape["err"] = str(e)[:300]
+        return name, f"COMPARE ERROR: {e}", time.time() - t0, shape
 
-def _emit(results, timings):
+def _emit(results, timings, shapes):
     """Atomic rewrite of the incremental artifact after every verdict."""
     tmp = f"{OUT}/results.json.tmp"
     with open(tmp, "w") as f:
         json.dump({n: {"status": results[n],
-                       "sec": round(timings.get(n, 0.0), 2)}
+                       "sec": round(timings.get(n, 0.0), 2),
+                       **shapes.get(n, {})}
                    for n in sorted(results)}, f, indent=1)
     os.replace(tmp, f"{OUT}/results.json")
 
@@ -138,9 +157,10 @@ def main():
     import duckdb, threading
     t_start = time.time()
     proc = start_verify() if "--skip-run" not in sys.argv else None
-    results, timings, submitted, decided = {}, {}, set(), set()
+    results, timings, shapes, submitted, decided = {}, {}, {}, set(), set()
     done_q = queue.Queue()
     oracle = None
+    registered = None  # full registry names (incl. rows-only queries)
     # DuckDB thread budget: JOBS workers share the host fairly.
     threads = max(1, (os.cpu_count() or 8) // JOBS)
     pool = mp.Pool(JOBS, initializer=_worker_init, initargs=(SF, threads))
@@ -160,26 +180,27 @@ def main():
         # Visible immediately: a run killed before this query's compare
         # finishes still shows WHAT was in flight, not an empty file.
         results[name] = "SUBMITTED (compare in flight)"
-        _emit(results, timings)
+        _emit(results, timings, shapes)
         pool.apply_async(_compare_one, ((name, oracle.get(name)),),
                          callback=done_q.put,
-                         error_callback=lambda e, n=name: done_q.put((n, f"POOL ERROR: {e}", 0.0)))
+                         error_callback=lambda e, n=name: done_q.put(
+                             (n, f"POOL ERROR: {e}", 0.0, {"err": str(e)[:300]})))
 
     progress_t = [time.time()]
 
     def drain(block=False):
         while True:
             try:
-                name, status, sec = done_q.get(timeout=0.2 if block else 0.0)
+                name, status, sec, shape = done_q.get(timeout=0.2 if block else 0.0)
             except queue.Empty:
                 return
-            results[name], timings[name] = status, sec
+            results[name], timings[name], shapes[name] = status, sec, shape
             decided.add(name)
             progress_t[0] = time.time()
             mark = "PASS" if status == "OK" else (
                 "INFO" if status.startswith("rows-only") and "EMPTY" not in status else "FAIL")
             print(f"{mark}  {name}: {status}  [{sec:.1f}s]", flush=True)
-            _emit(results, timings)
+            _emit(results, timings, shapes)
 
     verify_done = proc is None
     while True:
@@ -198,9 +219,19 @@ def main():
                 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
             except ValueError:
                 oracle = None  # mid-write; retry next tick
-        if oracle is not None:
+        if registered is None and os.path.exists(f"{OUT}/registered.txt"):
+            registered = set(open(f"{OUT}/registered.txt").read().split())
+        if registered is None and verify_done and oracle is not None:
+            # Pre-registered.txt dump (--skip-run on an old out dir):
+            # fall back to the oracle keys + whatever the manifest holds.
+            registered = set(oracle) | set(_read_manifest())
+        if oracle is not None and registered is not None:
             for name in _read_manifest():
-                if name not in submitted and (not ONLY or name in ONLY):
+                # Torn-read guard (ADVICE r13): Verify appends while we
+                # poll — only submit names that are in the registry; a
+                # half-flushed line re-reads complete on the next tick.
+                if name in registered and name not in submitted \
+                        and (not ONLY or name in ONLY):
                     submit(name)
         drain()
         if verify_done and oracle is not None and not (submitted - decided):
@@ -218,17 +249,26 @@ def main():
                 results[name] = f"COMPARE LOST (no verdict in {WATCHDOG_SEC}s — worker died?)"
                 decided.add(name)
                 print(f"FAIL  {name}: {results[name]}", flush=True)
-            _emit(results, timings)
+            _emit(results, timings, shapes)
             break
         drain(block=True)
     pool.terminate()
     pool.join()
     drain()
 
+    # Watchdog-break orphan (ADVICE r13): Verify may still be alive on
+    # that path — kill it so no JVM outlives the gate, and record the
+    # kill as a FAIL (a gate that broke out early did NOT cover the
+    # registry; returncode None must never read as "clean").
+    if proc is not None and proc.poll() is None:
+        proc.kill()
+        proc.wait()
+        results["aa_verify_exit"] = "VERIFY KILLED (watchdog break with Verify still running)"
+        print(f"FAIL  aa_verify_exit: {results['aa_verify_exit']}", flush=True)
     # Verify itself must have exited cleanly: a crashed (OOM-killed) JVM
     # that completed only a prefix of queries must fail the gate even if
     # every completed query passed.
-    if proc is not None and proc.returncode not in (0, None):
+    elif proc is not None and proc.returncode != 0:
         results["aa_verify_exit"] = f"VERIFY EXITED {proc.returncode} (crashed mid-run?)"
         print(f"FAIL  aa_verify_exit: {results['aa_verify_exit']}", flush=True)
 
@@ -240,12 +280,19 @@ def main():
         if os.path.isdir(p) and name not in written and (not ONLY or name in ONLY):
             results[name] = "NOT IN MANIFEST (query failed at runtime?)"
             print(f"FAIL  {name}: {results[name]}", flush=True)
-    # And every REGISTERED query (= every oracle_sql key) must have run:
-    # a query that failed before writing any parquet leaves no dir at
-    # all, which the sweep above cannot see.
-    for name in sorted(set(oracle or {}) - written):
+    # And every REGISTERED query (from Verify's registered.txt — NOT the
+    # oracle keys, which would miss rows-only queries; ADVICE r13) must
+    # have run: a query that failed before writing any parquet leaves no
+    # dir at all, which the sweep above cannot see.
+    for name in sorted((registered or set(oracle or {})) - written):
         if (not ONLY or name in ONLY) and name not in results:
             results[name] = "MISSING (registered but never completed in Verify)"
+            print(f"FAIL  {name}: {results[name]}", flush=True)
+    # Manifest names that never got a verdict (appended after a watchdog
+    # break, or skipped as unregistered): each must fail, not vanish.
+    for name in sorted(written - set(results)):
+        if not ONLY or name in ONLY:
+            results[name] = "IN MANIFEST BUT NEVER COMPARED (gate broke out early?)"
             print(f"FAIL  {name}: {results[name]}", flush=True)
 
     results["aa_env_duckdb_pin"] = ("OK" if duckdb.__version__ == EXPECTED_DUCKDB
@@ -253,7 +300,7 @@ def main():
              "— re-validate the oracle SQL surface, then bump EXPECTED_DUCKDB")
     if results["aa_env_duckdb_pin"] != "OK":
         print(f"FAIL  aa_env_duckdb_pin: {results['aa_env_duckdb_pin']}", flush=True)
-    _emit(results, timings)
+    _emit(results, timings, shapes)
 
     npass = sum(1 for v in results.values()
                 if v == "OK" or (v.startswith("rows-only") and "EMPTY" not in v))
