@@ -41,7 +41,11 @@ object LearnedProbe {
       "q133_card_on_append",
       // r13: the CardIndex takedown (one removed-docs feature pass +
       // two broadcast-probed corpus scans — cost ∝ corpus, like q125).
-      "q135_takedown_card")
+      "q135_takedown_card",
+      // r14: the refine-depth curve (one map-only encode + one
+      // full-corpus ADC; the (nprobe, rr_short) grid is slices, so
+      // cost must scale ~linearly in the corpus like q126/q136).
+      "q137_ivfpq_refine_curve")
 
   /** The ANN append family, cell-count parameterized. VERDICT r12 #6:
     * at 10× these are PRIMARILY measured at cells ∝ corpus — the

@@ -62,7 +62,8 @@ object Plans {
     "q129_data_card" -> "data card: every per-doc feature (token count, md5 sig, the SHARED q33 language ladder) rides ONE corpus scan; the only corpus-sized exchange is the sig-keyed duplicate window (the q27 key); then a source-x-lang group agg + 1-row total broadcast (r12)",
     "q130_shard_plan" -> "shard plan: textbook distributed prefix sum — 256 FIXED hash buckets aggregate to a constant-size offset table (the single-task window is 256 rows at ANY corpus), within-bucket cumsums run partitioned by bucket, shard cut is all-integer floor division; spec pins two-phase == global cumsum (r12)",
     "q131_quality_curriculum" -> "quality-annealed curriculum: the per-doc ensemble (q128's SHARED chain, checkpointed once) is the one corpus-heavy stage; epoch floors filter in the scan (integer micro-score compare — the round-free tier), then q127's shape verbatim: per-(epoch,lang) counts agg -> 15-row threshold broadcast -> map-only rate-keep (r12)",
-    "q132_curriculum_shards" -> "curriculum shard packing: the manifest (q131's SHARED frame) checkpoints once; the per-epoch prefix sum is the SHARED exclusivePrefix two-phase form with CONTIGUOUS pos-range buckets (<=256 offset rows per epoch at ANY corpus — ordering by (bucket,pos,doc_id) IS the stream order), epoch targets broadcast; the ORACLE computes the same packing with one global window per epoch, so two-phase == global IS the hash gate (r12)")
+    "q132_curriculum_shards" -> "curriculum shard packing: the manifest (q131's SHARED frame) checkpoints once; the per-epoch prefix sum is the SHARED exclusivePrefix two-phase form with CONTIGUOUS pos-range buckets (<=256 offset rows per epoch at ANY corpus — ordering by (bucket,pos,doc_id) IS the stream order), epoch targets broadcast; the ORACLE computes the same packing with one global window per epoch, so two-phase == global IS the hash gate (r12)",
+    "q137_ivfpq_refine_curve" -> "refine-depth curve: ONE map-only encode (q113's shape, below the checkpoint) + one full-corpus ADC; the (nprobe, rr_short) grid is two nested slices of the shared candidate frame — nprobe by home-cell rank, rr_short by ADC rank — with the exact re-rank distance computed ONCE per candidate at the max depth and every grid point a re-window of that checkpointed frame; re-rank joins are shortlist-sized (rr x queries rows), the corpus is never re-encoded or re-scored per point (r14)")
 
   /** Queries whose registered frame ends in `rangeSorted` — its lazy
     * checkpoint truncates the inspectable plan to an RDD scan, so the
