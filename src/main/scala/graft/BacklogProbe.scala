@@ -30,7 +30,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * median(batch 2..N) at both scales (a super-linear tail would mean
   * per-batch cost grows with position, i.e. state or target-dir debt
   * accumulates batch over batch — the failure mode a stateless-drain
-  * claim forbids). Measurement errors exit 3.
+  * claim forbids). Measurement errors exit 3 — including a FLOOR
+  * SANITY guard (VERDICT r14 #7): floor subtraction assumes floor ≪
+  * work, so any measured run whose wall is under 2 × the harness
+  * floor would print a floor-error-dominated "adjusted" ratio; the
+  * probe refuses (exit 3) instead of reporting it.
   *
   * q124 runs cells ∝ corpus at 10× (the r12 deployment-knob
   * convention: scaled cells bound per-cell occupancy, so in-task ADC
@@ -38,19 +42,23 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * per-batch versioned write-back of sigstats+card — that is the
   * operator's real per-batch cost, not harness (VERDICT r13 #7).
   *
-  * Usage: java ... graft.BacklogProbe [sf01Dir] [outJson] [clean|adversarial]
+  * Usage: java ... graft.BacklogProbe [sf01Dir] [outJson]
+  *        [clean|adversarial] [nBatches]
   */
 object BacklogProbe {
 
-  val NBatches = 10
+  /** Default backlog depth; arg 4 overrides (VERDICT r14 #4 runs the
+    * adversarial tier at 20 to see twice the tail the ramp showed in). */
+  val DefaultBatches = 10
 
   /** Per-micro-batch progress rows captured from the listener. */
   private final case class BatchRow(batchId: Long, ms: Long, rows: Long)
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outFile = args.lift(1).getOrElse("SCALE_r14_backlog.json")
+    val outFile = args.lift(1).getOrElse("SCALE_r15_backlog.json")
     val adversarial = args.lift(2).contains("adversarial")
+    val NBatches = args.lift(3).map(_.toInt).getOrElse(DefaultBatches)
     val spark = ProbeHarness.session()
     import ProbeHarness.{f3, jstr}
 
@@ -136,7 +144,12 @@ object BacklogProbe {
       streaming.StreamScore.runAvailableNow(
         spark, src, batch.schema, target, ckpt,
         maxFilesPerTrigger = Some(1))(b => b)
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      // Quiesce the async listener bus before returning (ADVICE r14):
+      // a floor drain's own progress events arriving AFTER the next
+      // measured run's clear() would pollute that run's batch_ms rows.
+      drainCaptured()
+      wall
     }
 
     // Codegen/session warm at sf0.001, then floors (min of two — the
@@ -153,7 +166,7 @@ object BacklogProbe {
       run(operators.SimilarityQueries.ivfpqAppendStream(spark, warmDir,
         operators.SimilarityQueries.IvfCells, 2))
       val (_, _) = operators.ReleaseQueries.cardMaintainDrain(spark, warmDir, 2)
-      captured.clear()
+      drainCaptured() // quiesce, not just clear: warm-up events are async
     }
     floor(2) // warm the floor path itself once
     val floor2 = math.min(floor(2), floor(2))
@@ -208,18 +221,18 @@ object BacklogProbe {
       val adj10 = (fam.big10.wall - floor10) / math.max(0.001, fam.small10.wall - floor10)
       val mTailB = marginal(fam.big10).drop(1)
       s""""${fam.name}":{"small_2":${runJson(fam.small2)},"big_2":${runJson(fam.big2)},""" +
-        s""""small_10":${runJson(fam.small10)},"big_10":${runJson(fam.big10)},""" +
+        s""""small_N":${runJson(fam.small10)},"big_N":${runJson(fam.big10)},""" +
         s""""headline_ratio_2batch":${f3(fam.big2.wall / math.max(0.001, fam.small2.wall))},""" +
         s""""floor_adjusted_ratio_2batch":${f3(adj2)},""" +
-        s""""floor_adjusted_ratio_10batch":${f3(adj10)},""" +
-        s""""big10_marginal_median_ms":${f3(median(mTailB))},""" +
-        s""""big10_first_batch_ms":${marginal(fam.big10).headOption.getOrElse(-1L)},""" +
+        s""""floor_adjusted_ratio_Nbatch":${f3(adj10)},""" +
+        s""""bigN_marginal_median_ms":${f3(median(mTailB))},""" +
+        s""""bigN_first_batch_ms":${marginal(fam.big10).headOption.getOrElse(-1L)},""" +
         s""""marginal_flat_small":${flatOk(fam.small10)},""" +
         s""""marginal_flat_big":${flatOk(fam.big10)}}"""
     }.mkString("{", ",", "}")
     val out = s"""{"mode":"${if (adversarial) "adversarial" else "clean"}",""" +
       s""""copies":${ScaleProbe.Copies},"n_batches":$NBatches,""" +
-      s""""floor_2batch_sec":${f3(floor2)},"floor_10batch_sec":${f3(floor10)},""" +
+      s""""floor_2batch_sec":${f3(floor2)},"floor_Nbatch_sec":${f3(floor10)},""" +
       s""""spark_version":"${spark.version}",""" +
       s""""note":"batch_ms rows are [batchId, triggerExecution ms, input rows] from streaming progress events; floor = identity drain of near-empty files through the same runner; q124 runs cells-proportional-to-corpus at 10x; q134 marginal includes its per-batch versioned sigstats+card write-back (by design)",""" +
       s""""queries":$qjson}"""
@@ -227,8 +240,22 @@ object BacklogProbe {
       out.getBytes("UTF-8"))
     println(out)
     spark.stop()
+    // Floor sanity (VERDICT r14 #7): every wall feeding a floor-adjusted
+    // ratio must dominate its subtrahend (wall > 2 × floor), else the
+    // "adjusted" number is mostly floor-measurement error.
+    val floorViolations = rows.flatMap { f =>
+      Seq((s"${f.name}.small_2", f.small2.wall, floor2),
+        (s"${f.name}.big_2", f.big2.wall, floor2),
+        (s"${f.name}.small_N", f.small10.wall, floor10),
+        (s"${f.name}.big_N", f.big10.wall, floor10))
+        .filter { case (_, w, fl) => w < 2.0 * fl }
+    }
+    floorViolations.foreach { case (n, w, fl) =>
+      println(s"[backlog] FLOOR-DOMINATED: $n wall ${f3(w)}s < 2x floor ${f3(fl)}s")
+    }
     if (rows.exists(f => f.small2.error.isDefined || f.big2.error.isDefined ||
-        f.small10.error.isDefined || f.big10.error.isDefined)) sys.exit(3)
+        f.small10.error.isDefined || f.big10.error.isDefined) ||
+      floorViolations.nonEmpty) sys.exit(3)
     if (rows.exists(f => !flatOk(f.small10) || !flatOk(f.big10))) sys.exit(2)
   }
 }

@@ -447,8 +447,11 @@ object Bench {
     // the committed BENCH_FULL.json is the protocol's best-of-N record,
     // and the driver's own end-of-round run clobbered it two rounds
     // running. Opt into the committed path with SPARK_GRAFT_BENCH_OUT.
+    // One stable scratch name, not per-pid (VERDICT r14 #6): repeated
+    // unlabeled runs reuse the slot instead of accumulating files —
+    // record-keeping passes always set SPARK_GRAFT_BENCH_OUT anyway.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/tmp/graft_bench_full_${java.lang.ProcessHandle.current().pid()}.json")
+      "/tmp/graft_bench_full_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     // Compact summary line LAST (VERDICT r10 #3): the driver captures a

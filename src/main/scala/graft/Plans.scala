@@ -55,8 +55,8 @@ object Plans {
     "q121_ivfpq_trained" -> "trained-centroid IVF-PQ: q93's Lloyd rounds (centroids broadcast, vectors never shuffle) feed q113's layout through the SHARED search helper — the post-training plan is q113's verbatim; the dump shows the search side over the trained checkpoint (r11)",
     "q125_takedown_artifacts" -> "takedown completion: the assignment-index purge is one pushed NOT-filter rewrite published to parquet; each audit row is a count aggregate over a published scan; the artifact diffs are full-outer equi-joins on 8-row/66-row frames; the retrains themselves are q108's and q115's proven shapes fed the survivor filter (r12)",
     "q126_ivfpq_nprobe_curve" -> "nprobe curve: ONE map-only encode per variant (q113's shape, below the checkpoint); cell ranking + distance tables are tiny broadcasts; the sweep is a candidates-x-nprobe window partitioned by (query, nprobe) + a shortlist-sized exact re-rank join — query-sized, the corpus is never re-encoded per point (r12)",
-    "q133_card_on_append" -> "card-on-append: the PERSISTED sigstats/card tables arrive by parquet scan; the batch features are map-only; the ONE corpus-sized operation is the sigstats scan probing the BROADCAST batch-hash frame (result <= batch-sized, then re-broadcast); every later join/aggregate is batch- or card-sized; shares/means recompute from exact integer sums (r12)",
-    "q134_stream_card_maintain" -> "streaming card maintenance: q133's cardUpdate per micro-batch with artifact WRITE-BACK (versioned working copies); each micro-batch pays one broadcast-probed sigstats scan + a map-side-merged sigstats rewrite — no corpus shuffle; the dump shows the registered drain's final card read (the stream side is foreachBatch, outside the plan) (r12)",
+    "q133_card_on_append" -> "card-on-append: the PERSISTED sigstats/card tables arrive by parquet scan; the batch features are map-only; the sigstats probe is PARTITION-PRUNED to the hash buckets the batch touches (bucket=k directory pruning visible in the FileScan, r15) and probes the BROADCAST batch-hash frame (result <= batch-sized, then re-broadcast); every later join/aggregate is batch- or card-sized; shares/means recompute from exact integer sums (r12)",
+    "q134_stream_card_maintain" -> "streaming card maintenance: q133's cardUpdate per micro-batch with artifact WRITE-BACK through the SigstatsStore manifest layout (r15): each micro-batch reads and rewrites ONLY the sig-hash buckets its batch touches, the new version's manifest re-references untouched buckets' files in place (merge-on-read/LSM shape) — no corpus rescan, no corpus shuffle; the dump shows the registered drain's final card read (the stream side is foreachBatch, outside the plan) (r12)",
     "q127_train_order" -> "curriculum manifest: one 5-row lang-counts agg feeds a 15-row threshold broadcast; the corpus side is epoch-explode + broadcast-hash join + per-row hash keep — MAP-ONLY selection (no window, no per-stratum rank); the only corpus exchange is the trailing range sort of the manifest itself (r12)",
     "q128_quality_ensemble" -> "quality ensemble: three SHARED doc-keyed signal frames (q34 rule, q64 trigram ratio, q103 bigram-LM) join on doc_id; ONE 1-row min/max aggregate broadcasts back (min-max beats rank normalization at scale: no global sort exists anywhere); bins are fixed-width floor() — map-side (r12)",
     "q129_data_card" -> "data card: every per-doc feature (token count, md5 sig, the SHARED q33 language ladder) rides ONE corpus scan; the only corpus-sized exchange is the sig-keyed duplicate window (the q27 key); then a source-x-lang group agg + 1-row total broadcast (r12)",

@@ -2161,7 +2161,19 @@ object SimilarityQueries {
     // IvfPqTrainedSpec pins it), and the deep-refine column reaches
     // the ≥0.9 operating point at BOTH gate SFs (0.96+ at sf0.001;
     // sf0.1 recovers it at rr = 48k with enough probes, where q136's
-    // fixed 3k sat at ~0.56). SCALE: the refine step is the same
+    // fixed 3k sat at ~0.56). OPERATING GUIDANCE (VERDICT r14 #3):
+    // recall is NOT monotone in nprobe at a FIXED rr_short (measured
+    // at sf0.1: rr=60 drops 0.88 → 0.76 going nprobe 2 → 4) — this is
+    // SHORTLIST CROWDING, not a bug: each extra probed cell adds
+    // candidates ranked only by their QUANTIZED (ADC) distance, and
+    // impostors whose codes underestimate can displace true neighbors
+    // past the fixed shortlist cutoff before the exact re-rank ever
+    // sees them. The knobs therefore move TOGETHER: raising nprobe
+    // without deepening rr_short can lose recall; at the deepest rr
+    // the crowding disappears (the shortlist stops truncating, so
+    // probed candidate sets nest and recall is monotone in nprobe
+    // again — the companion law IvfPqTrainedSpec pins). SCALE: the
+    // refine step is the same
     // keyed join at every depth — rr_short × queries rows against the
     // raw vectors; at 100 TB the rr knob trades exactly those exact
     // lookups (cold-storage point reads) for recall, which is why the

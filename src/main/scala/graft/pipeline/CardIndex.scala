@@ -14,20 +14,26 @@ import org.apache.spark.sql.functions._
   *     distinct content hash with its corpus count; the holder columns
   *     name the owning (source, lang) group and are only consulted
   *     when cnt = 1 (the doc that FLIPS from unexposed to exposed when
-  *     an append collides with it).
+  *     an append collides with it). HASH-BUCKET partitioned by
+  *     [[SigstatsStore.bucketOf]] (directory-level `bucket=k`), so an
+  *     append's probe partition-prunes to the buckets its own hashes
+  *     touch and the streaming maintainer ([[SigstatsStore]]) rewrites
+  *     only touched buckets per micro-batch — VERDICT r14 #1.
   *   - `card(...)`: q129's ~|source x lang|-row aggregate, verbatim.
   *
-  * An append then pays its own feature compute plus ONE probe of
-  * sigstats keyed on the batch's hashes — never a corpus rescan, and
-  * never a corpus-sized shuffle (the probe side broadcasts). At 100 TB
-  * sigstats is bucketed by sig so the probe co-locates with the scan.
+  * An append then pays its own feature compute plus ONE probe of the
+  * touched sigstats buckets keyed on the batch's hashes — never a
+  * corpus rescan, and never a corpus-sized shuffle (the probe side
+  * broadcasts).
   */
 object CardIndex {
 
   /** One-time per-corpus build, fingerprint-keyed and publish-once
-    * (see [[PreparedArtifact]] for the concurrency discipline). */
+    * (see [[PreparedArtifact]] for the concurrency discipline). The
+    * prefix carries a layout tag (`_b` = bucketed sigstats) so a cache
+    * produced by an older layout can never be served to newer code. */
   def prepared(spark: SparkSession, sfDir: String): String =
-    PreparedArtifact.publishOnce(spark, "graft_card_index",
+    PreparedArtifact.publishOnce(spark, "graft_card_index_b",
         PreparedArtifact.fingerprint(spark, sfDir, "documents")) { tmp =>
       val d = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -41,8 +47,14 @@ object CardIndex {
           // are only ever read at cnt = 1, where they are exact.
           min(col("source")).as("holder_source"),
           min(col("lang")).as("holder_lang"))
-        .write.mode("overwrite").parquet(s"$tmp/sigstats")
+        .withColumn("bucket", SigstatsStore.bucketOf(col("sig")))
+        .write.partitionBy("bucket").parquet(s"$tmp/sigstats")
       ReleaseQueries.dataCardFromFeatures(f)
-        .write.mode("overwrite").parquet(s"$tmp/card")
+        .write.parquet(s"$tmp/card")
+      // The publish contract wants the marker at the TOP of the build
+      // dir; parquet leaves one per table, so stamp the root explicitly
+      // (without it every new JVM silently rebuilt the artifact).
+      val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
     }
 }

@@ -22,6 +22,12 @@ class MaterializeSpec extends AnyFunSuite {
     .select(col("id"), (col("id") % 7).as("k"))
     .groupBy("k").agg(sum("id").as("s"))
 
+  /** Checkpoint scratch that cleans up after the suite (VERDICT r14
+    * #6: the bare createTempDirectory calls accumulated graft-ckpt-*
+    * dirs in /tmp across every sbt test run). TempDirs purges its
+    * previous root per label AND registers a JVM shutdown hook. */
+  private def scratch(label: String): String = TempDirs.fresh(label)
+
   test("conf unset: checkpointed == localCheckpoint (lineage truncated, values unchanged)") {
     assert(spark.conf.getOption(Materialize.ConfKey).isEmpty)
     val before = freshFrame.collect().map(_.toSeq).toSet
@@ -32,7 +38,7 @@ class MaterializeSpec extends AnyFunSuite {
   }
 
   test("conf set: reliable checkpoint — files land in the dir, lineage truncated, values unchanged") {
-    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val dir = scratch("ckpt")
     spark.conf.set(Materialize.ConfKey, dir)
     try {
       val before = freshFrame.collect().map(_.toSeq).toSet
@@ -53,7 +59,7 @@ class MaterializeSpec extends AnyFunSuite {
     // avoid the write job recomputing the subtree, which requires the
     // materializing action to run inside the bracket — so eager=false
     // still checkpoints immediately there (locally it stays lazy).
-    val dir = Files.createTempDirectory("graft-ckpt-lazy").toString
+    val dir = scratch("ckpt-lazy")
     spark.conf.set(Materialize.ConfKey, dir)
     try {
       val cp = freshFrame.checkpointed(false)
@@ -70,7 +76,7 @@ class MaterializeSpec extends AnyFunSuite {
     // in the checkpoint-write job that follows the materializing action
     // — doubling exactly the compute a materialization point exists to
     // pay once. The counter counts subtree evaluations per row.
-    val dir = Files.createTempDirectory("graft-ckpt-once").toString
+    val dir = scratch("ckpt-once")
     spark.conf.set(Materialize.ConfKey, dir)
     MaterializeSpec.evals.set(0)
     try {
@@ -91,7 +97,7 @@ class MaterializeSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val local = SparkEntry.queries("q27_exact_dedup")(spark, dir)
       .collect().map(_.toSeq).toList
-    val ckptDir = Files.createTempDirectory("graft-ckpt-q27").toString
+    val ckptDir = scratch("ckpt-q27")
     spark.conf.set(Materialize.ConfKey, ckptDir)
     try {
       val reliable = SparkEntry.queries("q27_exact_dedup")(spark, dir)

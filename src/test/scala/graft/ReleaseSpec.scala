@@ -279,10 +279,104 @@ class ReleaseSpec extends AnyFunSuite {
       spark.read.parquet(s"$root/v$v/card").collect())
     val oneShot = keyed(run("q133_card_on_append"))
     assert(streamed == oneShot, "3-batch drain != one-shot card")
-    // Version retention (VERDICT r12 #5): only vN and vN-1 live after
-    // the drain — a real backlog must not accumulate corpus × N copies.
-    val live = (0 to v).filter(i => new java.io.File(s"$root/v$i").exists())
-    assert(live == Seq(v - 1, v), s"live versions $live, want ${Seq(v - 1, v)}")
+    // Version retention (VERDICT r12 #5, r14 #1 bucketed form): cards +
+    // manifests only for vN and vN-1 — a real backlog must not
+    // accumulate corpus × N copies — and every bucket directory still
+    // on disk under the root is REFERENCED by one of the two live
+    // manifests (retirement leaves no orphaned bucket files).
+    val live = (0 to v).filter(i =>
+      new java.io.File(s"$root/v$i/card").exists())
+    assert(live == Seq(v - 1, v), s"live cards $live, want ${Seq(v - 1, v)}")
+    val referenced =
+      (pipeline.SigstatsStore.readManifest(spark, root, v - 1).values ++
+        pipeline.SigstatsStore.readManifest(spark, root, v).values).toSet
+    val onDisk = (0 to v).flatMap { i =>
+      val d = new java.io.File(s"$root/v$i/data")
+      if (!d.isDirectory) Nil
+      else d.listFiles.toSeq.filter(f =>
+        f.isDirectory && f.getName.startsWith("bucket=")).map(_.getAbsolutePath)
+    }.toSet
+    assert(onDisk.subsetOf(referenced),
+      s"orphaned bucket dirs survive retirement: ${onDisk -- referenced}")
+    // The final state equals the one-shot update's sigstats — the
+    // bucketed manifest composition over 3 splits lands on the same
+    // index, row for row.
+    val bf = operators.ReleaseQueries.cardFeatures(
+      operators.ReleaseQueries.cardBatch(spark, dir))
+      .localCheckpoint(true)
+    val idx = pipeline.CardIndex.prepared(spark, dir)
+    val (_, oneShotSig) = operators.ReleaseQueries.cardUpdate(
+      spark.read.parquet(s"$idx/sigstats").drop("bucket"),
+      spark.read.parquet(s"$idx/card"), bf)
+    // (sig, cnt) row-for-row; holders compared only where the contract
+    // reads them (cnt = 1 — a single carrier, so the recorded group is
+    // unambiguous; at cnt >= 2 a split-across-batches new sig may
+    // legitimately record the first micro-batch's min rather than the
+    // whole batch's, and nothing ever reads it).
+    def sigMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      val cnt = r.getAs[Long]("cnt")
+      r.getAs[String]("sig") -> (cnt,
+        if (cnt == 1L) r.getAs[String]("holder_source") + "|" +
+          r.getAs[String]("holder_lang") else "-")
+    }.toMap
+    assert(sigMap(pipeline.SigstatsStore.readAll(spark, root, v).collect()) ==
+      sigMap(oneShotSig.collect()), "bucketed drain sigstats != one-shot")
+  }
+
+  test("q134: a micro-batch rewrites ONLY touched sigstats buckets — untouched buckets' files survive in place") {
+    import pipeline.{CardIndex, SigstatsStore}
+    // A deliberately tiny append (3 docs) touches at most 3 of the 32
+    // hash buckets, so the law is non-vacuous: the new manifest must
+    // re-reference every untouched bucket's EXISTING directory (file
+    // identity — nothing read, nothing rewritten), and re-point only
+    // the touched ones at the new version's files.
+    val idx = CardIndex.prepared(spark, dir)
+    val root = TempDirs.fresh("sigstore-law")
+    SigstatsStore.init(spark, root, s"$idx/sigstats")
+    val m0 = SigstatsStore.readManifest(spark, root, 0)
+    assert(m0.nonEmpty)
+    // v0 seeds by reference: every entry points into the published
+    // index, not under the run's own root — the seed copied nothing.
+    assert(m0.values.forall(_.startsWith(idx)),
+      s"v0 manifest should reference the published index: $m0")
+    val tiny = operators.ReleaseQueries.cardBatch(spark, dir)
+      .orderBy(col("doc_id")).limit(3)
+    val bf = operators.ReleaseQueries.cardFeatures(tiny).localCheckpoint(true)
+    val touched = SigstatsStore.touchedBuckets(bf)
+    assert(touched.nonEmpty && touched.size <= 3)
+    val untouched = m0.keySet -- touched
+    assert(untouched.nonEmpty, "law vacuous: every bucket touched")
+    // Record untouched buckets' physical files (path, length, mtime).
+    def filesOf(dir: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(dir)
+      d.listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length, f.lastModified)).toSet
+    }
+    val before = untouched.toSeq.map(b => b -> filesOf(m0(b))).toMap
+    val (_, sig) = operators.ReleaseQueries.cardUpdate(
+      SigstatsStore.readBuckets(spark, root, 0, touched),
+      spark.read.parquet(s"$idx/card"), bf)
+    SigstatsStore.commit(spark, root, 1, sig)
+    val m1 = SigstatsStore.readManifest(spark, root, 1)
+    untouched.foreach { b =>
+      assert(m1(b) == m0(b), s"untouched bucket $b re-pointed")
+      assert(filesOf(m1(b)) == before(b), s"untouched bucket $b files changed")
+    }
+    touched.foreach { b =>
+      assert(m1(b) != m0.getOrElse(b, ""), s"touched bucket $b not re-pointed")
+      assert(m1(b).startsWith(root), s"touched bucket $b not under the run root")
+    }
+    // And the composed table is exact: readAll(v1) equals the flat
+    // full-scan update over the same batch.
+    val (_, flatSig) = operators.ReleaseQueries.cardUpdate(
+      spark.read.parquet(s"$idx/sigstats").drop("bucket"),
+      spark.read.parquet(s"$idx/card"), bf)
+    def sigMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[String]("sig") ->
+        (r.getAs[Long]("cnt"), r.getAs[String]("holder_source"),
+          r.getAs[String]("holder_lang"))).toMap
+    assert(sigMap(SigstatsStore.readAll(spark, root, 1).collect()) ==
+      sigMap(flatSig.collect()), "bucketed step != flat full-scan step")
   }
 
   test("q130: two-phase distributed prefix sum equals the global cumsum (the scale-trust law)") {

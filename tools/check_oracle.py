@@ -89,8 +89,12 @@ def _compare_one(args):
         got = _CON.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
         if sql is None:
             status = f"rows-only: {len(got)} rows" + (" EMPTY!" if len(got) == 0 else "")
-            shape = {"rows_match": len(got) > 0, "schema_match": None,
-                     "hash_match": None, "err": None}
+            # ADVICE r14: a rows-only query has NO oracle rowcount to
+            # match, so rows_match must be None (like schema/hash), not
+            # a nonempty flag masquerading as a match — the nonempty
+            # check rides in its own field.
+            shape = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "nonempty": len(got) > 0, "err": None}
             return name, status, time.time() - t0, shape
         try:
             exp = _CON.sql(sql).df()
