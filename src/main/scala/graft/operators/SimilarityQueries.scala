@@ -36,10 +36,22 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityQueries {
 
-  /** Embeddings with the float array cast to double (F14) once, up front. */
+  /** Embeddings with the float array cast to double (F14) once, up front.
+    *
+    * SPREAD (r15, guide §2.5 input skew): the corpus arrives as ONE
+    * parquet row group → one scan task, so every map-only stage above it
+    * (the IVF-PQ encode, per-query scoring, Lloyd assignment) serialized
+    * on a single core — StageProf showed q136's two heaviest stages at
+    * wall ≈ taskRun (parallelism 1). `Tables.spread` fans the scan out
+    * to the session's parallelism ONLY when the file layout under-splits
+    * (at 100 TB the many-file layout already provides it and spread is
+    * structurally identity, so no production exchange is added). The
+    * local fan-out exchange does carry the vector column once — the
+    * map-only-encode law stays pinned on the unspread frame in
+    * PlanShapeSpec, and at scale the exchange does not exist. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev"))
+    Tables.spread(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev")))
 
   /** Sign-bit LSH bucket: bit j set iff dimension j+1 is positive.
     * Axis-aligned random-hyperplane LSH — deterministic and exactly

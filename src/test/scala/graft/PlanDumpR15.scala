@@ -1,0 +1,39 @@
+package graft
+
+import java.io.{File, PrintWriter}
+import org.apache.spark.sql.SparkSession
+
+/** Round-15 plan evidence: `.explain("formatted")` for named queries to
+  * individual files — `plans/r15/<query>_<tag>.txt` — so before/after
+  * optimization plan diffs are committable verbatim.
+  *
+  * Usage: Test/runMain graft.PlanDumpR15 <tag> <q1,q2,...> [sfDir] [outDir]
+  */
+object PlanDumpR15 {
+  def main(args: Array[String]): Unit = {
+    val tag = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 3) args(3) else "plans/r15"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.configure(spark)
+    new File(outDir).mkdirs()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val pw = new PrintWriter(new File(outDir, s"${name}_$tag.txt"), "UTF-8")
+      try {
+        pw.println(s"# $name — explain(formatted) at $sfDir [$tag]")
+        pw.println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } finally pw.close()
+      println(s"[plandump] wrote $outDir/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}

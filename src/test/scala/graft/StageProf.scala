@@ -20,14 +20,14 @@ object StageProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.configure(spark)
-    val stages = mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
+    val stages = mutable.ArrayBuffer[(Int, String, Long, Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         stages += ((si.stageId, si.name.split("\n")(0).take(90), ms,
           si.taskMetrics.executorRunTime,
-          si.taskMetrics.shuffleWriteMetrics.bytesWritten))
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten, si.numTasks))
       }
     })
     // "entry" profiles the flagship pipeline (not a registered query —
@@ -36,15 +36,26 @@ object StageProf {
       if (qname == "entry") (s, d) => pipeline.DailySummary.run(s, d)
       else SparkEntry.queries(qname)
     fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
-    org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
-    stages.clear()
-    val t0 = System.nanoTime()
-    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-    val total = (System.nanoTime() - t0) / 1e9
-    org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
-    println(f"TOTAL $total%.2f s over ${stages.size} stages")
-    stages.sortBy(-_._4).take(20).foreach { case (id, name, wall, run, sb) =>
-      println(f"stage $id%4d wall=$wall%6dms taskRun=$run%7dms shW=${sb / 1024}%8dKB  $name")
+    // Optional extra measured passes (arg 3): pass N>1 to see the
+    // steady-state cost once codegen/broadcast warmup has been paid.
+    val passes = if (args.length > 2) args(2).toInt else 1
+    var total = 0.0
+    (1 to passes).foreach { p =>
+      org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
+      stages.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      total = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSpark.drainListeners(spark.sparkContext)
+      val wallSum = stages.map(_._3).sum / 1000.0
+      val runSum = stages.map(_._4).sum / 1000.0
+      println(f"PASS $p TOTAL $total%.2f s over ${stages.size} stages; " +
+        f"stage-wall sum $wallSum%.2f s (driver gap ${total - wallSum}%.2f s); " +
+        f"taskRun sum $runSum%.2f s")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    stages.sortBy(-_._4).take(20).foreach { case (id, name, wall, run, sb, nt) =>
+      println(f"stage $id%4d wall=$wall%6dms taskRun=$run%7dms n=$nt%4d shW=${sb / 1024}%8dKB  $name")
     }
     spark.stop()
   }
