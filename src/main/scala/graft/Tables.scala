@@ -32,21 +32,20 @@ object Tables {
   def configure(spark: SparkSession): Unit = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case scala.util.control.NonFatal(_) => () }
-    // AQE coalesce floor (r15, guide §2.2/§2.5): AQE's parallelismFirst
-    // coalescing is silently defeated on SMALL inputs by the default
-    // 1 MB minPartitionSize — a CPU-dense stage whose shuffle input is
-    // tens of KB (similarity verifies, CC contraction rounds) coalesces
-    // to 1-4 partitions and serializes on a 32-core session (StageProf:
-    // q59's contraction stages ran n=2..7; at 4kb they run n=14..32 and
-    // the query's wall drops ~25%). The floor is scale-ADAPTIVE, not a
-    // local tune: it only binds when a stage's total shuffle bytes are
-    // under cores x 1 MB, which at 100 TB never holds for corpus-sized
-    // exchanges — production partitions are sized by the advisory
-    // target, and this setting is then a no-op. Env-overridable for
-    // deployments that want the stock floor back.
-    try spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "4kb"))
-    catch { case scala.util.control.NonFatal(_) => () }
+    // AQE coalesce floor: env-overridable, DEFAULT = Spark's stock 1 MB.
+    // r15 measured both ways (guide §1.1's empirical loop): a 4kb floor
+    // un-serializes CPU-dense tiny-byte stages (q59's CC-contraction
+    // rounds ran n=2..7 of 32; at 4kb n=14..32, isolated wall -25%) but
+    // IN-SUITE, back-to-back quiet A/B legs read 179.7 s (stock) vs
+    // 206.0 s (4kb): the extra tiny tasks' fixed cost across every
+    // query's small stages outweighs the per-stage parallelism, and
+    // even q59 was +1.3 s in-suite. The stock floor stays; the knob
+    // remains for cluster profiles where the trade differs.
+    sys.env.get("SPARK_GRAFT_AQE_MIN_PARTITION").foreach { v =>
+      try spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     graft.plans.GraftExtensions.install(spark)
   }
 

@@ -437,12 +437,22 @@ object ReleaseQueries {
       // the index state a production store would have published before
       // the removal list arrived. Materialized: the takedown reads the
       // artifacts as tables, not as lineage into the append math.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // Both artifact pairs below are independent writes over inputs
+      // cardUpdate/cardTakedown already checkpointed — overlap each
+      // pair (guide §2.6), publish latency = max, not sum.
+      def writeBoth(a: DataFrame, ap: String, b: DataFrame, bp: String): Unit = {
+        val fa = Future { a.write.parquet(ap) }
+        b.write.parquet(bp)
+        Await.result(fa, Duration.Inf)
+      }
       val bf = cardFeatures(cardBatch(s, dir)).checkpointed()
       val (card1, sig1) = cardUpdate(
         s.read.parquet(s"$idx/sigstats").drop("bucket"),
         s.read.parquet(s"$idx/card"), bf)
-      sig1.write.parquet(s"$root/appended/sigstats")
-      card1.write.parquet(s"$root/appended/card")
+      writeBoth(sig1, s"$root/appended/sigstats", card1, s"$root/appended/card")
       val union = docs(s, dir)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           col("text"))
@@ -453,8 +463,8 @@ object ReleaseQueries {
         s.read.parquet(s"$root/appended/card"),
         union.filter(col("doc_id") % 37 === 0),
         union.filter(col("doc_id") % 37 =!= 0))
-      sig2.write.parquet(s"$root/sigstats") // published post-takedown index
-      card2.write.parquet(s"$root/card")
+      writeBoth(sig2, s"$root/sigstats", // published post-takedown index
+        card2, s"$root/card")
       s.read.parquet(s"$root/card").presented("source", "lang")
     })
 
@@ -615,8 +625,21 @@ object ReleaseQueries {
         val (card, sig) = cardUpdate(
           SigstatsStore.readBuckets(s, root, v, touched),
           s.read.parquet(s"$root/v$v/card"), bf)
+        // The two artifact write-backs are independent (disjoint paths,
+        // shared inputs already checkpointed by cardUpdate): overlap
+        // them so the card write's job back-fills the sigstats commit's
+        // stage tail (guide §2.6) — the batch's publish latency is the
+        // max of the two writes, not their sum. The manifest publish
+        // inside commit() still happens before this batch returns, so
+        // the replay contract (v+1 fully published or redone) holds.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val cardWrite = Future {
+          card.write.mode("overwrite").parquet(s"$root/v${v + 1}/card")
+        }
         SigstatsStore.commit(s, root, v + 1, sig)
-        card.write.mode("overwrite").parquet(s"$root/v${v + 1}/card")
+        Await.result(cardWrite, Duration.Inf)
         committed.updateAndGet(m => math.max(m, v + 1))
         if (v >= 1) SigstatsStore.retire(s, root, Seq(v, v + 1))
       }

@@ -38,20 +38,19 @@ object SimilarityQueries {
 
   /** Embeddings with the float array cast to double (F14) once, up front.
     *
-    * SPREAD (r15, guide §2.5 input skew): the corpus arrives as ONE
-    * parquet row group → one scan task, so every map-only stage above it
-    * (the IVF-PQ encode, per-query scoring, Lloyd assignment) serialized
-    * on a single core — StageProf showed q136's two heaviest stages at
-    * wall ≈ taskRun (parallelism 1). `Tables.spread` fans the scan out
-    * to the session's parallelism ONLY when the file layout under-splits
-    * (at 100 TB the many-file layout already provides it and spread is
-    * structurally identity, so no production exchange is added). The
-    * local fan-out exchange does carry the vector column once — the
-    * map-only-encode law stays pinned on the unspread frame in
-    * PlanShapeSpec, and at scale the exchange does not exist. */
+    * Deliberately NOT `Tables.spread` (r15 A/B): the one-file scan does
+    * start single-task, and isolated cold runs improve 10-35% when fanned
+    * out — but in-suite (warm JIT, min-of-passes) the fan-out exchange
+    * plus 32-task fixed overhead through the checkpointed encode chains
+    * REGRESSED 16 of 22 similarity queries (+4.8 s family total, quiet
+    * windows, untouched-query sign test flat): the heavy stages are
+    * seconds-scale only when cold, and the tier's many small frames pay
+    * the extra exchange every time. At 100 TB the many-file layout
+    * provides scan parallelism without any exchange, so nothing is left
+    * on the table at scale by keeping the map-only single-scan shape. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev")))
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev"))
 
   /** Sign-bit LSH bucket: bit j set iff dimension j+1 is positive.
     * Axis-aligned random-hyperplane LSH — deterministic and exactly
@@ -286,7 +285,19 @@ object SimilarityQueries {
     * Codebook = the first PqK vectors' residual slices (the same
     * deterministic seed convention as q88's raw-vector codebook);
     * assignment is the min_by aggregate whose exchange carries only
-    * (vec_id, cell_id, m) + a (code, d) buffer — never a slice. */
+    * (vec_id, cell_id, m) + a (code, d) buffer — never a slice.
+    *
+    * r15 A/B note: an in-row argmin over a one-row broadcast codebook
+    * array (the [[ivfpqSub]] cell-assignment shape) was tried to kill
+    * the m-keyed join's row expansion — and measured 3.6× SLOWER at
+    * the 256-entry codebook (q136 8.1 → 29.0 s, q137 4.1 → 15.2 s
+    * in-suite): the interpreted HOF lambda (boxed per-element structs,
+    * no whole-stage codegen) loses to the codegen'd broadcast-join
+    * probe + L2Dist + partial hash aggregate even at 250× the row
+    * count. Guide §4's "prefer built-ins with codegen" cuts BOTH ways:
+    * at 16 entries (cells) the in-row argmin wins by avoiding an
+    * exchange; at 256 (codes) the codegen'd operator pipeline wins.
+    * Kept: the join form. */
   private[graft] def ivfpqCodes(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), "m")
       .withColumn("d", round(VectorOps.l2(col("sv"), col("cvr")), 6))
@@ -750,6 +761,8 @@ object SimilarityQueries {
         slice(col("qr"), col("m") * S + 1, lit(S)), col("cvr")), 6))
       .select(col("query_id"), col("cell_id"), col("crank"),
         col("m"), col("code"), round(col("t") * col("t"), 6).as("d2"))
+    // (Same r15 A/B outcome as [[ivfpqNprobeCurve]]: the flat-LUT
+    // in-row ADC variant measured a wash-to-loss; join form kept.)
     val adc = codes.join(broadcast(dt), Seq("cell_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("ad"),
@@ -923,6 +936,15 @@ object SimilarityQueries {
         slice(col("qr"), col("m") * S + 1, lit(S)), col("cvr")), 6))
       .select(col("query_id"), col("cell_id"), col("crank"),
         col("m"), col("code"), round(col("t") * col("t"), 6).as("d2"))
+    // r15 A/B note: a packed-codes + flat-LUT in-row ADC (q119's
+    // element_at shape) was tried here to drop the (cell, m, code)
+    // join's M-fold rows and the (query, vec) aggregate — measured a
+    // wash-to-loss (q126 4.2 → 5.0 s, q137 4.1 → 4.9 s, stable across
+    // two quiet subset runs): the aggregate is already map-side
+    // combined to candidate-count rows and the dt join is broadcast,
+    // so no exchange was actually removed, while the packing step
+    // added an interpreted collect_list/array_sort aggregation. Kept:
+    // the join + Exact.dsum form.
     val adc = codes.join(broadcast(dt), Seq("cell_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sqrt(Exact.dsum(col("d2"))), 6).as("ad"),

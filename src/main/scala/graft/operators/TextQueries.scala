@@ -115,33 +115,48 @@ object TextQueries {
     * (w, carry*); duplicates would still interleave. */
   private[graft] def bpeApplyMerge(words: DataFrame, l: String, r: String,
       carry: Seq[String] = Seq("cnt")): DataFrame = {
-    val Win = org.apache.spark.sql.expressions.Window
-    val win = Win.partitionBy(col("w") +: carry.map(col): _*).orderBy("i")
-    val hit = words.filter(col("w").contains(s"$l $r"))
-    val miss = words.filter(!col("w").contains(s"$l $r"))
-    val rebuilt = hit
-      .select(col("w") +: carry.map(col) :+
-        posexplode(split(col("w"), " ")).as(Seq("i", "u")): _*)
-      // nxt is null-proofed so m (and with it sel/selp below) is a
-      // TOTAL boolean: a null leaking out of the last unit's lead()
-      // would null sel, and lag(null) would silently drop the row
-      // after it in both engines.
-      .withColumn("nxt", coalesce(lead(col("u"), 1).over(win), lit("")))
-      .withColumn("m", col("u") === lit(l) && col("nxt") === lit(r))
-      .withColumn("rnm", sum(when(col("m"), 1).otherwise(0)).over(win))
-      .withColumn("grp", when(col("m"), col("i") - col("rnm")))
-      .withColumn("sel", col("m") &&
-        (col("rnm") - min(col("rnm")).over(
-          Win.partitionBy(col("w") +: carry.map(col) :+ col("grp"): _*))) % 2 === 0)
-      .withColumn("selp", lag(col("sel"), 1, false).over(win))
-      .filter(!col("selp")) // the right half of a fired merge vanishes
-      .withColumn("nu", when(col("sel"), lit(l + r)).otherwise(col("u")))
-      .groupBy(col("w") +: carry.map(col): _*)
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("i"), col("nu")))),
-        x => x.getField("nu"))).as("nw"))
-      .select(col("nw").as("w") +: carry.map(col): _*)
-    rebuilt.unionAll(miss.select(col("w") +: carry.map(col): _*))
+    // ROW-LOCAL rewrite (r15, guide §2.4 "remove shuffles outright"):
+    // the previous form posexploded each word and ran the recurrence
+    // through windows PARTITIONED BY THE WORD ITSELF plus a groupBy
+    // rebuild — i.e. two sort-windows and a hash aggregate (three
+    // exchanges per merge round) to compute a function of one row. The
+    // leftmost-greedy scan is instead folded in place over the unit
+    // array: carry (out, skip) through `aggregate`; at each position,
+    // a fired merge emits l⧺r and skips the next unit, the recurrence
+    // sel_i = m_i ∧ ¬sel_{i−1} verbatim (BpeSpec's planted-run laws
+    // pin equality with the islands closed form the DuckDB oracle
+    // keeps). One merge round is now a map-only projection — the BPE
+    // family's 8-round replays (q108/q109/q112/q117/q123/q125) plan
+    // ZERO exchanges per round instead of three, which at any scale
+    // removes 24 vocab-sized shuffles and their stage barriers per
+    // replay. The contains() guard skips the fold for words that
+    // cannot contain the pair (false positives — the pair text
+    // spanning a unit boundary — fold to themselves, exactly as they
+    // rebuilt unchanged before). Bonus: rows no longer need to be
+    // distinct on (w, carry*) — the old window interleaved duplicate
+    // rows' positions; a row-local fold cannot.
+    val units = split(col("w"), " ")
+    // Lookahead column: unit i+1, '' past the end (null-proofed like
+    // the old lead(): m must be a TOTAL boolean).
+    val nxt = concat(
+      slice(units, lit(2), greatest(size(units) - 1, lit(0))), array(lit("")))
+    val emptyOut = typedlit(Seq.empty[String])
+    val folded = aggregate(
+      zip_with(units, nxt, (a, b) => struct(a.as("u"), b.as("n"))),
+      struct(emptyOut.as("out"), lit(false).as("skip")),
+      (acc, e) => {
+        val out = acc.getField("out")
+        when(acc.getField("skip"), // right half of a fired merge vanishes
+          struct(out.as("out"), lit(false).as("skip")))
+          .when(e.getField("u") === lit(l) && e.getField("n") === lit(r),
+            struct(concat(out, array(lit(l + r))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(struct(concat(out, array(e.getField("u"))).as("out"),
+            lit(false).as("skip")))
+      },
+      acc => concat_ws(" ", acc.getField("out")))
+    words.withColumn("w",
+      when(col("w").contains(s"$l $r"), folded).otherwise(col("w")))
   }
 
   /** The K-round greedy trainer shared by q108/q109: per round, count

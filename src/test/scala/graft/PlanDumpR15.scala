@@ -25,7 +25,16 @@ object PlanDumpR15 {
     Tables.configure(spark)
     new File(outDir).mkdirs()
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // Pseudo-entry: one bare BPE merge round (the registered BPE
+      // queries checkpoint each round, so their final explain() hides
+      // the per-round shape this round's rewrite changed).
+      val df =
+        if (name == "bpe_apply_round")
+          operators.TextQueries.bpeApplyMerge(
+            operators.TextQueries.bpeWords0(
+              Tables.load(spark, sfDir, "documents").select("doc_id", "text")),
+            "e", "_")
+        else SparkEntry.queries(name)(spark, sfDir)
       val pw = new PrintWriter(new File(outDir, s"${name}_$tag.txt"), "UTF-8")
       try {
         pw.println(s"# $name — explain(formatted) at $sfDir [$tag]")
