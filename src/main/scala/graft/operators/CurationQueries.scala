@@ -105,7 +105,29 @@ object CurationQueries {
 
   /** Same, over any `(doc_id, text)` frame — q116 featurizes an append
     * BATCH with the identical pipeline the model was trained on
-    * (train/serve feature parity is the whole point of sharing this). */
+    * (train/serve feature parity is the whole point of sharing this).
+    *
+    * SINGLE-PASS REWRITE MEASURED AND REJECTED (r16 — do not re-try
+    * without a fresh in-suite A/B): a one-scan shape (posexplode_outer
+    * carrying a pos-0-guarded label → (doc,bucket) count aggregate →
+    * doc-keyed collect_list → codegen'd feature explode, zero joins)
+    * cut taskRun ~25% (q115 33.3→24-29 s) but LOST wall in-suite:
+    * isolated min-of-4 q115 3.37→3.53 s, q125 5.16→5.97 s; subset
+    * bench (matched controls) touched-family +2.0-2.4 s, q125
+    * +1.2-1.3 s. Mechanism: at sf0.1 every scan is one row-group, and
+    * this 5-branch plan's three heavy single-task branches (hf/nt/lab)
+    * run CONCURRENTLY — and overlap with q125's Future'd BPE retrain —
+    * while the fused chain serializes its critical path. Two interim
+    * variants were worse still: referencing the bucket md5 inside 64
+    * conditional sums re-evaluated it per sum (q115 → 40 s); an
+    * unguarded pre-explode label projection was CollapseProject'd
+    * above the Generate and ran the interpreted-HOF quality CASE per
+    * TOKEN row (q115 → 54 s); a `transform`-built feature array
+    * (interpreted HOF) cost +0.3-1.3 s per consumer; a numbered
+    * doc-spread before the chain regressed the whole subset. At
+    * 100 TB the fused shape's 1-scan/2-small-exchange profile wins on
+    * total work — revisit only with a multi-file layout where branch
+    * concurrency is free anyway. */
   private[graft] def qcFeaturesOf(d: DataFrame): DataFrame = {
     val B = QcBuckets
     val toksC = TextOps.tokens(col("text"))
@@ -176,13 +198,21 @@ object CurationQueries {
     // a cached (not checkpointed) frame keeps its outputPartitioning,
     // so every round's doc-keyed window runs exchange-free — the only
     // per-round exchange left is the 66-partial gradient combine.
-    // Materialized by the bucket-census job below; unpersisted before
+    // Materialized by round 0's gradient job; unpersisted before
     // return (the trace is a local relation), so the query leaves no
     // block-manager debt behind.
     val featY = qcFeaturesOf(d).repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var w: Map[Int, JDec] = featY.select(col("b")).distinct().collect()
-      .map(r => r.getInt(0) -> JDec.ZERO.setScale(6)).toMap
+    // Round-0 weights: the full-range zero map stands in for the bucket
+    // census (r16 — drops the census's own full pass over featY, the
+    // old `select(b).distinct().collect()` job). Equivalence: every
+    // feature row's bucket is present in both maps with value 0.000000,
+    // so round 0's z ≡ 0 either way, and the TRUE census (distinct b of
+    // featY) comes back for free as round-0's gradient keyset — w is
+    // re-keyed to it before the first update, so the returned weight
+    // table (and q125's audited row count) is bucket-for-bucket what
+    // the census built.
+    var w: Map[Int, JDec] = qcZeroWeights
     val isDoc = col("b") === QcBuckets + 1 // bias row: exactly one per doc
     val pcC = least(greatest(col("p").cast("double"), lit(0.000001)), lit(0.999999))
     val ceC = round(-(col("y") * log(pcC) + (lit(1) - col("y")) * log(lit(1) - pcC)), 6)
@@ -200,6 +230,10 @@ object CurationQueries {
               ((col("p") >= lit(0.5).cast(QcDec)) === (col("y") === 1)), 1L)
             .otherwise(0L)).as("n_correct")))
         .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
+      // The gradient's keyset IS the bucket census (groupBy(b) over
+      // featY): re-key w to it at round 0 so every later round — and
+      // the returned table — carries exactly the censused buckets.
+      if (r == 0) w = g.map { case (b, _) => b -> JDec.ZERO.setScale(6) }
       val m = obs.get
       val nDocs = m("n_docs").asInstanceOf[Long]
       // ExactSql.davgRound mirrored on the observed exact-decimal sum:

@@ -1,0 +1,58 @@
+package graft
+
+import java.io.{File, PrintWriter}
+import org.apache.spark.sql.SparkSession
+
+/** Round-16 plan evidence: `.explain("formatted")` for named queries to
+  * individual files — `plans/r16/<query>_<tag>.txt` — so before/after
+  * optimization plan diffs are committable verbatim.
+  *
+  * Pseudo-entries expose sub-frames whose registered queries hide the
+  * interesting shape behind a checkpoint/persist boundary:
+  *  - `qc_features`: the shared quality-classifier feature frame
+  *    (q115/q116/q117/q118/q125 all build on it; q115's persist and the
+  *    training loop's local trace otherwise truncate the plan).
+  *  - `ensemble_joined`: the q128/q131/q132 shared three-signal join
+  *    (the registered queries checkpoint it).
+  *  - `bpe_apply_round`: one bare BPE merge round (r15 evidence shape).
+  *
+  * Usage: Test/runMain graft.PlanDumpR16 <tag> <q1,q2,...> [sfDir] [outDir]
+  */
+object PlanDumpR16 {
+  def main(args: Array[String]): Unit = {
+    val tag = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 3) args(3) else "plans/r16"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.configure(spark)
+    new File(outDir).mkdirs()
+    names.foreach { name =>
+      val df =
+        if (name == "qc_features")
+          operators.CurationQueries.qcFeatures(spark, sfDir)
+        else if (name == "ensemble_joined")
+          operators.ReleaseQueries.ensembleJoined(spark, sfDir)
+        else if (name == "bpe_apply_round")
+          operators.TextQueries.bpeApplyMerge(
+            operators.TextQueries.bpeWords0(
+              Tables.load(spark, sfDir, "documents").select("doc_id", "text")),
+            "e", "_")
+        else SparkEntry.queries(name)(spark, sfDir)
+      val pw = new PrintWriter(new File(outDir, s"${name}_$tag.txt"), "UTF-8")
+      try {
+        pw.println(s"# $name — explain(formatted) at $sfDir [$tag]")
+        pw.println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } finally pw.close()
+      println(s"[plandump] wrote $outDir/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}
