@@ -44,7 +44,13 @@ object Tables {
     sys.env.get("SPARK_GRAFT_AQE_MIN_PARTITION").foreach { v =>
       try spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize", v)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // Loud skip (ADVICE r15): a mistyped override otherwise runs
+          // silently at the stock floor and the A/B reads as a no-op.
+          System.err.println("[graft] ignoring invalid " +
+            s"SPARK_GRAFT_AQE_MIN_PARTITION='$v': ${e.getMessage}")
+      }
     }
     graft.plans.GraftExtensions.install(spark)
   }

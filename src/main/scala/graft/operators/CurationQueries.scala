@@ -1493,10 +1493,23 @@ object CurationQueries {
       }
       // 3. The qc model: same retrain discipline via the shared loop —
       // runs on THIS thread while the helper thread drives stages 1-2.
-      val (rw, _) = qcTrainOf(s, purged)
-      rw.toSeq.sortBy(_._1).map { case (b, v) => (b, v.toPlainString) }
-        .toDF("b", "w")
-        .repartition(1).write.parquet(s"$root/qc_model")
+      // The Future is awaited in a finally (ADVICE r15): if the qc
+      // retrain or its write throws, the side artifacts' jobs must not
+      // keep running (and failing silently) under a query that already
+      // unwound — and a helper-thread failure surfaces promptly either
+      // way. The secondary failure is suppressed so the primary
+      // exception stays the one the caller sees.
+      try {
+        val (rw, _) = qcTrainOf(s, purged)
+        rw.toSeq.sortBy(_._1).map { case (b, v) => (b, v.toPlainString) }
+          .toDF("b", "w")
+          .repartition(1).write.parquet(s"$root/qc_model")
+      } catch {
+        case scala.util.control.NonFatal(primary) =>
+          try Await.result(sideArtifacts, Duration.Inf)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw primary
+      }
       Await.result(sideArtifacts, Duration.Inf)
       // Audits read the PUBLISHED artifacts both threads wrote.
       val vidx = s.read.parquet(graft.pipeline.VectorIndex.prepared(

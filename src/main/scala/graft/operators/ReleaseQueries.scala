@@ -445,7 +445,11 @@ object ReleaseQueries {
       // pair (guide §2.6), publish latency = max, not sum.
       def writeBoth(a: DataFrame, ap: String, b: DataFrame, bp: String): Unit = {
         val fa = Future { a.write.parquet(ap) }
-        b.write.parquet(bp)
+        // Await in a finally (ADVICE r15): a failure writing `b` must
+        // not leave `a`'s write job running unobserved past the query's
+        // unwind; the await's own failure is subordinate to the primary.
+        try b.write.parquet(bp)
+        finally Await.ready(fa, Duration.Inf)
         Await.result(fa, Duration.Inf)
       }
       val bf = cardFeatures(cardBatch(s, dir)).checkpointed()
@@ -638,7 +642,12 @@ object ReleaseQueries {
         val cardWrite = Future {
           card.write.mode("overwrite").parquet(s"$root/v${v + 1}/card")
         }
-        SigstatsStore.commit(s, root, v + 1, sig)
+        // finally-await (ADVICE r15): a commit failure must not leave
+        // the card write running past this batch's unwind — the replay
+        // redoes both writes (overwrite mode), but only once no stale
+        // job is still holding the target.
+        try SigstatsStore.commit(s, root, v + 1, sig)
+        finally Await.ready(cardWrite, Duration.Inf)
         Await.result(cardWrite, Duration.Inf)
         committed.updateAndGet(m => math.max(m, v + 1))
         if (v >= 1) SigstatsStore.retire(s, root, Seq(v, v + 1))

@@ -52,6 +52,22 @@ object SimilarityQueries {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("ev"))
 
+  /** The CURVE queries' checkpointed base (q126/q136/q137 only): emb
+    * fanned out to defaultParallelism before the eager checkpoint, so
+    * the 50-70 downstream single-task stages (two 256-codebook encodes,
+    * residual/ADC chains, Lloyd rounds — profiled r16: q136 ran 60
+    * sequential n=1 stages, taskRun ≈ wall ≈ 9-11 s on one core)
+    * inherit 32-way parallelism from the checkpoint blocks. This is
+    * deliberately NOT the tier-wide `Tables.spread` the r15 A/B
+    * rejected: that fan-out taxed 22 similarity queries' small warm
+    * frames with an exchange each (+4.8 s family); here the exchange
+    * is paid only inside the three queries whose chains are seconds-
+    * scale even warm. Results are partitioning-independent (decimal-
+    * exact aggregates, totally-ordered rankings — the r15 argument). */
+  private def embSpread(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+
   /** Sign-bit LSH bucket: bit j set iff dimension j+1 is positive.
     * Axis-aligned random-hyperplane LSH — deterministic and exactly
     * mirrored in the DuckDB oracle. */
@@ -2099,7 +2115,10 @@ object SimilarityQueries {
          |ORDER BY variant, nprobe""".stripMargin
     }) { (s, dir) =>
       // EAGER: base feeds both variants' centroid subtrees (broadcast
-      // threads), the exact-recall side, and the query set.
+      // threads), the exact-recall side, and the query set. NOT
+      // embSpread: q126's PqK=4 encode is cheap, and the r16 A/B pairs
+      // showed the fan-out costs it ~+1.0 s while the PqK=256 curves
+      // (q136/q137) win — the codebook size is the discriminator.
       val base = emb(s, dir).checkpointed()
       val seedCents = base.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
@@ -2156,7 +2175,7 @@ object SimilarityQueries {
          |  SELECT 'trained' AS variant, nprobe, mean_recall, mean_recall_rr FROM tccurve)
          |ORDER BY variant, nprobe""".stripMargin
     }) { (s, dir) =>
-      val base = emb(s, dir).checkpointed()
+      val base = embSpread(s, dir).checkpointed()
       val seedCents = base.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
       val trainedCents = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
@@ -2230,7 +2249,7 @@ object SimilarityQueries {
          |  CAST(nprobe AS BIGINT) AS nprobe, mean_recall_rr FROM trcurve
          |ORDER BY rr_short, nprobe""".stripMargin
     }) { (s, dir) =>
-      val base = emb(s, dir).checkpointed()
+      val base = embSpread(s, dir).checkpointed()
       val trainedCents = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
       val qs = base.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("ev").as("qv"))

@@ -39,6 +39,27 @@ object PlanDumpR16 {
           operators.CurationQueries.qcFeatures(spark, sfDir)
         else if (name == "ensemble_joined")
           operators.ReleaseQueries.ensembleJoined(spark, sfDir)
+        else if (name == "q133_pruned_probe") {
+          // q133's registered plan truncates at the batch-features
+          // checkpoint; this is the frame BELOW it — the card update
+          // whose sigstats FileScan must show the bucket partition
+          // filter (VERDICT r15 #5 asked for exactly this dump).
+          val idx = pipeline.CardIndex.prepared(spark, sfDir)
+          import graft.Materialize.CheckpointOps
+          val bf = operators.ReleaseQueries
+            .cardFeatures(operators.ReleaseQueries.cardBatch(spark, sfDir))
+            .checkpointed()
+          val touched = pipeline.SigstatsStore.touchedBuckets(bf)
+          // The dumped frame is the pruned probe scan itself:
+          // cardUpdate checkpoints every downstream intermediate, so
+          // the FileScan (the object of the claim) is only inspectable
+          // here. `touched` is computed from the real batch exactly as
+          // q133 computes it.
+          spark.read.parquet(s"$idx/sigstats")
+            .where(org.apache.spark.sql.functions.col("bucket")
+              .isin(touched: _*))
+            .drop("bucket")
+        }
         else if (name == "bpe_apply_round")
           operators.TextQueries.bpeApplyMerge(
             operators.TextQueries.bpeWords0(
