@@ -64,7 +64,7 @@ object SimilarityQueries {
     * is paid only inside the three queries whose chains are seconds-
     * scale even warm. Results are partitioning-independent (decimal-
     * exact aggregates, totally-ordered rankings — the r15 argument). */
-  private def embSpread(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embSpread(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
 

@@ -39,6 +39,39 @@ object PlanDumpR16 {
           operators.CurationQueries.qcFeatures(spark, sfDir)
         else if (name == "ensemble_joined")
           operators.ReleaseQueries.ensembleJoined(spark, sfDir)
+        else if (name == "curve_base_spread" && tag == "before")
+          // the r15 shape: bare scan+cast, no Exchange (q126 keeps this)
+          Tables.load(spark, sfDir, "embeddings")
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              graft.functions.VectorOps.asDouble(
+                org.apache.spark.sql.functions.col("embedding")).as("ev"))
+        else if (name == "sigstats_commit_write" && tag == "before") {
+          // the r15 write-side shape: no clustering exchange
+          val idx = pipeline.CardIndex.prepared(spark, sfDir)
+          spark.read.parquet(s"$idx/sigstats").drop("bucket")
+            .withColumn("bucket",
+              pipeline.SigstatsStore.bucketOf(
+                org.apache.spark.sql.functions.col("sig")))
+        }
+        else if (name == "curve_base_spread")
+          // q136/q137's checkpointed base AFTER the r16 fan-out — the
+          // registered queries' explains truncate at the checkpoint, so
+          // the added Exchange (REPARTITION_BY_NUM on vec_id) is only
+          // inspectable here; the `_before` twin is the plain base.
+          operators.SimilarityQueries.embSpread(spark, sfDir)
+        else if (name == "sigstats_commit_write") {
+          // The write-side frame of SigstatsStore.commit AFTER the r16
+          // bucket clustering: the Exchange(bucket) between the updated
+          // rows and the dynamic-partition writer is the change; before,
+          // the writer consumed ~30 mixed-bucket partitions directly.
+          val idx = pipeline.CardIndex.prepared(spark, sfDir)
+          spark.read.parquet(s"$idx/sigstats").drop("bucket")
+            .withColumn("bucket",
+              pipeline.SigstatsStore.bucketOf(
+                org.apache.spark.sql.functions.col("sig")))
+            .repartition(pipeline.SigstatsStore.NumBuckets,
+              org.apache.spark.sql.functions.col("bucket"))
+        }
         else if (name == "q133_pruned_probe") {
           // q133's registered plan truncates at the batch-features
           // checkpoint; this is the frame BELOW it — the card update
