@@ -2122,7 +2122,7 @@ object SimilarityQueries {
       val base = emb(s, dir).checkpointed()
       val seedCents = base.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
-      val trainedCents = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
+      def trainedCentsOf() = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
       val qs = base.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("ev").as("qv"))
       // The exact top-k ground truth, computed ONCE and shared by both
@@ -2133,8 +2133,26 @@ object SimilarityQueries {
         .agg(graft.plans.CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
         .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
         .checkpointed(false)
-      ivfpqNprobeCurve(base, seedCents, topx, "seed")
-        .unionAll(ivfpqNprobeCurve(base, trainedCents, topx, "trained"))
+      // The seed variant's EAGER sub-checkpoint is independent of the
+      // Lloyd training: build it on a helper thread so its
+      // materialization job overlaps the training rounds (guide §2.6,
+      // the q125 pattern). Only `base` (already eagerly checkpointed)
+      // is shared with the helper; topx's lazy checkpoint sees its
+      // first action in the final union job, on one thread.
+      val fSeed = scala.concurrent.Future {
+        ivfpqNprobeCurve(base, seedCents, topx, "seed")
+      }(scala.concurrent.ExecutionContext.global)
+      val trained =
+        try ivfpqNprobeCurve(base, trainedCentsOf(), topx, "trained")
+        catch { case scala.util.control.NonFatal(primary) =>
+          try scala.concurrent.Await.ready(fSeed,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw primary
+        }
+      scala.concurrent.Await.result(fSeed,
+          scala.concurrent.duration.Duration.Inf)
+        .unionAll(trained)
         .presented("variant", "nprobe")
     },
 
@@ -2178,7 +2196,6 @@ object SimilarityQueries {
       val base = embSpread(s, dir).checkpointed()
       val seedCents = base.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cell_id"), col("ev").as("cv"))
-      val trainedCents = kmTrainedCents(base, KmTrainedUpdates).checkpointed()
       val qs = base.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("ev").as("qv"))
       val topx = base.crossJoin(broadcast(qs))
@@ -2187,8 +2204,24 @@ object SimilarityQueries {
         .agg(graft.plans.CollectTopK.topk(-col("xd"), col("vec_id"), IvfK).as("tk"))
         .select(col("query_id"), explode(col("tk.vec_id")).as("vec_id"))
         .checkpointed(false)
-      ivfpqNprobeCurve(base, seedCents, topx, "seed", Pq8K)
-        .unionAll(ivfpqNprobeCurve(base, trainedCents, topx, "trained", Pq8K))
+      // Seed-variant sub-checkpoint on a helper thread, overlapping the
+      // Lloyd training (guide §2.6 — see the q126 note).
+      val fSeed = scala.concurrent.Future {
+        ivfpqNprobeCurve(base, seedCents, topx, "seed", Pq8K)
+      }(scala.concurrent.ExecutionContext.global)
+      val trained =
+        try ivfpqNprobeCurve(base,
+          kmTrainedCents(base, KmTrainedUpdates).checkpointed(), topx,
+          "trained", Pq8K)
+        catch { case scala.util.control.NonFatal(primary) =>
+          try scala.concurrent.Await.ready(fSeed,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw primary
+        }
+      scala.concurrent.Await.result(fSeed,
+          scala.concurrent.duration.Duration.Inf)
+        .unionAll(trained)
         .presented("variant", "nprobe")
     },
 
